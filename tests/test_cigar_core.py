@@ -1,0 +1,155 @@
+"""Differential tests: vectorized CIGAR engine vs the naive spec oracle."""
+
+import random
+
+import numpy as np
+import pytest
+
+from wgatools_tpu.core import cigar as C
+
+import reference_impl as ref
+
+
+def random_pair(n, seed, gap_rate=0.15, mismatch_rate=0.1):
+    rng = random.Random(seed)
+    bases = "ACGTacgtN"
+    t, q = [], []
+    for _ in range(n):
+        r = rng.random()
+        if r < gap_rate / 2:
+            t.append("-")
+            q.append(rng.choice(bases))
+        elif r < gap_rate:
+            t.append(rng.choice(bases))
+            q.append("-")
+        elif r < gap_rate + 0.01:
+            t.append("-")
+            q.append("-")
+        elif r < gap_rate + 0.01 + mismatch_rate:
+            t.append("A")
+            q.append("C")
+        else:
+            b = rng.choice(bases)
+            t.append(b)
+            q.append(b)
+    return "".join(t), "".join(q)
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("negative", [False, True])
+def test_cigar_from_seqs_matches_oracle(seed, negative):
+    t, q = random_pair(500, seed)
+    got = C.cigar_from_seqs(C.seq_bytes(t), C.seq_bytes(q), negative)
+    want = ref.cigar_counts(t, q, negative)
+    assert got.cigar_string == ref.cigar_string(t, q)
+    assert got.match_count == want["match"]
+    assert got.mismatch_count == want["mismatch"]
+    assert got.ins_event == want["ins_event"]
+    assert got.ins_count == want["ins"]
+    assert got.del_event == want["del_event"]
+    assert got.del_count == want["dele"]
+    assert got.inv_ins_event == want["inv_ins_event"]
+    assert got.inv_ins_count == want["inv_ins"]
+    assert got.inv_del_event == want["inv_del_event"]
+    assert got.inv_del_count == want["inv_del"]
+    assert got.inv_event == want["inv_event"]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_classify_modes_match_oracle(seed):
+    t, q = random_pair(300, seed)
+    ta, qa = C.seq_bytes(t), C.seq_bytes(q)
+    for mode, oracle in (
+        (C.classify_ext, ref.cat_ext),
+        (C.classify_caller, ref.cat_caller),
+        (C.classify_m, ref.cat_m),
+    ):
+        cat = mode(ta, qa)
+        chars = "=XIDW" if oracle is not ref.cat_m else "MXIDW"
+        got = "".join(chars[c] for c in cat)
+        want = "".join(oracle(a, b) for a, b in zip(t, q))
+        if oracle is ref.cat_m:
+            want = want.replace("X", "M")  # cat_m never yields X
+        assert got == want
+
+
+def test_tokenize_cigar():
+    ops, lens = C.tokenize_cigar("25M10I15M20D30M20I30M10D70M")
+    assert [chr(o) for o in ops] == list("MIMDMIMDM")
+    assert lens.tolist() == [25, 10, 15, 20, 30, 20, 30, 10, 70]
+    ops, lens = C.tokenize_cigar("109=1D243=1X12=")
+    assert [chr(o) for o in ops] == list("=D=X=")
+    assert lens.tolist() == [109, 1, 243, 1, 12]
+
+
+def test_tokenize_cigar_errors():
+    from wgatools_tpu.errors import CigarOpInvalid, ParseIntError
+
+    with pytest.raises((CigarOpInvalid, ParseIntError)):
+        C.tokenize_cigar("10MM")
+    with pytest.raises((CigarOpInvalid, ParseIntError)):
+        C.tokenize_cigar("M")
+    with pytest.raises((CigarOpInvalid, ParseIntError)):
+        C.tokenize_cigar("10M5")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_chain_lines_match_oracle(seed):
+    rng = random.Random(1000 + seed)
+    op_runs = []
+    for _ in range(rng.randint(1, 40)):
+        op_runs.append((rng.choice("MIDX="), rng.randint(1, 100)))
+    cigar = "".join(f"{n}{op}" for op, n in op_runs)
+    ops, lens = C.tokenize_cigar(cigar)
+    got_lines, got_final = C.chain_lines_from_ops(ops, lens)
+    want_lines, want_final = ref.chain_lines(op_runs)
+    assert got_lines == want_lines
+    assert got_final == want_final
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_trims_match_oracle(seed):
+    rng = random.Random(2000 + seed)
+    op_runs = [(rng.choice("MIDX="), rng.randint(1, 50)) for _ in range(20)]
+    cigar = "".join(f"{n}{op}" for op, n in op_runs)
+    ops, lens = C.tokenize_cigar(cigar)
+    assert C.trims_from_ops(ops, lens) == ref.trims(op_runs)
+
+
+def test_insert_gaps_by_ops():
+    ops, lens = C.tokenize_cigar("3M2I2M1D2M")
+    # target consumes 3+2+1+2=8 bases, query consumes 3+2+2+2=9
+    t, q = C.insert_gaps_by_ops(ops, lens, b"AAACCGGG", b"TTTNNCCXX")
+    # M3 copies both, I2 gaps target, M2 copies, D1 gaps query, M2 copies
+    assert t == b"AAA--CCGGG"
+    assert q == b"TTTNNCC-XX"
+
+
+def test_insert_gaps_by_chain():
+    lines = [(3, 1, 2)]  # size 3, dq(D)=1, dt(I)=2
+    t, q = C.insert_gaps_by_chain(lines, 2, b"AAAGCC", b"TTTNNCC")
+    # copy 3; dt=2: target gaps, query real; dq=1: query gap, target real; final 2
+    assert t == b"AAA--GCC"
+    assert q == b"TTTNN-CC"
+
+
+def test_pseudo_maf_seq():
+    ops, lens = C.tokenize_cigar("3M2I2M1D2X")
+    raw_q = b"AAACCGGTT"
+    assert C.pseudo_maf_seq_by_ops(ops, lens, raw_q, True) == b"AAAGG-TT"
+    assert C.pseudo_maf_seq_by_ops(ops, lens, raw_q, False) == b"11111-00"
+
+
+def test_reverse_complement():
+    assert C.reverse_complement(b"ACGTNacgtn") == b"nacgtNACGT"
+    from wgatools_tpu.errors import InvalidBase
+
+    with pytest.raises(InvalidBase):
+        C.reverse_complement(b"ACGU")
+
+
+def test_rle_empty_and_single():
+    vals, lens = C.rle(np.array([], dtype=np.uint8))
+    assert len(vals) == 0
+    vals, lens = C.rle(np.array([3], dtype=np.uint8))
+    assert vals.tolist() == [3] and lens.tolist() == [1]

@@ -1,0 +1,276 @@
+"""Golden and round-trip tests for the tool surface."""
+
+import io
+import json
+import os
+
+import pytest
+
+from conftest import fixture_path
+from synth import make_paf_case
+
+from wgatools_tpu.io.chain import ChainReader
+from wgatools_tpu.io.maf import MafReader
+from wgatools_tpu.io.paf import PafReader
+from wgatools_tpu.tools import convert
+from wgatools_tpu.tools.stat import stat_maf, stat_paf
+
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+
+def golden(name):
+    with open(os.path.join(GOLDEN, name), "rb") as fp:
+        return fp.read()
+
+
+def run_tool(fn, reader, *args):
+    out = io.BytesIO()
+    fn(reader, out, *args)
+    return out.getvalue()
+
+
+def test_maf2paf_golden():
+    got = run_tool(
+        convert.maf2paf, MafReader.from_path(fixture_path("test.maf"))
+    )
+    assert got == golden("test_maf.paf")
+
+
+def test_stat_maf_golden():
+    got = run_tool(stat_maf, MafReader.from_path(fixture_path("test.maf")))
+    assert got == golden("test_maf.stat.tsv")
+
+
+def test_stat_paf_each_golden():
+    got = run_tool(
+        stat_paf,
+        PafReader.from_path(fixture_path("testdotplot.paf")),
+        True,
+    )
+    assert got == golden("testdotplot_each.stat.tsv")
+
+
+def test_paf2chain_golden():
+    got = run_tool(
+        convert.paf2chain, PafReader.from_path(fixture_path("testdotplot.paf"))
+    )
+    assert got == golden("testdotplot.chain")
+
+
+def test_maf2chain_golden():
+    got = run_tool(
+        convert.maf2chain, MafReader.from_path(fixture_path("test.maf"))
+    )
+    assert got == golden("test_maf.chain")
+
+
+def test_call_golden():
+    out = io.BytesIO()
+    from wgatools_tpu.tools.caller import call_var_maf
+
+    call_var_maf(
+        MafReader.from_path(fixture_path("test.maf")),
+        None,
+        out,
+        if_snp=True,
+        if_inv=False,
+        svlen_cutoff=0,
+    )
+    assert out.getvalue() == golden("call_test_maf.vcf")
+
+
+def test_call_chunked_equals_unchunked():
+    """SV-safe chunking must not change the called variants."""
+    from wgatools_tpu.tools.caller import call_var_maf
+
+    outs = []
+    for chunk_size in (None, 100, 37):
+        out = io.BytesIO()
+        call_var_maf(
+            MafReader.from_path(fixture_path("test.maf")),
+            None,
+            out,
+            if_snp=True,
+            if_inv=False,
+            svlen_cutoff=0,
+            chunk_size=chunk_size,
+        )
+        outs.append(out.getvalue())
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_chain2paf_roundtrip():
+    chain = run_tool(
+        convert.paf2chain, PafReader.from_path(fixture_path("testdotplot.paf"))
+    )
+    paf = run_tool(convert.chain2paf, ChainReader(io.BytesIO(chain)))
+    # converting the produced PAF to chain again must reproduce the chain
+    chain2 = run_tool(convert.paf2chain, PafReader(io.BytesIO(paf)))
+    assert chain == chain2
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("negative", [False, True])
+def test_paf2maf_maf2paf_roundtrip(tmp_path, seed, negative):
+    paf_line, t_fa, q_fa = make_paf_case(seed, negative)
+    t_path = tmp_path / "t.fa"
+    q_path = tmp_path / "q.fa"
+    t_path.write_text(t_fa)
+    q_path.write_text(q_fa)
+    maf = run_tool(
+        convert.paf2maf,
+        PafReader(io.BytesIO(paf_line.encode())),
+        str(t_path),
+        str(q_path),
+    )
+    paf2 = run_tool(convert.maf2paf, MafReader(io.BytesIO(maf)))
+    assert paf2.decode().strip() == paf_line
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_readme_conversion_pipe(tmp_path, seed):
+    """paf2chain | chain2maf | maf2chain | chain2paf composes
+    (reference: README.md:220-226)."""
+    paf_line, t_fa, q_fa = make_paf_case(seed, negative=False)
+    t_path = tmp_path / "t.fa"
+    q_path = tmp_path / "q.fa"
+    t_path.write_text(t_fa)
+    q_path.write_text(q_fa)
+    chain1 = run_tool(
+        convert.paf2chain, PafReader(io.BytesIO(paf_line.encode()))
+    )
+    maf = run_tool(
+        convert.chain2maf,
+        ChainReader(io.BytesIO(chain1)),
+        str(t_path),
+        str(q_path),
+    )
+    chain2 = run_tool(convert.maf2chain, MafReader(io.BytesIO(maf)))
+    paf_out1 = run_tool(convert.chain2paf, ChainReader(io.BytesIO(chain1)))
+    paf_out2 = run_tool(convert.chain2paf, ChainReader(io.BytesIO(chain2)))
+    assert paf_out1 == paf_out2
+
+
+def test_index_and_extract(tmp_path):
+    from wgatools_tpu.tools.index import build_index
+    from wgatools_tpu.tools.mafextra import maf_extract_idx
+
+    reader = MafReader.from_path(fixture_path("test.maf"))
+    idx_out = io.BytesIO()
+    build_index(reader, idx_out)
+    idx = json.loads(idx_out.getvalue())
+    assert idx["ref.chr8"]["isref"] is True
+    assert idx["ref.chr8"]["ivls"][0]["start"] == 181469925
+    assert idx["query.chr8"]["isref"] is False
+
+    out = io.BytesIO()
+    failed = maf_extract_idx(
+        ["ref.chr8:181470000-181470100"],
+        None,
+        MafReader.from_path(fixture_path("test.maf")),
+        idx,
+        out,
+    )
+    assert not failed
+    text = out.getvalue().decode()
+    rec = next(MafReader(io.BytesIO(out.getvalue())).records())
+    assert rec.target_start == 181470000
+    assert rec.target_align_size == 100
+    # sliced seq must hold exactly 100 target bases
+    assert sum(1 for c in rec.slines[0].seq.decode() if c != "-") == 100
+
+    # mismatched region warned, not fatal (reference: utils.rs:384-389)
+    out2 = io.BytesIO()
+    failed2 = maf_extract_idx(
+        ["nope:1-10"],
+        None,
+        MafReader.from_path(fixture_path("test.maf")),
+        idx,
+        out2,
+    )
+    assert len(failed2) == 1
+
+
+def test_chunk_roundtrip():
+    """Chunked records re-derive starts/align sizes; total aligned bases
+    are preserved."""
+    from wgatools_tpu.tools.chunk import chunk_maf
+
+    out = io.BytesIO()
+    chunk_maf(MafReader.from_path(fixture_path("test.maf")), 100, out)
+    recs = list(MafReader(io.BytesIO(out.getvalue())).records())
+    assert len(recs) == 11  # 1008 cols -> 10x100 + 1x8
+    orig = next(MafReader.from_path(fixture_path("test.maf")).records())
+    assert sum(r.slines[0].align_size for r in recs) == orig.slines[0].align_size
+    assert recs[0].slines[0].start == orig.slines[0].start
+    for prev, cur in zip(recs, recs[1:]):
+        assert (
+            cur.slines[0].start
+            == prev.slines[0].start + prev.slines[0].align_size
+        )
+
+
+def test_filter_and_rename():
+    from wgatools_tpu.tools.filter import filter_paf
+    from wgatools_tpu.tools.rename import rename_maf
+
+    out = io.BytesIO()
+    filter_paf(
+        PafReader.from_path(fixture_path("testdotplot.paf")), out, 100, 0
+    )
+    lines = [l for l in out.getvalue().decode().splitlines() if l]
+    assert len(lines) == 1  # second record's block span is 50 < 100
+
+    out = io.BytesIO()
+    rename_maf(
+        MafReader.from_path(fixture_path("test.maf")), out, ["R#", "Q#"]
+    )
+    rec = next(MafReader(io.BytesIO(out.getvalue())).records())
+    assert rec.slines[0].name == "R#ref.chr8"
+    assert rec.slines[1].name == "Q#query.chr8"
+
+
+def test_validate_fix():
+    from wgatools_tpu.tools.validate import validate_paf
+
+    # corrupt query_end of the first record
+    lines = open(fixture_path("testdotplot.paf"), "rb").read().splitlines()
+    fields = lines[0].split(b"\t")
+    fields[3] = b"999"
+    bad = b"\n".join([b"\t".join(fields)] + lines[1:]) + b"\n"
+    out, fix = io.BytesIO(), io.BytesIO()
+    vd = validate_paf(PafReader(io.BytesIO(bad)), out, fix, True)
+    assert vd.total == 2
+    assert vd.query_invalid == 1
+    assert vd.ref_invalid == 0
+    fixed = fix.getvalue().decode().splitlines()
+    assert fixed[0].split("\t")[3] == "200"
+    report = out.getvalue().decode()
+    assert "Total records: 2" in report
+    assert "q1:0-999" not in report  # name is A
+    assert "A:0-999" in report
+
+
+def test_pafcov():
+    from wgatools_tpu.tools.pafcov import pafcov
+
+    out = io.BytesIO()
+    pafcov(PafReader.from_path(fixture_path("testdotplot.paf")), out)
+    lines = out.getvalue().decode().splitlines()
+    # every base of B (length 300) reported
+    assert len(lines) == 300
+    cov = {int(l.split("\t")[1]): int(l.split("\t")[3]) for l in lines}
+    # record 1: 25M@0, 15M@45(after 20D at 25? no: 25M 10I 15M 20D 30M ...)
+    assert cov[0] == 1 and cov[24] == 1
+    assert cov[25] == 1  # 15M continues at 25 (I doesn't advance)
+    assert cov[40] == 0  # 20D span [40,60) uncovered
+    assert cov[60] == 1
+    assert cov[299] == 0 or cov[299] == 1
+
+
+def test_maf2sam_stub():
+    out = run_tool(
+        convert.maf2sam, MafReader.from_path(fixture_path("test.maf"))
+    )
+    assert out.startswith(b"@HD")
+    assert b"sq2" in out

@@ -1,0 +1,449 @@
+"""Command-line interface mirroring the wgatools surface
+(reference: src/cli.rs, src/main.rs).
+
+Same subcommand names, visible aliases, and global flags
+(-o/--outfile, -r/--rewrite, -t/--threads, -v), so wgatools invocations
+translate 1:1 to `wgatools-tpu`.
+"""
+
+import argparse
+import logging
+import re
+import sys
+
+from . import __version__
+from .errors import WGAError
+from .log import init_logger
+
+log = logging.getLogger("wgatools_tpu")
+
+
+def _add_global_flags(p):
+    p.add_argument(
+        "-o",
+        "--outfile",
+        default="-",
+        help='Output file ("-" for stdout), names ending in .gz/.bz2/.xz '
+        "are compressed automatically",
+    )
+    p.add_argument(
+        "-r",
+        "--rewrite",
+        action="store_true",
+        help="Bool, if rewrite output file [default: false]",
+    )
+    p.add_argument(
+        "-t", "--threads", type=int, default=1, help="Threads, default 1"
+    )
+    p.add_argument(
+        "-v",
+        "--verbose",
+        action="count",
+        default=0,
+        help="Logging level [-v: Info, -vv: Debug, -vvv: Trace, default: Warn]",
+    )
+
+
+def _wrap_regex_full_match(s: str):
+    """Regexes are wrapped to full-match (reference: cli.rs:332-343)."""
+    pattern = s
+    if not pattern.startswith("^"):
+        pattern = "^" + pattern
+    if not pattern.endswith("$"):
+        pattern = pattern + "$"
+    return re.compile(pattern)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        prog="wgatools-tpu",
+        description="a TPU-native toolkit for Whole Genome Alignment Files "
+        "manipulation",
+    )
+    parser.add_argument("--version", action="version", version=__version__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def cmd(name, aliases, help_):
+        p = sub.add_parser(name, aliases=aliases, help=help_)
+        _add_global_flags(p)
+        return p
+
+    p = cmd("maf2paf", ["m2p"], "Convert MAF format to PAF format")
+    p.add_argument("input", nargs="?", default=None)
+    p.add_argument("-q", "--query_name", default=None)
+
+    p = cmd("maf2chain", ["m2c"], "Convert MAF format to Chain format")
+    p.add_argument("input", nargs="?", default=None)
+    p.add_argument("-q", "--query_name", default=None)
+
+    p = cmd("paf2maf", ["p2m"], "Convert PAF format to MAF format")
+    p.add_argument("input", nargs="?", default=None)
+    p.add_argument("-g", "--target", required=True)
+    p.add_argument("-q", "--query", required=True)
+
+    p = cmd("paf2chain", ["p2c"], "Convert PAF format to Chain format")
+    p.add_argument("input", nargs="?", default=None)
+
+    p = cmd("chain2maf", ["c2m"], "Convert Chain format to MAF format")
+    p.add_argument("input", nargs="?", default=None)
+    p.add_argument("-g", "--target", required=True)
+    p.add_argument("-q", "--query", required=True)
+
+    p = cmd("chain2paf", ["c2p"], "Convert Chain format to PAF format")
+    p.add_argument("input", nargs="?", default=None)
+
+    p = cmd("maf-index", ["mi"], "Build index for MAF file")
+    p.add_argument("input")
+
+    p = cmd(
+        "maf-ext", ["me"], "Extract specific region from MAF file with index"
+    )
+    p.add_argument("input", nargs="?", default=None)
+    p.add_argument("-R", "--regions", default=None)
+    p.add_argument("-f", "--file", default=None)
+
+    p = cmd("chunk", ["ch"], "Chunk MAF file by length")
+    p.add_argument("input", nargs="?", default=None)
+    p.add_argument("-l", "--length", type=int, required=True)
+
+    p = cmd("call", ["c"], "Call Variants from MAF/PAF file")
+    p.add_argument("input", nargs="?", default=None)
+    p.add_argument("-n", "--sample", default="sample")
+    p.add_argument("-s", "--snp", action="store_true")
+    p.add_argument("-i", "--inv", action="store_true")
+    p.add_argument("-l", "--svlen", type=int, default=50)
+    p.add_argument("-f", "--format", choices=["maf", "paf"], default="maf")
+    p.add_argument("--target", default=None)
+    p.add_argument("-q", "--query", default=None)
+    p.add_argument("--query_name", default=None)
+    p.add_argument("--query-regex", dest="query_regex", default=None)
+    p.add_argument("-c", "--chunk_size", type=int, default=1000000)
+
+    p = cmd("tview", ["tv"], "View MAF file in terminal")
+    p.add_argument("input")
+    p.add_argument("-s", "--step", type=int, default=10)
+
+    p = cmd("stat", ["st"], "Statistics for Alignment file")
+    p.add_argument("input", nargs="?", default=None)
+    p.add_argument("-f", "--format", choices=["maf", "paf"], default="maf")
+    p.add_argument("-e", "--each", action="store_true")
+    p.add_argument("-q", "--query_name", default=None)
+
+    p = cmd("dotplot", ["dp"], "Plot dotplot for Alignment file")
+    p.add_argument("input", nargs="?", default=None)
+    p.add_argument(
+        "-f", "--format", choices=["maf", "paf"], default="maf"
+    )
+    p.add_argument(
+        "--out_format", choices=["html", "json", "csv"], default="html"
+    )
+    p.add_argument(
+        "-m",
+        "--mode",
+        choices=["base-level", "overview"],
+        default="base-level",
+    )
+    p.add_argument("-d", "--no_identity", action="store_true")
+    p.add_argument("-l", "--length", type=int, default=None)
+    p.add_argument("-q", "--query_name", default=None)
+    p.add_argument("--color", default=None)
+
+    p = cmd("filter", ["fl"], "Filter records for Alignment file")
+    p.add_argument("input", nargs="?", default=None)
+    p.add_argument(
+        "-f", "--format", choices=["maf", "paf", "chain"], default="maf"
+    )
+    p.add_argument("-b", "--min_block_size", type=int, default=0)
+    p.add_argument("-q", "--min_query_size", type=int, default=0)
+    p.add_argument("-a", "--min_align_size", type=int, default=None)
+
+    p = cmd("rename", ["rn"], "Rename MAF records with prefix")
+    p.add_argument("input", nargs="?", default=None)
+    p.add_argument("-p", "--prefixs", required=True)
+
+    p = cmd("maf2sam", ["m2s"], "DEV: maf2sam")
+    p.add_argument("input", nargs="?", default=None)
+
+    p = cmd("pafcov", ["pc"], "Calculate coverage for PAF file")
+    p.add_argument("input", nargs="?", default=None)
+
+    p = cmd(
+        "pafpseudo",
+        ["pp"],
+        "Generate pesudo-maf for divergence analysis from PAF file",
+    )
+    p.add_argument("input", nargs="?", default=None)
+    p.add_argument("-f", "--fasta", default=None)
+    p.add_argument("-g", "--target", default=None)
+
+    p = cmd("gen-completion", ["gc"], "Generate completion script for shell")
+    p.add_argument("-s", "--shell", required=True, choices=["bash", "zsh", "fish"])
+
+    p = cmd(
+        "validate",
+        ["vf"],
+        "Validate and fix query&target position in PAF file by CIGAR",
+    )
+    p.add_argument("input", nargs="?", default=None)
+    p.add_argument("-f", "--fix", default=None)
+
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    init_logger(args.verbose)
+    try:
+        dispatch(args)
+    except WGAError as e:
+        log.error(str(e))
+        sys.exit(1)
+    except BrokenPipeError:
+        sys.exit(0)
+    return 0
+
+
+def dispatch(args):
+    from .io.chain import ChainReader
+    from .io.compression import open_input, open_output
+    from .io.maf import MafReader
+    from .io.paf import PafReader
+
+    cmd = args.command
+    out = args.outfile
+    rw = args.rewrite
+
+    if cmd in ("maf2paf", "m2p"):
+        from .tools.convert import maf2paf
+
+        maf2paf(
+            MafReader(open_input(args.input)),
+            open_output(out, rw),
+            args.query_name,
+        )
+    elif cmd in ("maf2chain", "m2c"):
+        from .tools.convert import maf2chain
+
+        maf2chain(
+            MafReader(open_input(args.input)),
+            open_output(out, rw),
+            args.query_name,
+        )
+    elif cmd in ("paf2maf", "p2m"):
+        from .tools.convert import paf2maf
+
+        paf2maf(
+            PafReader(open_input(args.input)),
+            open_output(out, rw),
+            args.target,
+            args.query,
+        )
+    elif cmd in ("paf2chain", "p2c"):
+        from .tools.convert import paf2chain
+
+        paf2chain(PafReader(open_input(args.input)), open_output(out, rw))
+    elif cmd in ("chain2maf", "c2m"):
+        from .tools.convert import chain2maf
+
+        chain2maf(
+            ChainReader(open_input(args.input)),
+            open_output(out, rw),
+            args.target,
+            args.query,
+        )
+    elif cmd in ("chain2paf", "c2p"):
+        from .tools.convert import chain2paf
+
+        chain2paf(ChainReader(open_input(args.input)), open_output(out, rw))
+    elif cmd in ("maf2sam", "m2s"):
+        from .tools.convert import maf2sam
+
+        maf2sam(MafReader(open_input(args.input)), open_output(out, rw))
+    elif cmd in ("maf-index", "mi"):
+        from .io.compression import open_output as _oo
+        from .tools.index import build_index, index_path_for
+
+        outpath = index_path_for(args.input) if out == "-" else out
+        build_index(MafReader.from_path(args.input), _oo(outpath, True))
+    elif cmd in ("maf-ext", "me"):
+        from .errors import StdinNotAllowed
+        from .tools.index import index_path_for, load_index
+        from .tools.mafextra import maf_extract_idx
+
+        if args.input is None or args.input == "-":
+            raise StdinNotAllowed()
+        regions = args.regions.split(",") if args.regions else None
+        mafindex = load_index(index_path_for(args.input))
+        failed = maf_extract_idx(
+            regions,
+            args.file,
+            MafReader.from_path(args.input),
+            mafindex,
+            open_output(out, rw),
+        )
+        for region in failed:
+            log.warning("Failed region: %s", region)
+    elif cmd in ("chunk", "ch"):
+        from .tools.chunk import chunk_maf
+
+        chunk_maf(MafReader(open_input(args.input)), args.length, open_output(out, rw))
+    elif cmd in ("call", "c"):
+        _dispatch_call(args, out, rw)
+    elif cmd in ("stat", "st"):
+        from .tools.stat import stat_maf, stat_paf
+
+        if args.format == "maf":
+            stat_maf(
+                MafReader(open_input(args.input)),
+                open_output(out, rw),
+                args.each,
+                args.query_name,
+            )
+        else:
+            stat_paf(PafReader(open_input(args.input)), open_output(out, rw), args.each)
+    elif cmd in ("dotplot", "dp"):
+        from .tools.dotplot import dotplot
+
+        dotplot(
+            args.input,
+            open_output(out, rw),
+            args.format,
+            args.out_format,
+            args.mode,
+            args.no_identity,
+            args.length if args.length is not None else 50,
+            args.query_name,
+            args.color,
+        )
+    elif cmd in ("filter", "fl"):
+        from .tools.filter import (
+            filter_chain,
+            filter_maf,
+            filter_paf,
+            filter_paf_align_pair,
+        )
+
+        w = open_output(out, rw)
+        if args.format == "maf":
+            filter_maf(
+                MafReader(open_input(args.input)),
+                w,
+                args.min_block_size,
+                args.min_query_size,
+            )
+        elif args.format == "paf":
+            if args.min_align_size is not None:
+                log.warning(
+                    "`min_align_size` is set, will not filter paf "
+                    "`min_block_size` and `min_query_size`"
+                )
+                filter_paf_align_pair(
+                    PafReader(open_input(args.input)), w, args.min_align_size
+                )
+            else:
+                filter_paf(
+                    PafReader(open_input(args.input)),
+                    w,
+                    args.min_block_size,
+                    args.min_query_size,
+                )
+        else:
+            filter_chain(
+                ChainReader(open_input(args.input)),
+                w,
+                args.min_block_size,
+                args.min_query_size,
+            )
+    elif cmd in ("rename", "rn"):
+        from .tools.rename import rename_maf
+
+        rename_maf(
+            MafReader(open_input(args.input)),
+            open_output(out, rw),
+            args.prefixs.split(","),
+        )
+    elif cmd in ("pafcov", "pc"):
+        from .tools.pafcov import pafcov
+
+        pafcov(PafReader(open_input(args.input)), open_output(out, rw))
+    elif cmd in ("pafpseudo", "pp"):
+        from .tools.pseudomaf import generate_pseudo_maf
+
+        generate_pseudo_maf(
+            PafReader(open_input(args.input)), out, args.fasta, args.target, rw
+        )
+    elif cmd in ("gen-completion", "gc"):
+        from .tools.completion import gen_completion
+
+        gen_completion(args.shell, open_output(out, rw))
+    elif cmd in ("validate", "vf"):
+        from .tools.validate import validate_paf
+
+        fix_writer = None
+        if args.fix is not None:
+            fix_writer = open_output(args.fix, True)
+        validate_paf(
+            PafReader(open_input(args.input)),
+            open_output(out, rw),
+            fix_writer,
+            args.fix is not None,
+        )
+    elif cmd in ("tview", "tv"):
+        from .tools.tview import tview
+
+        tview(args.input, args.step)
+    else:
+        raise WGAError(f"unknown command {cmd}")
+
+
+def _dispatch_call(args, out, rw):
+    from .io.compression import open_input, open_output
+    from .io.maf import MafReader
+    from .io.paf import PafReader
+    from .tools.caller import call_var_maf, call_var_paf
+
+    if args.format == "maf":
+        mafindex = None
+        if args.input and args.input != "-":
+            import os
+
+            from .tools.index import index_path_for, load_index
+
+            idx_path = index_path_for(args.input)
+            if os.path.exists(idx_path):
+                mafindex = load_index(idx_path)
+        if mafindex is None:
+            log.warning("maf index not found, will not generate contig info")
+        regex = (
+            _wrap_regex_full_match(args.query_regex)
+            if args.query_regex
+            else None
+        )
+        call_var_maf(
+            MafReader(open_input(args.input)),
+            mafindex,
+            open_output(out, rw),
+            args.snp,
+            args.inv,
+            args.svlen,
+            args.sample,
+            args.query_name,
+            regex,
+            args.chunk_size,
+        )
+    else:
+        if not args.target or not args.query:
+            raise WGAError("target and query are necessary")
+        call_var_paf(
+            PafReader(open_input(args.input)),
+            args.target,
+            args.query,
+            open_output(out, rw),
+            args.snp,
+            args.svlen,
+            args.sample,
+        )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,520 @@
+"""Columnar CIGAR engine (host side).
+
+This replaces the reference's char-loop CIGAR engine (reference:
+src/parser/cigar.rs, 985 LoC) with vectorized numpy over uint8 byte arrays.
+Sequences are kept as raw ASCII bytes so that case-sensitive comparisons match
+the reference exactly ('A' vs 'a' is a mismatch, reference: cigar.rs:298-308).
+
+Column category codes (uint8):
+    EQ=0 ('='), X=1, I=2, D=3, W=4 (gap/gap, caller mode only)
+
+Three classification modes mirror the reference:
+  * ext    — cigar_cat_ext    (cigar.rs:298-308):  c1==c2 -> '=' (note: this
+             maps gap/gap columns to '='), then I/D/X.
+  * caller — cigar_cat_ext_caller (cigar.rs:314-328): gap/gap -> W.
+  * m      — cigar_cat (cigar.rs:331-341): matches and mismatches merge to M.
+
+The device mirrors of these kernels live in wgatools_tpu.ops.
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..errors import CigarOpInvalid, ParseIntError
+
+GAP = np.uint8(ord("-"))
+
+EQ, X, I, D, W = np.uint8(0), np.uint8(1), np.uint8(2), np.uint8(3), np.uint8(4)
+
+# category code -> cigar op char
+CAT_CHARS = np.frombuffer(b"=XIDW", dtype=np.uint8)
+
+OP_EQ = ord("=")
+OP_X = ord("X")
+OP_I = ord("I")
+OP_D = ord("D")
+OP_M = ord("M")
+OP_S = ord("S")
+OP_H = ord("H")
+OP_W = ord("W")
+
+
+def seq_bytes(s) -> np.ndarray:
+    """Return a uint8 view of a str/bytes sequence."""
+    if isinstance(s, np.ndarray):
+        return s
+    if isinstance(s, str):
+        s = s.encode("ascii")
+    return np.frombuffer(s, dtype=np.uint8)
+
+
+def classify_ext(t: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """cigar_cat_ext: '=' when equal (incl. gap/gap), I/D for one-sided gaps, X."""
+    eq = t == q
+    ti = t == GAP
+    qi = q == GAP
+    cat = np.where(eq, EQ, np.where(ti, I, np.where(qi, D, X)))
+    return cat.astype(np.uint8)
+
+
+def classify_caller(t: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """cigar_cat_ext_caller: gap/gap -> W, then I/D/=/X."""
+    ti = t == GAP
+    qi = q == GAP
+    cat = np.where(
+        ti,
+        np.where(qi, W, I),
+        np.where(qi, D, np.where(t == q, EQ, X)),
+    )
+    return cat.astype(np.uint8)
+
+
+def classify_m(t: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """cigar_cat: everything non-gap merges to M (coded EQ), one-sided gaps I/D."""
+    ti = t == GAP
+    qi = q == GAP
+    cat = np.where(ti & ~qi, I, np.where(qi & ~ti, D, EQ))
+    return cat.astype(np.uint8)
+
+
+def rle(cat: np.ndarray):
+    """Run-length encode a category array -> (values, lengths).
+
+    The vectorized analog of itertools group_by in the reference's column
+    scans (cigar.rs:359-361).
+    """
+    n = cat.shape[0]
+    if n == 0:
+        return cat[:0], np.zeros(0, dtype=np.int64)
+    boundaries = np.flatnonzero(cat[1:] != cat[:-1])
+    starts = np.concatenate(([0], boundaries + 1))
+    ends = np.concatenate((boundaries + 1, [n]))
+    return cat[starts], (ends - starts).astype(np.int64)
+
+
+@dataclass
+class Cigar:
+    """Parsed CIGAR with per-op statistics (reference: cigar.rs:16-29)."""
+
+    cigar_string: str = ""
+    match_count: int = 0
+    mismatch_count: int = 0
+    ins_event: int = 0
+    ins_count: int = 0
+    del_event: int = 0
+    del_count: int = 0
+    inv_ins_event: int = 0
+    inv_ins_count: int = 0
+    inv_del_event: int = 0
+    inv_del_count: int = 0
+    inv_event: int = 0
+
+
+@dataclass
+class RecStat:
+    """Per-record statistics (reference: src/parser/common.rs:99-140)."""
+
+    aligned_size: int = 0
+    matched: int = 0
+    mismatched: int = 0
+    ins_event: int = 0
+    del_event: int = 0
+    ins_size: int = 0
+    del_size: int = 0
+    inv_ins_event: int = 0
+    inv_ins_size: int = 0
+    inv_del_event: int = 0
+    inv_del_size: int = 0
+    inv_event: int = 0
+    inv_size: float = 0.0
+
+
+def rec_stat_from_cigar(c: Cigar) -> RecStat:
+    """RecStat::from(Cigar) (reference: common.rs:116-140)."""
+    rs = RecStat(
+        matched=c.match_count,
+        mismatched=c.mismatch_count,
+        ins_event=c.ins_event,
+        del_event=c.del_event,
+        ins_size=c.ins_count,
+        del_size=c.del_count,
+        inv_ins_event=c.inv_ins_event,
+        inv_ins_size=c.inv_ins_count,
+        inv_del_event=c.inv_del_event,
+        inv_del_size=c.inv_del_count,
+        inv_event=c.inv_event,
+    )
+    rs.aligned_size = rs.matched + rs.mismatched + rs.del_size + rs.inv_del_size
+    query_align_size = rs.matched + rs.mismatched + rs.ins_size + rs.inv_ins_size
+    if rs.inv_event != 0:
+        # f32 arithmetic in the reference (common.rs:135-137)
+        rs.inv_size = float(
+            np.float32(rs.aligned_size + query_align_size)
+            / np.float32(rs.inv_event + 1)
+        )
+    return rs
+
+
+def runs_to_cigar_string(vals: np.ndarray, lens: np.ndarray) -> str:
+    """Format RLE runs as a CIGAR string using the category chars."""
+    if len(vals) == 0:
+        return ""
+    chars = CAT_CHARS[vals]
+    parts = []
+    append = parts.append
+    for ln, ch in zip(lens.tolist(), chars.tolist()):
+        append(str(ln))
+        append(chr(ch))
+    return "".join(parts)
+
+
+def cigar_from_runs(
+    vals: np.ndarray,
+    lens: np.ndarray,
+    negative: bool,
+    with_h: bool = False,
+    h_begin: int = 0,
+    h_end: int = 0,
+) -> Cigar:
+    """Build a Cigar (stats + string) from ext-classified runs.
+
+    Mirrors parse_maf_seq_to_cigar (reference: cigar.rs:344-432), including
+    inversion routing of indel counts for negative-strand records.
+    """
+    c = Cigar()
+    lens = np.asarray(lens, dtype=np.int64)
+    c.match_count = int(lens[vals == EQ].sum())
+    c.mismatch_count = int(lens[vals == X].sum())
+    ins_mask = vals == I
+    del_mask = vals == D
+    ins_events = int(ins_mask.sum())
+    del_events = int(del_mask.sum())
+    ins_total = int(lens[ins_mask].sum())
+    del_total = int(lens[del_mask].sum())
+    if negative:
+        c.inv_event = 1
+        c.inv_ins_event, c.inv_ins_count = ins_events, ins_total
+        c.inv_del_event, c.inv_del_count = del_events, del_total
+    else:
+        c.ins_event, c.ins_count = ins_events, ins_total
+        c.del_event, c.del_count = del_events, del_total
+    body = runs_to_cigar_string(vals, lens)
+    if with_h:
+        c.cigar_string = f"{h_begin}H{body}{h_end}H"
+    else:
+        c.cigar_string = body
+    return c
+
+
+def cigar_from_seqs(
+    t_seq: np.ndarray,
+    q_seq: np.ndarray,
+    negative: bool,
+    with_h: bool = False,
+    h_begin: int = 0,
+    h_end: int = 0,
+) -> Cigar:
+    """parse_maf_seq_to_cigar over byte arrays (reference: cigar.rs:344-432)."""
+    cat = classify_ext(t_seq, q_seq)
+    vals, lens = rle(cat)
+    return cigar_from_runs(vals, lens, negative, with_h, h_begin, h_end)
+
+
+# ---------------------------------------------------------------------------
+# CIGAR string <-> op arrays
+# ---------------------------------------------------------------------------
+
+_DIGIT_MASK = np.zeros(256, dtype=bool)
+for _d in b"0123456789":
+    _DIGIT_MASK[_d] = True
+
+
+def tokenize_cigar(cigar: str):
+    """Tokenize a CIGAR string into (ops uint8, lens int64) arrays.
+
+    Vectorized analog of the reference's nom tokenizer (cigar.rs:59-75).
+    Raises ParseIntError / CigarOpInvalid on malformed input like the
+    reference's cst2cu (cigar.rs:43-56).
+    """
+    if not cigar:
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    b = seq_bytes(cigar)
+    isdig = _DIGIT_MASK[b]
+    # op positions: non-digit bytes
+    op_pos = np.flatnonzero(~isdig)
+    if op_pos.size == 0:
+        raise ParseIntError(cigar)
+    # every non-digit byte must be a single op following >=1 digit, and ops
+    # must be isolated (no two adjacent non-digits) and the string must end
+    # with an op
+    if op_pos[-1] != b.shape[0] - 1:
+        raise CigarOpInvalid(cigar[op_pos[-1] :])
+    if op_pos.size > 1 and np.any(np.diff(op_pos) == 1):
+        bad = int(op_pos[np.flatnonzero(np.diff(op_pos) == 1)[0]])
+        raise CigarOpInvalid(cigar[bad : bad + 2])
+    if op_pos[0] == 0:
+        raise ParseIntError("")
+    ops = b[op_pos]
+    starts = np.concatenate(([0], op_pos[:-1] + 1))
+    lens = np.empty(op_pos.size, dtype=np.int64)
+    # parse digit runs; vectorized horner over a padded digit matrix
+    run_lens = op_pos - starts
+    max_run = int(run_lens.max())
+    digits = b.astype(np.int64) - ord("0")
+    mat = np.zeros((op_pos.size, max_run), dtype=np.int64)
+    for k in range(max_run):
+        take = run_lens > k
+        mat[take, k] = digits[starts[take] + k]
+    lens[:] = 0
+    for k in range(max_run):
+        take = run_lens > k
+        lens[take] = lens[take] * 10 + mat[take, k]
+    if np.any(run_lens == 0):
+        raise ParseIntError("")
+    return ops, lens
+
+
+def strip_cg_prefix(cigar: str) -> str:
+    """Strip the 'cg:Z:' tag prefix (reference: cigar.rs:258 et al.)."""
+    from ..errors import CigarTagNotFound
+
+    if not cigar.startswith("cg:Z:"):
+        raise CigarTagNotFound()
+    return cigar[5:]
+
+
+_VALID_STAT_OPS = frozenset((OP_M, OP_EQ, OP_X, OP_I, OP_D))
+
+
+def cigar_stats_from_ops(ops: np.ndarray, lens: np.ndarray, negative: bool) -> Cigar:
+    """parse_paf_to_cigar stats (reference: cigar.rs:629-707).
+
+    M and '=' both count as matches; X as mismatch; I/D as indel events
+    routed to inv_* when the record is negative strand.  Any other op is an
+    error, matching the reference.
+    """
+    for op in np.unique(ops).tolist():
+        if op not in _VALID_STAT_OPS:
+            raise CigarOpInvalid(chr(op))
+    c = Cigar()
+    lens = np.asarray(lens, dtype=np.int64)
+    m_mask = (ops == OP_M) | (ops == OP_EQ)
+    c.match_count = int(lens[m_mask].sum())
+    c.mismatch_count = int(lens[ops == OP_X].sum())
+    ins_mask = ops == OP_I
+    del_mask = ops == OP_D
+    ie, ic = int(ins_mask.sum()), int(lens[ins_mask].sum())
+    de, dc = int(del_mask.sum()), int(lens[del_mask].sum())
+    if negative:
+        c.inv_event = 1
+        c.inv_ins_event, c.inv_ins_count = ie, ic
+        c.inv_del_event, c.inv_del_count = de, dc
+    else:
+        c.ins_event, c.ins_count = ie, ic
+        c.del_event, c.del_count = de, dc
+    return c
+
+
+def trims_from_ops(ops: np.ndarray, lens: np.ndarray):
+    """Head/tail indel trim sizes (reference: cigar.rs:155-199, 202-245).
+
+    Returns (head_ins, head_del, tail_ins, tail_del): the summed I and D run
+    lengths before the first M-type op, and the length of the trailing I and D
+    runs after the last M-type op (the reference keeps only the *last* I and
+    last D run length for the tail).
+    """
+    head_ins = head_del = tail_ins = tail_del = 0
+    head = True
+    for op, ln in zip(ops.tolist(), np.asarray(lens).tolist()):
+        if op in (OP_M, OP_EQ, OP_X):
+            tail_ins = 0
+            tail_del = 0
+            head = False
+        elif op == OP_I:
+            if head:
+                head_ins += ln
+            tail_ins = ln
+        elif op == OP_D:
+            if head:
+                head_del += ln
+            tail_del = ln
+        else:
+            raise CigarOpInvalid(chr(op))
+    return head_ins, head_del, tail_ins, tail_del
+
+
+# ---------------------------------------------------------------------------
+# Chain data lines
+# ---------------------------------------------------------------------------
+
+def chain_lines_from_ops(ops: np.ndarray, lens: np.ndarray):
+    """Stream chain data lines from CIGAR ops.
+
+    Mirrors cigar_unit_chain's state machine (reference: cigar.rs:460-490):
+    M/X/= accumulate `size` (merging runs separated by empty diffs), I
+    accumulates target_diff, D accumulates query_diff; a line
+    (size, query_diff, target_diff) is emitted when a new M-run starts with
+    pending diffs; the final line carries only the last size.
+
+    Returns (lines, final_size) where lines is a list of (size, dq, dt).
+    Vectorized over runs with reduceat.
+    """
+    ops = np.asarray(ops)
+    lens = np.asarray(lens, dtype=np.int64)
+    for op in np.unique(ops).tolist():
+        if op not in _VALID_STAT_OPS:
+            raise CigarOpInvalid(chr(op))
+    is_m = (ops == OP_M) | (ops == OP_EQ) | (ops == OP_X)
+    m_idx = np.flatnonzero(is_m)
+    if m_idx.size == 0:
+        return [], 0
+    m_sizes = lens[m_idx]
+    # diffs accumulated between consecutive M runs
+    ins_lens = np.where(ops == OP_I, lens, 0)
+    del_lens = np.where(ops == OP_D, lens, 0)
+    cum_ins = np.concatenate(([0], np.cumsum(ins_lens)))
+    cum_del = np.concatenate(([0], np.cumsum(del_lens)))
+    # gap between m_idx[k] and m_idx[k+1]
+    td = cum_ins[m_idx[1:]] - cum_ins[m_idx[:-1] + 1]
+    qd = cum_del[m_idx[1:]] - cum_del[m_idx[:-1] + 1]
+    nonzero_gap = (td + qd) != 0
+    # merge consecutive M runs across zero gaps
+    seg_starts = np.concatenate(([0], np.flatnonzero(nonzero_gap) + 1))
+    merged = np.add.reduceat(m_sizes, seg_starts)
+    gap_sel = np.flatnonzero(nonzero_gap)
+    lines = [
+        (int(merged[k]), int(qd[g]), int(td[g])) for k, g in enumerate(gap_sel)
+    ]
+    return lines, int(merged[-1])
+
+
+def chain_lines_from_cat_runs(vals: np.ndarray, lens: np.ndarray):
+    """Chain data lines from m-mode classified runs (parse_maf_seq_to_chain,
+    reference: cigar.rs:435-458).  Category codes EQ(=M)/I/D."""
+    op_map = np.zeros(5, dtype=np.uint8)
+    op_map[EQ] = OP_M
+    op_map[X] = OP_X
+    op_map[I] = OP_I
+    op_map[D] = OP_D
+    return chain_lines_from_ops(op_map[vals], lens)
+
+
+# ---------------------------------------------------------------------------
+# Sequence reconstruction from ops (gap insertion / pseudo-maf)
+# ---------------------------------------------------------------------------
+
+def insert_gaps_by_ops(ops, lens, t_raw: bytes, q_raw: bytes):
+    """Insert '-' gaps into raw target/query per CIGAR.
+
+    Equivalent to parse_cigar_to_insert (reference: cigar.rs:492-551) but
+    linear-time segment assembly instead of repeated String::insert_str:
+    M/=/X consume both sources, I puts gaps in target while consuming query,
+    D puts gaps in query while consuming target.
+    Returns (t_gapped bytes, q_gapped bytes).
+    """
+    t_parts, q_parts = [], []
+    t_off = q_off = 0
+    for op, ln in zip(np.asarray(ops).tolist(), np.asarray(lens).tolist()):
+        if op in (OP_M, OP_EQ, OP_X):
+            t_parts.append(t_raw[t_off : t_off + ln])
+            q_parts.append(q_raw[q_off : q_off + ln])
+            t_off += ln
+            q_off += ln
+        elif op == OP_I:
+            t_parts.append(b"-" * ln)
+            q_parts.append(q_raw[q_off : q_off + ln])
+            q_off += ln
+        elif op == OP_D:
+            t_parts.append(t_raw[t_off : t_off + ln])
+            q_parts.append(b"-" * ln)
+            t_off += ln
+        else:
+            raise CigarOpInvalid(chr(op))
+    return b"".join(t_parts), b"".join(q_parts)
+
+
+def insert_gaps_by_chain(lines, final_size, t_raw: bytes, q_raw: bytes):
+    """Gap insertion driven by chain data lines (reference:
+    converter.rs:360-388): per line copy `size` from both, then target gets
+    `target_diff` gaps (query real), then query gets `query_diff` gaps."""
+    t_parts, q_parts = [], []
+    t_off = q_off = 0
+    for size, dq, dt in lines:
+        t_parts.append(t_raw[t_off : t_off + size])
+        q_parts.append(q_raw[q_off : q_off + size])
+        t_off += size
+        q_off += size
+        if dt:
+            t_parts.append(b"-" * dt)
+            q_parts.append(q_raw[q_off : q_off + dt])
+            q_off += dt
+        if dq:
+            t_parts.append(t_raw[t_off : t_off + dq])
+            q_parts.append(b"-" * dq)
+            t_off += dq
+    t_parts.append(t_raw[t_off : t_off + final_size])
+    q_parts.append(q_raw[q_off : q_off + final_size])
+    return b"".join(t_parts), b"".join(q_parts)
+
+
+def pseudo_maf_seq_by_ops(ops, lens, raw_q: bytes, base: bool) -> bytes:
+    """gen_pesudo_maf_by_cigar (reference: cigar.rs:744-804).
+
+    base=True: project the real query bases onto the target axis (drop
+    insertions, '-' for deletions).  base=False: emit '1' (match), '0'
+    (mismatch), '-' (deletion) symbols; insertions are skipped.
+    """
+    parts = []
+    off = 0
+    for op, ln in zip(np.asarray(ops).tolist(), np.asarray(lens).tolist()):
+        if op in (OP_M, OP_EQ):
+            if base:
+                parts.append(raw_q[off : off + ln])
+                off += ln
+            else:
+                parts.append(b"1" * ln)
+        elif op in (OP_I, OP_S):
+            if base:
+                off += ln  # drain inserted bases
+        elif op == OP_D:
+            parts.append(b"-" * ln)
+        elif op == OP_X:
+            if base:
+                parts.append(raw_q[off : off + ln])
+                off += ln
+            else:
+                parts.append(b"0" * ln)
+        # other ops ignored, matching the reference's catch-all
+    return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# misc
+# ---------------------------------------------------------------------------
+
+_RC_TABLE = np.arange(256, dtype=np.uint8)
+for _a, _b in [("A", "T"), ("C", "G"), ("G", "C"), ("T", "A"), ("N", "N"),
+               ("a", "t"), ("c", "g"), ("g", "c"), ("t", "a"), ("n", "n")]:
+    _RC_TABLE[ord(_a)] = ord(_b)
+_VALID_RC = np.zeros(256, dtype=bool)
+for _c in b"ACGTNacgtn":
+    _VALID_RC[_c] = True
+
+
+def reverse_complement(seq: bytes) -> bytes:
+    """Reverse complement with the reference's strict base alphabet
+    (reference: src/utils.rs:83-101)."""
+    from ..errors import InvalidBase
+
+    arr = seq_bytes(seq)
+    if not np.all(_VALID_RC[arr]):
+        bad = arr[~_VALID_RC[arr]][0]
+        raise InvalidBase(chr(bad))
+    return _RC_TABLE[arr][::-1].tobytes()
+
+
+def count_non_gap(seq: np.ndarray) -> int:
+    """Count aligned (non-'-') symbols; recount_align_size analog
+    (reference: common.rs:179-190)."""
+    return int((seq_bytes(seq) != GAP).sum())

@@ -1,0 +1,310 @@
+"""UCSC chain reader/writer (reference: src/parser/chain.rs).
+
+A chain record is a 13-field header line starting with "chain" followed by
+data lines `size [dq] [dt]`; records are separated by blank lines.  Data
+lines are stored as (size, query_diff, target_diff) triples matching the
+reference's ChainDataLine (chain.rs:84-100): the second output column is the
+accumulated D run ("query_diff"), the third the accumulated I run
+("target_diff").
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.cigar import (
+    Cigar,
+    rec_stat_from_cigar,
+    trims_from_ops,
+)
+from ..core.strand import Strand
+from ..errors import ParseChainError, ParseIntError
+
+
+def fmt_f64(v: float) -> str:
+    """Rust `{}` Display for f64: integral values print without '.0'."""
+    if v == int(v) and abs(v) < 1e16:
+        return str(int(v))
+    return repr(v)
+
+
+def _parse_u64(s: str, what: str) -> int:
+    try:
+        return int(s)
+    except ValueError:
+        raise ParseIntError(s) from None
+
+
+@dataclass
+class SeqInfo:
+    name: str = ""
+    size: int = 0
+    strand: str = Strand.POSITIVE
+    start: int = 0
+    end: int = 0
+
+
+@dataclass
+class ChainHeader:
+    score: float = 255.0
+    target: SeqInfo = field(default_factory=SeqInfo)
+    query: SeqInfo = field(default_factory=SeqInfo)
+    chain_id: int = 0
+
+    def format(self) -> str:
+        """Header line without trailing newline (chain.rs:185-204)."""
+        t, q = self.target, self.query
+        return (
+            f"chain\t{fmt_f64(self.score)}\t{t.name}\t{t.size}\t{t.strand}\t"
+            f"{t.start}\t{t.end}\t{q.name}\t{q.size}\t{q.strand}\t"
+            f"{q.start}\t{q.end}\t{self.chain_id}"
+        )
+
+
+def chain_header_from_record(rec, head_ins, head_del, tail_ins, tail_del):
+    """Build a ChainHeader from any AlignRecord-like object, applying the
+    head/tail indel trim rule (reference: chain.rs:103-183).
+
+    For negative-strand queries the reference remaps start/end sequentially
+    (start is rewritten first and the new value feeds the end computation,
+    chain.rs:136-137) -- reproduced bit-for-bit.
+    """
+    header = ChainHeader(
+        score=255.0,
+        target=SeqInfo(
+            name=rec.target_name,
+            size=rec.target_length,
+            strand=Strand.POSITIVE,
+            start=rec.target_start,
+            end=rec.target_end,
+        ),
+        query=SeqInfo(
+            name=rec.query_name,
+            size=rec.query_length,
+            strand=rec.query_strand,
+            start=rec.query_start,
+            end=rec.query_end,
+        ),
+        chain_id=0,
+    )
+    q = header.query
+    t = header.target
+    if q.strand == Strand.POSITIVE:
+        q.start += head_ins
+        t.start += head_del
+        q.end -= tail_ins
+        t.end -= tail_del
+    else:
+        t.start += head_del
+        t.end -= tail_del
+        q.start = q.size - (q.end - head_ins)
+        q.end = q.size - (q.start + tail_ins)
+    return header
+
+
+@dataclass
+class ChainRecord:
+    header: ChainHeader = field(default_factory=ChainHeader)
+    # list of (size, query_diff, target_diff); the final line has diffs 0
+    lines: list = field(default_factory=list)
+
+    # -- AlignRecord surface (chain.rs:385-453) --
+
+    @property
+    def query_name(self) -> str:
+        return self.header.query.name
+
+    @property
+    def query_length(self) -> int:
+        return self.header.query.size
+
+    @property
+    def query_start(self) -> int:
+        return self.header.query.start
+
+    @property
+    def query_end(self) -> int:
+        return self.header.query.end
+
+    @property
+    def query_strand(self) -> str:
+        return self.header.query.strand
+
+    @property
+    def target_name(self) -> str:
+        return self.header.target.name
+
+    @property
+    def target_length(self) -> int:
+        return self.header.target.size
+
+    @property
+    def target_start(self) -> int:
+        return self.header.target.start
+
+    @property
+    def target_end(self) -> int:
+        return self.header.target.end
+
+    @property
+    def target_strand(self) -> str:
+        return self.header.target.strand
+
+    @property
+    def target_align_size(self) -> int:
+        return self.header.target.end - self.header.target.start
+
+    @property
+    def is_negative(self) -> bool:
+        return self.header.query.strand == Strand.NEGATIVE
+
+    def to_cigar(self) -> Cigar:
+        """parse_chain_to_cigar (reference: cigar.rs:554-626): every data
+        line emits `{size}M` then optional `{dt}I` / `{dq}D`."""
+        c = Cigar()
+        inv = self.is_negative
+        if inv:
+            c.inv_event = 1
+        parts = []
+        for size, dq, dt in self.lines:
+            parts.append(f"{size}M")
+            c.match_count += size
+            if dt != 0:
+                parts.append(f"{dt}I")
+                if inv:
+                    c.inv_ins_event += 1
+                    c.inv_ins_count += dt
+                else:
+                    c.ins_event += 1
+                    c.ins_count += dt
+            if dq != 0:
+                parts.append(f"{dq}D")
+                if inv:
+                    c.inv_del_event += 1
+                    c.inv_del_count += dq
+                else:
+                    c.del_event += 1
+                    c.del_count += dq
+        c.cigar_string = "".join(parts)
+        return c
+
+    def convert2paf(self):
+        """chain -> PAF (reference: chain.rs:430-452).  Note block_length
+        here omits insertion sizes, unlike the MAF conversion."""
+        from .paf import PafRecord
+
+        cigar = self.to_cigar()
+        block_length = (
+            cigar.match_count
+            + cigar.mismatch_count
+            + cigar.del_count
+            + cigar.inv_del_count
+        )
+        return PafRecord(
+            query_name=self.query_name,
+            query_length=self.query_length,
+            query_start=self.query_start,
+            query_end=self.query_end,
+            strand=self.query_strand,
+            target_name=self.target_name,
+            target_length=self.target_length,
+            target_start=self.target_start,
+            target_end=self.target_end,
+            matches=cigar.match_count,
+            block_length=block_length,
+            mapq=255,
+            tags=["cg:Z:" + cigar.cigar_string],
+        )
+
+    def get_stat(self):
+        return rec_stat_from_cigar(self.to_cigar())
+
+
+def _parse_header_line(rest: str) -> ChainHeader:
+    fields = rest.split()
+    names = (
+        "score",
+        "target_name",
+        "target_size",
+        "target_strand",
+        "target_start",
+        "target_end",
+        "query_name",
+        "query_size",
+        "query_strand",
+        "query_start",
+        "query_end",
+        "chain_id",
+    )
+    if len(fields) < 12:
+        raise ParseChainError(f"Chain Line Field `{names[len(fields)]}` Missing")
+    return ChainHeader(
+        score=float(fields[0]),
+        target=SeqInfo(
+            name=fields[1],
+            size=_parse_u64(fields[2], "target_size"),
+            strand=Strand.parse(fields[3]),
+            start=_parse_u64(fields[4], "target_start"),
+            end=_parse_u64(fields[5], "target_end"),
+        ),
+        query=SeqInfo(
+            name=fields[6],
+            size=_parse_u64(fields[7], "query_size"),
+            strand=Strand.parse(fields[8]),
+            start=_parse_u64(fields[9], "query_start"),
+            end=_parse_u64(fields[10], "query_end"),
+        ),
+        chain_id=_parse_u64(fields[11], "chain_id"),
+    )
+
+
+def _parse_data_line(line: str):
+    fields = line.split()
+    if not fields:
+        raise ParseChainError("Chain Line Field `size` Missing")
+    size = _parse_u64(fields[0], "size")
+    dq = _parse_u64(fields[1], "query_diff") if len(fields) > 1 else 0
+    dt = _parse_u64(fields[2], "target_diff") if len(fields) > 2 else 0
+    return (size, dq, dt)
+
+
+class ChainReader:
+    def __init__(self, stream):
+        self.inner = stream
+
+    @classmethod
+    def from_path(cls, path):
+        from .compression import open_input
+
+        return cls(open_input(path))
+
+    def records(self):
+        """Parse all chain records (the reference also slurps the whole
+        input, chain.rs:33-38)."""
+        data = self.inner.read().decode("ascii", "replace")
+        header = None
+        lines = []
+        for raw in data.splitlines():
+            line = raw.strip()
+            if line.startswith("chain"):
+                if header is not None:
+                    yield ChainRecord(header=header, lines=lines)
+                header = _parse_header_line(line[len("chain") :])
+                lines = []
+            elif line:
+                if header is None:
+                    raise ParseChainError("data line before chain header")
+                lines.append(_parse_data_line(line))
+        if header is not None:
+            yield ChainRecord(header=header, lines=lines)
+
+
+def write_chain_record(stream, header: ChainHeader, lines, final_size: int):
+    """Write one chain record: header, data lines, final size, blank line
+    (reference: converter.rs:148-173 + cigar.rs:291-293)."""
+    out = [header.format()]
+    for size, dq, dt in lines:
+        out.append(f"\n{size}\t{dq}\t{dt}")
+    out.append(f"\n{final_size}")
+    out.append("\n\n")
+    stream.write("".join(out).encode("ascii"))

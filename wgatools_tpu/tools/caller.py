@@ -1,0 +1,360 @@
+"""Variant caller: SNP / INS / DEL / INV from MAF or PAF
+(reference: src/tools/caller.rs).
+
+The reference's per-column char loops (call_within_var, caller.rs:388-608)
+become a vectorized aligned-column diff scan: columns are classified with the
+caller category table (gap/gap -> W), run-length encoded, and the variant
+table is derived from run arrays with prefix sums for target/query offsets.
+Chunking with SV-safe boundaries (caller.rs:159-219) is the genome-axis
+tiling step and is computed on the gap bitmask with the same semantics.
+"""
+
+import numpy as np
+
+from ..core import cigar as C
+from ..core.strand import Strand
+from ..io.maf import MafRecord, MafSLine
+from ..io.vcf import VcfWriter
+
+DEFAULT_CHUNK_SIZE = 1000000
+
+
+def find_safe_chunk_boundary(t_seq, q_seq, start, chunk_size, svlen_cutoff, total):
+    """SV-safe chunk boundary (reference: caller.rs:159-219).
+
+    Returns (safe_end, next_start).  The window is truncated to the end of
+    the *last* gap run of length >= cutoff that completes inside it; when the
+    window ends inside a large gap run, it extends to the run's end.
+    """
+    proposed_end = min(start + chunk_size, total)
+    gap = (t_seq[start:proposed_end] == C.GAP) | (q_seq[start:proposed_end] == C.GAP)
+    n = gap.shape[0]
+    safe_end = proposed_end
+    if n == 0:
+        return safe_end, safe_end
+    vals, lens = C.rle(gap.view(np.uint8))
+    ends = np.cumsum(lens)
+    is_gap_run = vals == 1
+    # gap runs that complete inside the window (followed by a non-gap column)
+    completes = is_gap_run.copy()
+    completes[-1] = False
+    big = completes & (lens >= svlen_cutoff)
+    big_idx = np.flatnonzero(big)
+    if big_idx.size:
+        safe_end = start + int(ends[big_idx[-1]])
+    # window ends inside a gap run
+    if is_gap_run[-1] and int(lens[-1]) >= svlen_cutoff:
+        tail = (t_seq[proposed_end:] != C.GAP) & (q_seq[proposed_end:] != C.GAP)
+        nz = np.flatnonzero(tail)
+        end_pos = proposed_end + int(nz[0]) if nz.size else proposed_end
+        safe_end = end_pos
+    return safe_end, safe_end
+
+
+class _ChunkView:
+    """Chunked record view with re-derived coordinates
+    (reference: create_chunk_record, caller.rs:221-265), computed from
+    precomputed non-gap prefix sums instead of per-chunk char loops."""
+
+    def __init__(self, record: MafRecord):
+        self.record = record
+        self.t_arr = C.seq_bytes(record.target_seq)
+        self.q_arr = C.seq_bytes(record.query_seq)
+        self.t_prefix = np.concatenate(
+            ([0], np.cumsum(self.t_arr != C.GAP))
+        )
+        self.q_prefix = np.concatenate(
+            ([0], np.cumsum(self.q_arr != C.GAP))
+        )
+
+    def chunk(self, start: int, end: int) -> MafRecord:
+        rec = self.record
+        t_sline = rec.slines[0]
+        q_sline = rec.slines[rec.query_idx]
+        new = MafRecord(score=rec.score, slines=[], query_idx=1)
+        for sline, arr, prefix in (
+            (t_sline, self.t_arr, self.t_prefix),
+            (q_sline, self.q_arr, self.q_prefix),
+        ):
+            new.slines.append(
+                MafSLine(
+                    mode=sline.mode,
+                    name=sline.name,
+                    start=sline.start + int(prefix[start]),
+                    align_size=int(prefix[end] - prefix[start]),
+                    strand=sline.strand,
+                    size=sline.size,
+                    seq=arr[start:end].tobytes(),
+                )
+            )
+        return new
+
+
+def _emit_inv_record(out, mafrec, t_seq_ref, fmt_suffix):
+    """Per-chunk INV record for negative-strand records
+    (reference: caller.rs:423-440)."""
+    info = f"SVTYPE=INV;END={mafrec.target_end}"
+    qi = (
+        f"1|1:{mafrec.query_name}@{mafrec.query_start}@{mafrec.query_end}"
+        f"@{fmt_suffix}"
+    )
+    out.append(
+        (
+            mafrec.target_name,
+            mafrec.target_start + 1,
+            t_seq_ref[0:1].decode("ascii").upper(),
+            "<INV>",
+            info,
+            "GT:QI",
+            qi,
+        )
+    )
+
+
+def call_within_var(mafrec: MafRecord, if_snp: bool, svlen_cutoff: int, if_inv: bool):
+    """Vectorized variant scan over one (chunk) record
+    (reference: caller.rs:388-608).  Returns VCF row tuples."""
+    t_arr = C.seq_bytes(mafrec.target_seq)
+    q_arr = C.seq_bytes(mafrec.query_seq)
+    chro = mafrec.target_name
+    q_chro = mafrec.query_name
+    t_start = mafrec.target_start
+    q_start = mafrec.query_start
+    negative = mafrec.is_negative
+    fmt_suffix = "N" if negative else "P"
+    init_info = "INV_NEST=TRUE;" if negative else ""
+
+    # gap-stripped copies used for REF/ALT slicing (caller.rs:411-415)
+    t_seq_ref = t_arr[t_arr != C.GAP].tobytes()
+    q_seq_ref = q_arr[q_arr != C.GAP].tobytes()
+
+    out = []
+    if negative and len(t_seq_ref) > 0 and if_inv:
+        _emit_inv_record(out, mafrec, t_seq_ref, fmt_suffix)
+
+    cat = C.classify_caller(t_arr, q_arr)
+    vals, lens = C.rle(cat)
+    nruns = vals.shape[0]
+    if nruns == 0:
+        return out
+
+    lens64 = lens.astype(np.int64)
+    # per-run target/query offsets at run start
+    t_adv = np.where((vals == C.EQ) | (vals == C.X) | (vals == C.D), lens64, 0)
+    q_adv = np.where((vals == C.EQ) | (vals == C.X) | (vals == C.I), lens64, 0)
+    t_off = t_start + np.concatenate(([0], np.cumsum(t_adv)[:-1]))
+    q_off = q_start + np.concatenate(([0], np.cumsum(q_adv)[:-1]))
+
+    # after_m at run k: the most recent non-W run before k was '=' or 'X'
+    # (W runs "do nothing", caller.rs:461-463)
+    sig = vals != C.W
+    is_m = (vals == C.EQ) | (vals == C.X)
+    idx = np.arange(nruns)
+    last_sig = np.where(sig, idx, -1)
+    last_sig = np.maximum.accumulate(last_sig)
+    prev_sig = np.concatenate(([-1], last_sig[:-1]))
+    after_m = np.where(prev_sig >= 0, is_m[np.clip(prev_sig, 0, None)], False)
+
+    ins_sel = np.flatnonzero((vals == C.I) & (lens64 > svlen_cutoff) & after_m)
+    del_sel = np.flatnonzero((vals == C.D) & (lens64 > svlen_cutoff) & after_m)
+    snp_sel = np.flatnonzero(vals == C.X) if if_snp else np.zeros(0, np.int64)
+
+    events = []  # (run_idx, sub_idx, row)
+    for k in ins_sel.tolist():
+        ln = int(lens64[k])
+        to, qo = int(t_off[k]), int(q_off[k])
+        ts = to - t_start - 1
+        qs = qo - q_start - 1
+        ref = t_seq_ref[ts : ts + 1].decode("ascii").upper()
+        alt = q_seq_ref[qs : qs + ln + 1].decode("ascii").upper()
+        info = f"{init_info}SVTYPE=INS;SVLEN={ln};END={to}"
+        qi = f"1|1:{q_chro}@{qo}@{qo + ln}@{fmt_suffix}"
+        events.append((k, 0, (chro, to, ref, alt, info, "GT:QI", qi)))
+    for k in del_sel.tolist():
+        ln = int(lens64[k])
+        to, qo = int(t_off[k]), int(q_off[k])
+        ts = to - t_start - 1
+        qs = qo - q_start - 1
+        ref = t_seq_ref[ts : ts + ln + 1].decode("ascii").upper()
+        alt = q_seq_ref[qs : qs + 1].decode("ascii").upper()
+        info = f"{init_info}SVTYPE=DEL;SVLEN={ln};END={to + ln}"
+        qi = f"1|1:{q_chro}@{qo}@{qo}@{fmt_suffix}"
+        events.append((k, 0, (chro, to, ref, alt, info, "GT:QI", qi)))
+    for k in snp_sel.tolist():
+        ln = int(lens64[k])
+        to, qo = int(t_off[k]), int(q_off[k])
+        for i in range(ln):
+            ts = to + i - t_start
+            qs = qo + i - q_start
+            ref = t_seq_ref[ts : ts + 1].decode("ascii").upper()
+            alt = q_seq_ref[qs : qs + 1].decode("ascii").upper()
+            qi = f"1|1:{q_chro}@{qo + i}@{fmt_suffix}"
+            events.append((k, i, (chro, to + i + 1, ref, alt, None, "GT:QI", qi)))
+
+    events.sort(key=lambda e: (e[0], e[1]))
+    out.extend(row for _, _, row in events)
+    return out
+
+
+def call_var_maf(
+    mafreader,
+    mafindex,
+    writer,
+    if_snp: bool,
+    if_inv: bool,
+    svlen_cutoff: int,
+    sample=None,
+    query_name=None,
+    query_regex=None,
+    chunk_size=None,
+):
+    """MAF variant calling with SV-safe chunking
+    (reference: caller.rs:42-157)."""
+    vcf = VcfWriter(writer, sample or "sample")
+    contigs = None
+    if mafindex:
+        contigs = [
+            (name, item["size"])
+            for name, item in mafindex.items()
+            if item["isref"]
+        ]
+    vcf.write_header(contigs)
+
+    base_chunk_size = chunk_size or DEFAULT_CHUNK_SIZE
+    for record in mafreader.records():
+        if len(record.slines) == 1:
+            continue
+        if query_name is not None:
+            if record.get_query_idx_byname(query_name) is None:
+                continue
+            record.set_query_idx_byname(query_name)
+        elif query_regex is not None:
+            try:
+                record.set_query_idx_by_regex(query_regex)
+            except Exception:
+                continue
+        else:
+            record.query_idx = 1
+
+        view = _ChunkView(record)
+        total = len(record.target_seq)
+        chunk_start = 0
+        while chunk_start < total:
+            safe_end, next_start = find_safe_chunk_boundary(
+                view.t_arr, view.q_arr, chunk_start, base_chunk_size,
+                svlen_cutoff, total,
+            )
+            chunk_rec = view.chunk(chunk_start, safe_end)
+            for row in call_within_var(chunk_rec, if_snp, svlen_cutoff, if_inv):
+                vcf.write_record(*_row_args(row))
+            chunk_start = next_start
+    writer.flush()
+
+
+def _row_args(row):
+    chrom, pos, ref, alt, info, fmt, sample_value = row
+    return chrom, pos, ref, alt, info, fmt, sample_value
+
+
+def call_var_paf(
+    pafreader,
+    t_fa_path: str,
+    q_fa_path: str,
+    writer,
+    if_snp: bool,
+    svlen_cutoff: int,
+    sample=None,
+):
+    """PAF variant calling driven by CIGAR ops with REF/ALT from FASTA
+    (reference: caller.rs:268-302, 610-822).
+
+    Note the reference fetches the query sequence on the + strand even for
+    negative-strand records -- reproduced.
+    """
+    from ..io.fasta import FastaReader
+
+    vcf = VcfWriter(writer, sample or "sample")
+    vcf.write_header(None)
+    t_reader = FastaReader(t_fa_path)
+    q_reader = FastaReader(q_fa_path)
+
+    for rec in pafreader.records():
+        t_seq = t_reader.fetch(rec.target_name, rec.target_start, rec.target_end)
+        q_seq = q_reader.fetch(rec.query_name, rec.query_start, rec.query_end)
+        negative = rec.is_negative
+        fmt_suffix = "N" if negative else "P"
+        init_info = "INV_NEST=TRUE;" if negative else ""
+        if negative:
+            info = f"SVTYPE=INV;END={rec.target_end}"
+            qi = (
+                f"1|1:{rec.query_name}@{rec.query_start}@{rec.query_end}"
+                f"@{fmt_suffix}"
+            )
+            vcf.write_record(
+                rec.target_name,
+                rec.target_start + 1,
+                t_seq[0:1].decode("ascii").upper(),
+                "<INV>",
+                info,
+                "GT:QI",
+                qi,
+            )
+
+        ops, lens = rec.get_cigar_ops()
+        t_pos, q_pos = rec.target_start, rec.query_start
+        after_m = False
+        for op, ln in zip(ops.tolist(), lens.tolist()):
+            ch = chr(op)
+            if ch in ("M", "="):
+                t_pos += ln
+                q_pos += ln
+                after_m = True
+            elif ch == "X":
+                if if_snp:
+                    for i in range(ln):
+                        ts = t_pos - rec.target_start
+                        qs = q_pos - rec.query_start
+                        ref = t_seq[ts : ts + 1].decode("ascii").upper()
+                        alt = q_seq[qs : qs + 1].decode("ascii").upper()
+                        qi = f"1|1:{rec.query_name}@{q_pos}@{fmt_suffix}"
+                        vcf.write_record(
+                            rec.target_name, t_pos + 1, ref, alt, None,
+                            "GT:QI", qi,
+                        )
+                        t_pos += 1
+                        q_pos += 1
+                else:
+                    t_pos += ln
+                    q_pos += ln
+                after_m = True
+            elif ch == "I":
+                if ln > svlen_cutoff and after_m:
+                    ts = t_pos - rec.target_start - 1
+                    qs = q_pos - rec.query_start - 1
+                    ref = t_seq[ts : ts + 1].decode("ascii").upper()
+                    alt = q_seq[qs : qs + ln + 1].decode("ascii").upper()
+                    info = f"{init_info}SVTYPE=INS;SVLEN={ln};END={t_pos}"
+                    qi = f"1|1:{rec.query_name}@{q_pos}@{q_pos + ln}@{fmt_suffix}"
+                    vcf.write_record(
+                        rec.target_name, t_pos, ref, alt, info, "GT:QI", qi
+                    )
+                q_pos += ln
+                after_m = False
+            elif ch == "D":
+                if ln > svlen_cutoff and after_m:
+                    ts = t_pos - rec.target_start - 1
+                    qs = q_pos - rec.query_start - 1
+                    ref = t_seq[ts : ts + ln + 1].decode("ascii").upper()
+                    alt = q_seq[qs : qs + 1].decode("ascii").upper()
+                    info = f"{init_info}SVTYPE=DEL;SVLEN={ln};END={t_pos + ln}"
+                    qi = f"1|1:{rec.query_name}@{q_pos}@{q_pos}@{fmt_suffix}"
+                    vcf.write_record(
+                        rec.target_name, t_pos, ref, alt, info, "GT:QI", qi
+                    )
+                t_pos += ln
+                after_m = False
+            else:
+                from ..errors import CigarOpInvalid
+
+                raise CigarOpInvalid(ch)
+    writer.flush()

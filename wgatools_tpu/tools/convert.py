@@ -1,0 +1,196 @@
+"""Format converters (reference: src/converter.rs).
+
+Each direction streams records through the columnar CIGAR engine; the
+classify/RLE work runs on packed uint8 arrays (and on the device for batch
+paths, see wgatools_tpu.ops) instead of the reference's per-char Rust loops.
+"""
+
+import numpy as np
+
+from ..core import cigar as C
+from ..core.strand import Strand
+from ..errors import WGAError
+from ..io.chain import (
+    ChainReader,
+    chain_header_from_record,
+    write_chain_record,
+)
+from ..io.fasta import FastaReader
+from ..io.maf import MafReader, MafRecord, MafSLine, MafWriter
+from ..io.paf import PafReader, PafWriter
+
+
+def maf2paf(mafreader: MafReader, writer, query_name=None):
+    """MAF -> PAF (reference: converter.rs:29-54)."""
+    paf_writer = PafWriter(writer)
+    for record in mafreader.records():
+        paf_writer.write_record(record.convert2paf(query_name))
+    writer.flush()
+
+
+def _maf_ext_runs(record: MafRecord):
+    t = C.seq_bytes(record.target_seq)
+    q = C.seq_bytes(record.query_seq)
+    cat = C.classify_ext(t, q)
+    return C.rle(cat)
+
+
+_EXT2OP = np.zeros(5, dtype=np.uint8)
+_EXT2OP[C.EQ] = C.OP_EQ
+_EXT2OP[C.X] = C.OP_X
+_EXT2OP[C.I] = C.OP_I
+_EXT2OP[C.D] = C.OP_D
+
+
+def _merge_m_runs(vals: np.ndarray, lens: np.ndarray):
+    """Derive cigar_cat (M-mode) runs from ext runs: EQ and X merge to M."""
+    m_vals = np.where(vals == C.X, C.EQ, vals)
+    if m_vals.size == 0:
+        return m_vals, lens
+    boundaries = np.flatnonzero(m_vals[1:] != m_vals[:-1])
+    starts = np.concatenate(([0], boundaries + 1))
+    merged_lens = np.add.reduceat(lens, starts)
+    return m_vals[starts], merged_lens
+
+
+def maf2chain(mafreader: MafReader, writer, query_name=None):
+    """MAF -> chain (reference: converter.rs:57-92): header via the ext-mode
+    trim rule, data lines via M-merged runs, auto-increment chain ids."""
+    for chain_id, record in enumerate(mafreader.records()):
+        if query_name is not None:
+            record.set_query_idx_byname(query_name)
+        vals, lens = _maf_ext_runs(record)
+        trims = C.trims_from_ops(_EXT2OP[vals], lens)
+        header = chain_header_from_record(record, *trims)
+        header.chain_id = chain_id
+        m_vals, m_lens = _merge_m_runs(vals, lens)
+        lines, final_size = C.chain_lines_from_cat_runs(m_vals, m_lens)
+        write_chain_record(writer, header, lines, final_size)
+    writer.flush()
+
+
+def paf2chain(pafreader: PafReader, writer):
+    """PAF -> chain (reference: converter.rs:148-173)."""
+    for chain_id, record in enumerate(pafreader.records()):
+        ops, lens = record.get_cigar_ops()
+        trims = C.trims_from_ops(ops, lens)
+        header = chain_header_from_record(record, *trims)
+        header.chain_id = chain_id
+        lines, final_size = C.chain_lines_from_ops(ops, lens)
+        write_chain_record(writer, header, lines, final_size)
+    writer.flush()
+
+
+def chain2paf(chainreader: ChainReader, writer):
+    """chain -> PAF (reference: converter.rs:391-416)."""
+    paf_writer = PafWriter(writer)
+    for record in chainreader.records():
+        paf_writer.write_record(record.convert2paf())
+    writer.flush()
+
+
+def _seq_record_to_maf(
+    rec, score, t_reader: FastaReader, q_reader: FastaReader, gap_insert
+):
+    """Shared paf2maf / chain2maf body (reference: converter.rs:176-357)."""
+    t_name = rec.target_name
+    t_start = rec.target_start
+    t_size = rec.target_length
+    t_alilen = rec.target_end - t_start
+    q_name = rec.query_name
+    q_strand = rec.query_strand
+    q_size = rec.query_length
+    q_alilen = rec.query_end - rec.query_start
+    # negative strand: MAF start is counted from the reverse end
+    if q_strand == Strand.NEGATIVE:
+        q_start_field = q_size - rec.query_end
+    else:
+        q_start_field = rec.query_start
+
+    whole_t = t_reader.fetch(t_name, t_start, rec.target_end - 1)
+    whole_q = q_reader.fetch(q_name, rec.query_start, rec.query_end - 1)
+    if q_strand == Strand.NEGATIVE:
+        whole_q = C.reverse_complement(whole_q)
+    t_gapped, q_gapped = gap_insert(whole_t, whole_q)
+
+    t_sline = MafSLine(
+        mode="s",
+        name=t_name,
+        start=t_start,
+        align_size=t_alilen,
+        strand=rec.target_strand,
+        size=t_size,
+        seq=t_gapped,
+    )
+    q_sline = MafSLine(
+        mode="s",
+        name=q_name,
+        start=q_start_field,
+        align_size=q_alilen,
+        strand=q_strand,
+        size=q_size,
+        seq=q_gapped,
+    )
+    return MafRecord(score=score, slines=[t_sline, q_sline], query_idx=1)
+
+
+def paf2maf(pafreader: PafReader, writer, t_fa_path: str, q_fa_path: str):
+    """PAF -> MAF with sequences from indexed FASTA
+    (reference: converter.rs:176-265)."""
+    t_reader = FastaReader(t_fa_path)
+    q_reader = FastaReader(q_fa_path)
+    maf_writer = MafWriter(writer)
+    maf_writer.write_header(
+        f"#maf version=1.6 convert_from=paf t_seq_path={t_fa_path} "
+        f"q_seq_path={q_fa_path}"
+    )
+    for rec in pafreader.records():
+        ops, lens = rec.get_cigar_ops()
+
+        def gap_insert(t_raw, q_raw, _ops=ops, _lens=lens):
+            return C.insert_gaps_by_ops(_ops, _lens, t_raw, q_raw)
+
+        maf_writer.write_record(
+            _seq_record_to_maf(rec, rec.mapq, t_reader, q_reader, gap_insert)
+        )
+    writer.flush()
+
+
+def chain2maf(chainreader: ChainReader, writer, t_fa_path: str, q_fa_path: str):
+    """chain -> MAF (reference: converter.rs:268-357)."""
+    t_reader = FastaReader(t_fa_path)
+    q_reader = FastaReader(q_fa_path)
+    maf_writer = MafWriter(writer)
+    maf_writer.write_header(
+        f"#maf version=1.6 convert_from=chain t_seq_path={t_fa_path} "
+        f"q_seq_path={q_fa_path}"
+    )
+    for rec in chainreader.records():
+        if not rec.lines:
+            raise WGAError("chain record has no data lines")
+
+        def gap_insert(t_raw, q_raw, _lines=rec.lines):
+            # every parsed line carries its own (size, dq, dt); the bare
+            # final size line parses as (size, 0, 0), so no tail remains
+            return C.insert_gaps_by_chain(_lines, 0, t_raw, q_raw)
+
+        maf_writer.write_record(
+            _seq_record_to_maf(rec, 255, t_reader, q_reader, gap_insert)
+        )
+    writer.flush()
+
+
+def maf2sam(mafreader: MafReader, writer):
+    """DEV stub, surface parity only: the reference writes a hard-coded
+    noodles example header and one unmapped record, ignoring the input
+    (reference: converter.rs:94-125)."""
+    writer.write(
+        b"@HD\tVN:1.6\tSO:unsorted\n"
+        b"@SQ\tSN:sq0\tLN:8\n"
+        b"@SQ\tSN:sq1\tLN:13\n"
+        b"@SQ\tSN:sq2\tLN:21\n"
+        b"@PG\tID:noodles-sam\n"
+        b"@CO\tan example SAM written by noodles-sam\n"
+        b"sq2\t4\t*\t0\t255\t*\t*\t0\t0\t*\t*\n"
+    )
+    writer.flush()

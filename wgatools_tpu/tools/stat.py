@@ -1,0 +1,236 @@
+"""Alignment statistics (reference: src/tools/stat.rs).
+
+Per-record RecStats come from the columnar CIGAR engine (device batch path:
+wgatools_tpu.ops.batch_stats); aggregation merges records keyed by
+(ref_name, ref_size, query_name, query_size) exactly like the reference,
+then natural-sorts rows by ref_name.
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.cigar import RecStat
+from ..core.fmt import fmt_f32
+from ..core.natsort import natural_key
+
+STAT_COLUMNS = (
+    "ref_name",
+    "ref_size",
+    "ref_start",
+    "query_name",
+    "query_size",
+    "query_start",
+    "aligned_size",
+    "unaligned_size",
+    "identity",
+    "similarity",
+    "matched",
+    "mismatched",
+    "ins_event",
+    "del_event",
+    "ins_size",
+    "del_size",
+    "inv_event",
+    "inv_size",
+    "inv_ins_event",
+    "inv_ins_size",
+    "inv_del_event",
+    "inv_del_size",
+)
+
+
+@dataclass
+class PairStat:
+    """One record's stat keyed by its sequence pair (stat.rs:52-58)."""
+
+    ref_name: str
+    ref_size: int
+    query_name: str
+    query_size: int
+    ref_start: int
+    query_start: int
+    rec_stat: RecStat
+
+
+@dataclass
+class Statistic:
+    ref_name: str = ""
+    ref_size: int = 0
+    ref_start: int = 0
+    query_name: str = ""
+    query_size: int = 0
+    query_start: int = 0
+    aligned_size: int = 0
+    unaligned_size: int = 0
+    identity: float = 0.0
+    similarity: float = 0.0
+    matched: int = 0
+    mismatched: int = 0
+    ins_event: int = 0
+    del_event: int = 0
+    ins_size: int = 0
+    del_size: int = 0
+    inv_event: int = 0
+    inv_size: float = 0.0
+    inv_ins_event: int = 0
+    inv_ins_size: int = 0
+    inv_del_event: int = 0
+    inv_del_size: int = 0
+
+    def to_row(self) -> str:
+        return "\t".join(
+            (
+                self.ref_name,
+                str(self.ref_size),
+                str(self.ref_start),
+                self.query_name,
+                str(self.query_size),
+                str(self.query_start),
+                str(self.aligned_size),
+                str(self.unaligned_size),
+                fmt_f32(self.identity),
+                fmt_f32(self.similarity),
+                str(self.matched),
+                str(self.mismatched),
+                str(self.ins_event),
+                str(self.del_event),
+                str(self.ins_size),
+                str(self.del_size),
+                str(self.inv_event),
+                fmt_f32(self.inv_size),
+                str(self.inv_ins_event),
+                str(self.inv_ins_size),
+                str(self.inv_del_event),
+                str(self.inv_del_size),
+            )
+        )
+
+
+def _stat_from_rec(rec) -> PairStat:
+    """stat_rec (reference: stat.rs:226-250)."""
+    return PairStat(
+        ref_name=rec.target_name,
+        ref_size=rec.target_length,
+        query_name=rec.query_name,
+        query_size=rec.query_length,
+        ref_start=rec.target_start,
+        query_start=rec.query_start,
+        rec_stat=rec.get_stat(),
+    )
+
+
+def _copy_fields(stat: Statistic, rs: RecStat):
+    stat.aligned_size = rs.aligned_size
+    stat.matched = rs.matched
+    stat.mismatched = rs.mismatched
+    stat.ins_event = rs.ins_event
+    stat.del_event = rs.del_event
+    stat.ins_size = rs.ins_size
+    stat.del_size = rs.del_size
+    stat.inv_ins_event = rs.inv_ins_event
+    stat.inv_ins_size = rs.inv_ins_size
+    stat.inv_del_event = rs.inv_del_event
+    stat.inv_del_size = rs.inv_del_size
+    stat.inv_event = rs.inv_event
+    stat.inv_size = rs.inv_size
+
+
+def split_final(pair_stats) -> list:
+    """--each mode: one row per record (reference: stat.rs:129-164).
+    Note the reference leaves unaligned_size at 0 here."""
+    out = []
+    for ps in pair_stats:
+        stat = Statistic(
+            ref_name=ps.ref_name,
+            ref_size=ps.ref_size,
+            ref_start=ps.ref_start,
+            query_name=ps.query_name,
+            query_size=ps.query_size,
+            query_start=ps.query_start,
+        )
+        _copy_fields(stat, ps.rec_stat)
+        stat.identity = float(
+            np.float32(stat.matched) / np.float32(stat.aligned_size)
+        )
+        stat.similarity = float(
+            np.float32(stat.matched + stat.mismatched)
+            / np.float32(stat.aligned_size)
+        )
+        out.append(stat)
+    return out
+
+
+def merge_final(pair_stats) -> list:
+    """Default mode: aggregate by pair key with min-start tracking
+    (reference: stat.rs:167-223)."""
+    grouped = {}
+    for ps in pair_stats:
+        key = (ps.ref_name, ps.ref_size, ps.query_name, ps.query_size)
+        grouped.setdefault(key, []).append(ps)
+    out = []
+    for (ref_name, ref_size, query_name, query_size), group in grouped.items():
+        stat = Statistic(
+            ref_name=ref_name,
+            ref_size=ref_size,
+            ref_start=ref_size,  # init to max, min-tracked below
+            query_name=query_name,
+            query_size=query_size,
+            query_start=query_size,
+        )
+        for ps in group:
+            rs = ps.rec_stat
+            stat.aligned_size += rs.aligned_size
+            stat.matched += rs.matched
+            stat.mismatched += rs.mismatched
+            stat.ins_event += rs.ins_event
+            stat.del_event += rs.del_event
+            stat.ins_size += rs.ins_size
+            stat.del_size += rs.del_size
+            stat.inv_ins_event += rs.inv_ins_event
+            stat.inv_ins_size += rs.inv_ins_size
+            stat.inv_del_event += rs.inv_del_event
+            stat.inv_del_size += rs.inv_del_size
+            stat.inv_event += rs.inv_event
+            stat.inv_size = float(
+                np.float32(stat.inv_size) + np.float32(rs.inv_size)
+            )
+            if ps.ref_start < stat.ref_start:
+                stat.ref_start = ps.ref_start
+            if ps.query_start < stat.query_start:
+                stat.query_start = ps.query_start
+        stat.unaligned_size = stat.ref_size - stat.aligned_size
+        stat.identity = float(
+            np.float32(stat.matched) / np.float32(stat.aligned_size)
+        )
+        stat.similarity = float(
+            np.float32(stat.matched + stat.mismatched)
+            / np.float32(stat.aligned_size)
+        )
+        out.append(stat)
+    return out
+
+
+def write_style_result(pair_stats, writer, each: bool):
+    final = split_final(pair_stats) if each else merge_final(pair_stats)
+    final.sort(key=lambda s: natural_key(s.ref_name))
+    writer.write(("\t".join(STAT_COLUMNS) + "\n").encode("ascii"))
+    for stat in final:
+        writer.write((stat.to_row() + "\n").encode("ascii"))
+    writer.flush()
+
+
+def stat_maf(reader, writer, each: bool = False, query_name=None):
+    """MAF statistics (reference: stat.rs:61-84)."""
+    pair_stats = []
+    for rec in reader.records():
+        if query_name is not None:
+            rec.set_query_idx_byname(query_name)
+        pair_stats.append(_stat_from_rec(rec))
+    write_style_result(pair_stats, writer, each)
+
+
+def stat_paf(reader, writer, each: bool = False):
+    """PAF statistics (reference: stat.rs:87-105)."""
+    pair_stats = [_stat_from_rec(rec) for rec in reader.records()]
+    write_style_result(pair_stats, writer, each)
