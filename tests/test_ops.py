@@ -1,0 +1,163 @@
+"""Device kernel tests: jnp / Pallas-interpret vs the host numpy engine,
+plus shard_map pipelines on the virtual 8-device CPU mesh."""
+
+import random
+
+import numpy as np
+import pytest
+
+from wgatools_tpu.core import cigar as C
+from wgatools_tpu.ops.classify import (
+    classify_stat_jnp,
+    classify_stat_pallas,
+    pack_pairs,
+    STAT_MATCHED,
+    STAT_RUNS,
+)
+from wgatools_tpu.ops.segments import cigar_batch_stats, pack_cigar_batch
+from wgatools_tpu.ops.coverage import diff_to_coverage, scatter_spans
+
+
+def _random_pairs(n_pairs, max_len, seed):
+    rng = random.Random(seed)
+    pairs = []
+    for _ in range(n_pairs):
+        n = rng.randint(1, max_len)
+        t = "".join(rng.choice("ACGTacgt-N") for _ in range(n))
+        q = "".join(rng.choice("ACGTacgt-N") for _ in range(n))
+        pairs.append((t.encode(), q.encode()))
+    return pairs
+
+
+def _host_expected(pairs):
+    rows = []
+    for t, q in pairs:
+        ta, qa = C.seq_bytes(t), C.seq_bytes(q)
+        cat = C.classify_ext(ta, qa)
+        vals, lens = C.rle(cat)
+        cg = C.cigar_from_runs(vals, lens, False)
+        gapgap = int(((ta == C.GAP) & (qa == C.GAP)).sum())
+        rows.append(
+            [
+                cg.match_count,
+                cg.mismatch_count,
+                cg.ins_count,
+                cg.del_count,
+                cg.ins_event,
+                cg.del_event,
+                gapgap,
+                len(vals),
+            ]
+        )
+    return np.array(rows, dtype=np.int32)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_classify_stat_jnp_vs_host(seed):
+    pairs = _random_pairs(7, 900, seed)
+    t, q, lens = pack_pairs(pairs)
+    got = np.array(classify_stat_jnp(t, q, lens))
+    np.testing.assert_array_equal(got, _host_expected(pairs))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_classify_stat_pallas_vs_host(seed):
+    pairs = _random_pairs(5, 700, seed)
+    t, q, lens = pack_pairs(pairs, align=256)
+    got = np.array(
+        classify_stat_pallas(t, q, lens, tile_b=2, tile_l=256, interpret=True)
+    )
+    np.testing.assert_array_equal(got, _host_expected(pairs))
+
+
+def test_pallas_tile_boundary_runs():
+    """A run spanning an L-tile boundary must count as one event."""
+    t = b"A" * 100 + b"-" * 120 + b"A" * 100
+    q = b"A" * 320
+    pairs = [(t, q)]
+    tb, qb, lens = pack_pairs(pairs, align=128)
+    got = np.array(
+        classify_stat_pallas(tb, qb, lens, tile_b=1, tile_l=128, interpret=True)
+    )
+    np.testing.assert_array_equal(got, _host_expected(pairs))
+    assert got[0][4] == 1  # single I event despite crossing tiles
+
+
+def test_cigar_batch_stats():
+    cigars = ["25M10I15M20D30M20I30M10D70M", "10M10D10M10I20M", "5=3X2I1D"]
+    op_arrays, len_arrays = [], []
+    for cg in cigars:
+        ops, lens = C.tokenize_cigar(cg)
+        op_arrays.append(ops)
+        len_arrays.append(lens)
+    ops, lens, row_ids = pack_cigar_batch(op_arrays, len_arrays)
+    got = np.array(cigar_batch_stats(ops, lens, row_ids, len(cigars)))
+    # matched, mismatched, ins, del, ins_ev, del_ev
+    np.testing.assert_array_equal(
+        got,
+        [
+            [170, 0, 30, 30, 2, 2],
+            [40, 0, 10, 10, 1, 1],
+            [5, 3, 2, 1, 1, 1],
+        ],
+    )
+
+
+def test_coverage_scatter():
+    import jax.numpy as jnp
+
+    diff = jnp.zeros(11, dtype=jnp.int32)
+    starts = jnp.array([0, 5, 5, 8])
+    ends = jnp.array([3, 10, 7, 12])
+    diff = scatter_spans(diff, starts, ends)
+    cov = np.array(diff_to_coverage(diff))
+    expect = np.zeros(10, dtype=np.int32)
+    for s, e in [(0, 3), (5, 10), (5, 7), (8, 12)]:
+        expect[s : min(e, 10)] += 1
+    np.testing.assert_array_equal(cov, expect)
+
+
+class TestMesh:
+    def test_eight_devices(self):
+        import jax
+
+        assert len(jax.devices()) == 8
+
+    def test_sharded_column_stats(self):
+        from wgatools_tpu.parallel.mesh import make_mesh, sharded_column_stats
+
+        pairs = _random_pairs(16, 500, 42)
+        t, q, lens = pack_pairs(pairs)
+        mesh = make_mesh(8)
+        got = np.array(sharded_column_stats(mesh, t, q, lens))
+        np.testing.assert_array_equal(got, _host_expected(pairs))
+
+    def test_sharded_pair_reduce(self):
+        import jax.numpy as jnp
+
+        from wgatools_tpu.parallel.mesh import make_mesh, sharded_pair_reduce
+
+        mesh = make_mesh(8)
+        stats = np.arange(16 * 8, dtype=np.int32).reshape(16, 8)
+        pair_ids = np.array([i % 4 for i in range(16)], dtype=np.int32)
+        got = np.array(sharded_pair_reduce(mesh, stats, pair_ids, 4))
+        expect = np.zeros((4, 8), dtype=np.int64)
+        for i in range(16):
+            expect[i % 4] += stats[i]
+        np.testing.assert_array_equal(got, expect)
+
+    def test_sharded_coverage(self):
+        from wgatools_tpu.parallel.mesh import make_mesh, sharded_coverage
+
+        mesh = make_mesh(8)
+        # 16 spans sharded 2-per-device; negative start = padding slot
+        starts = np.array([0, 1, 2, 3, 4, 5, 6, 7, 0, 2, 4, 6, -1, -1, -1, -1],
+                          dtype=np.int32)
+        ends = starts + 3
+        got = np.array(sharded_coverage(mesh, starts, ends, 12))
+        expect = np.zeros(12, dtype=np.int32)
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if s < 0:
+                continue
+            expect[s : min(e, 12)] += 1
+        np.testing.assert_array_equal(got, expect)

@@ -1,0 +1,113 @@
+"""Multi-chip orchestration: record-axis data parallelism with collective
+merges.
+
+The reference's only parallel runtime is single-process rayon map-reduce
+(reference: src/main.rs:30-32, rayon par_bridge/try_fold/try_reduce at 14
+sites -- SURVEY.md §2.12).  The TPU equivalent is first-class here:
+
+  * record batches shard over a 1-D device mesh axis "records"
+    (the rayon-worker analog);
+  * associative merges (stat vector sums, coverage element sums, validation
+    counters) become `psum` over the mesh -- exactly the shapes the
+    reference's try_reduce merges have (stat.rs:78-81, pafcov.rs:42-53,
+    validate.rs:57-65);
+  * the genome axis shards via interval chunking (SURVEY.md §5) with
+    per-shard difference arrays psum-merged.
+
+Multi-host extends the same mesh over ICI+DCN via jax.distributed (the mesh
+axis simply spans all hosts' devices); nothing below changes.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.classify import classify_stat_jnp, N_STATS
+
+RECORDS_AXIS = "records"
+
+
+def make_mesh(n_devices=None):
+    """1-D mesh over the first n devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (RECORDS_AXIS,))
+
+
+def sharded_column_stats(mesh: Mesh, t, q, lengths):
+    """Column stats with the batch sharded over the record axis.
+
+    Pure data parallelism: each device reduces its record shard; output
+    stays record-sharded ([B, 8], no cross-device traffic).
+    """
+    spec = P(RECORDS_AXIS, None)
+    fn = shard_map(
+        classify_stat_jnp,
+        mesh=mesh,
+        in_specs=(spec, spec, P(RECORDS_AXIS)),
+        out_specs=spec,
+    )
+    return fn(t, q, lengths)
+
+
+def sharded_pair_reduce(mesh: Mesh, stats, pair_ids, num_pairs: int):
+    """Merge record stats into per-pair aggregates across the mesh.
+
+    The distributed analog of stat.rs's try_reduce: local segment-sum by
+    pair id, then psum over the record axis so every device holds the full
+    [num_pairs, 8] table.
+    """
+
+    def local(stats_shard, ids_shard):
+        seg = jax.ops.segment_sum(
+            stats_shard.astype(jnp.int32), ids_shard, num_segments=num_pairs
+        )
+        return jax.lax.psum(seg, RECORDS_AXIS)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(RECORDS_AXIS, None), P(RECORDS_AXIS)),
+        out_specs=P(),
+    )
+    return fn(stats, pair_ids)
+
+
+def sharded_coverage(mesh: Mesh, starts, ends, genome_len: int):
+    """Coverage scatter-add with record spans sharded over the mesh and the
+    merged difference array psum'd (pafcov.rs:42-53's elementwise vector sum
+    as a collective)."""
+    n = genome_len
+
+    def local(starts_shard, ends_shard):
+        diff = jnp.zeros(n + 1, dtype=jnp.int32)
+        s = jnp.clip(starts_shard, 0, n)
+        e = jnp.clip(ends_shard, 0, n)
+        diff = diff.at[s].add(jnp.where(starts_shard < 0, 0, 1))
+        diff = diff.at[e].add(jnp.where(starts_shard < 0, 0, -1))
+        diff = jax.lax.psum(diff, RECORDS_AXIS)
+        return jnp.cumsum(diff[:-1])
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(RECORDS_AXIS), P(RECORDS_AXIS)),
+        out_specs=P(),
+    )
+    return fn(starts, ends)
+
+
+def pad_to_multiple(arr, multiple, axis=0, fill=0):
+    """Pad an array along axis to a multiple (for even sharding)."""
+    n = arr.shape[axis]
+    target = ((n + multiple - 1) // multiple) * multiple
+    if target == n:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, target - n)
+    return np.pad(arr, widths, constant_values=fill)
