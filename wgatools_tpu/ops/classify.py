@@ -15,8 +15,10 @@ Two implementations with identical numerics:
   * classify_stat_jnp    -- pure jnp, XLA-fused; used as reference and for
                             CPU fallbacks.
   * classify_stat_pallas -- Pallas TPU kernel, tiled over (B, L) with VMEM
-                            blocks and cross-tile run-boundary handling via
-                            a precomputed boundary-column side input.
+                            blocks; padding + tile-boundary effects are
+                            corrected exactly outside the kernel (Mosaic
+                            constraints: no sub-32-bit compares, no
+                            broadcast i1 relayouts -- see _classify).
 
 Categories use the ext table (cigar_cat_ext, cigar.rs:298-308):
 '=' when bytes are equal (including gap/gap), I/D for one-sided gaps, X
@@ -54,26 +56,50 @@ _NO_CAT = 255
 
 
 def _classify(t, q):
-    """ext-mode category codes from byte tensors."""
-    eq = t == q
-    ti = t == GAP
-    qi = q == GAP
+    """ext-mode category codes from byte tensors.
+
+    Byte equality is computed as xor-then-widen-then-compare-to-zero:
+    Mosaic (v5e) rejects direct sub-32-bit comparisons ("Target does not
+    support this comparison") but lowers u8 xor + zero-extend + i32
+    compare fine; XLA fuses either form identically on the jnp path."""
+    eq = (t ^ q).astype(jnp.int32) == 0
+    ti = (t ^ jnp.uint8(GAP)).astype(jnp.int32) == 0
+    qi = (q ^ jnp.uint8(GAP)).astype(jnp.int32) == 0
     return jnp.where(eq, EQ, jnp.where(ti, I, jnp.where(qi, D, X))).astype(
         jnp.uint8
     )
 
 
-def _stats_from_cat(cat, prev_cat, mask):
-    """Per-record counter reduction over one (tile of a) category array."""
-    m = mask
+def _gapgap(t, q):
+    ti = (t ^ jnp.uint8(GAP)).astype(jnp.int32) == 0
+    qi = (q ^ jnp.uint8(GAP)).astype(jnp.int32) == 0
+    return ti & qi
+
+
+def _stats_from_cat(cat, prev_cat, gapgap_mask, mask=None):
+    """Per-record counter reduction over one (tile of a) category array.
+
+    mask=None means all columns are valid (the Pallas kernel path: masking
+    is replaced by padding + exact corrections because Mosaic's layout
+    engine rejects broadcast i1 relayouts)."""
     i32 = jnp.int32
-    is_eq = (cat == EQ) & m
-    is_x = (cat == X) & m
-    is_i = (cat == I) & m
-    is_d = (cat == D) & m
-    run_start = (cat != prev_cat) & m
+    is_eq = cat == EQ
+    is_x = cat == X
+    is_i = cat == I
+    is_d = cat == D
+    run_start = cat != prev_cat
     i_start = is_i & (prev_cat != I)
     d_start = is_d & (prev_cat != D)
+    gg = gapgap_mask
+    if mask is not None:
+        is_eq = is_eq & mask
+        is_x = is_x & mask
+        is_i = is_i & mask
+        is_d = is_d & mask
+        run_start = run_start & mask
+        i_start = i_start & mask
+        d_start = d_start & mask
+        gg = gg & mask
     return jnp.stack(
         [
             jnp.sum(is_eq, axis=1, dtype=i32),
@@ -82,7 +108,7 @@ def _stats_from_cat(cat, prev_cat, mask):
             jnp.sum(is_d, axis=1, dtype=i32),
             jnp.sum(i_start, axis=1, dtype=i32),
             jnp.sum(d_start, axis=1, dtype=i32),
-            jnp.zeros(cat.shape[0], dtype=i32),  # gapgap, filled by caller
+            jnp.sum(gg, axis=1, dtype=i32),
             jnp.sum(run_start, axis=1, dtype=i32),
         ],
         axis=1,
@@ -103,35 +129,27 @@ def classify_stat_jnp(t, q, lengths):
         [jnp.full((B, 1), _NO_CAT, dtype=jnp.int32), cat[:, :-1].astype(jnp.int32)],
         axis=1,
     )
-    stats = _stats_from_cat(cat, prev_cat, mask)
-    gapgap = jnp.sum((t == GAP) & (q == GAP) & mask, axis=1, dtype=jnp.int32)
-    return stats.at[:, STAT_GAPGAP].set(gapgap)
+    return _stats_from_cat(cat, prev_cat, _gapgap(t, q), mask)
 
 
-def _kernel(t_ref, q_ref, prev_t_ref, prev_q_ref, len_ref, out_ref):
-    """Pallas kernel body: one (TB, TL) tile; accumulates into [TB, 8]."""
+def _kernel(t_ref, q_ref, out_ref):
+    """Pallas kernel body: one (TB, TL) tile; accumulates into [TB, 8].
+
+    The kernel is completely unmasked and tile-local: every comparison is
+    elementwise on same-shape byte tiles (no broadcasts, which Mosaic's
+    layout engine rejects for i1 vectors).  The caller guarantees padding
+    bytes are '-'/'-' (classifying as '=') and applies exact padding and
+    tile-boundary corrections outside (see classify_stat_pallas)."""
     j = pl.program_id(1)
-    tl = t_ref.shape[1]
 
     t = t_ref[:]
     q = q_ref[:]
     tb = t.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (tb, tl), 1) + j * tl
-    mask = col < len_ref[:]
     cat = _classify(t, q).astype(jnp.int32)
-
-    # previous-column categories: shift within the tile; column 0 of the
-    # tile uses the precomputed boundary column (or the sentinel for j==0)
-    pt = prev_t_ref[:, 0][:, None]
-    pq = prev_q_ref[:, 0][:, None]
-    boundary_cat = jnp.where(
-        j == 0, _NO_CAT, _classify(pt, pq).astype(jnp.int32)
+    prev_cat = jnp.concatenate(
+        [jnp.full((tb, 1), _NO_CAT, jnp.int32), cat[:, :-1]], axis=1
     )
-    prev_cat = jnp.concatenate([boundary_cat, cat[:, :-1]], axis=1)
-
-    stats = _stats_from_cat(cat, prev_cat, mask)
-    gapgap = jnp.sum((t == GAP) & (q == GAP) & mask, axis=1, dtype=jnp.int32)
-    stats = stats.at[:, STAT_GAPGAP].set(gapgap)
+    stats = _stats_from_cat(cat, prev_cat, _gapgap(t, q))
 
     @pl.when(j == 0)
     def _():
@@ -142,19 +160,18 @@ def _kernel(t_ref, q_ref, prev_t_ref, prev_q_ref, len_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "tile_l", "interpret"))
 def classify_stat_pallas(t, q, lengths, tile_b=8, tile_l=32768, interpret=False):
-    """Pallas TPU kernel.  t, q: uint8 [B, L] (L a multiple of tile_l or it
-    is padded by the caller); lengths: int32 [B]."""
+    """Pallas TPU kernel.  t, q: uint8 [B, L]; lengths: int32 [B].
+
+    CONTRACT: padding bytes (columns >= lengths[b]) must be '-' in both t
+    and q (pack_pairs guarantees this).  Padding columns classify as '='
+    and form at most one trailing run; their contribution is subtracted
+    exactly below, so the result equals the masked jnp implementation.
+    """
     B, L = t.shape
     tile_b = min(tile_b, B)
     tile_l = min(tile_l, L)
     nb = pl.cdiv(B, tile_b)
     nl = pl.cdiv(L, tile_l)
-
-    # boundary columns: bytes at the last column of each preceding tile,
-    # i.e. prev_t[:, j] = t[:, j*tile_l - 1] (j=0 slot unused)
-    idx = jnp.maximum(jnp.arange(nl) * tile_l - 1, 0)
-    prev_t = t[:, idx]
-    prev_q = q[:, idx]
 
     grid = (nb, nl)
     out = pl.pallas_call(
@@ -167,16 +184,7 @@ def classify_stat_pallas(t, q, lengths, tile_b=8, tile_l=32768, interpret=False)
             pl.BlockSpec(
                 (tile_b, tile_l), lambda i, j: (i, j), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (tile_b, 1), lambda i, j: (i, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (tile_b, 1), lambda i, j: (i, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
-            ),
-            ],
+        ],
         out_specs=pl.BlockSpec(
             (tile_b, N_STATS), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -186,8 +194,45 @@ def classify_stat_pallas(t, q, lengths, tile_b=8, tile_l=32768, interpret=False)
             flops=12 * B * L, bytes_accessed=2 * B * L + 4 * B * N_STATS,
             transcendentals=0,
         ),
-    )(t, q, prev_t, prev_q, lengths[:, None].astype(jnp.int32))
-    return out
+    )(t, q)
+
+    corr = jnp.zeros((B, N_STATS), dtype=jnp.int32)
+    if nl > 1:
+        # cross-tile run-boundary corrections: a run continuing across a
+        # tile edge was double-counted as a start inside the kernel.  The
+        # boundary columns are a [B, nl-1] strided gather -- O(B * nl)
+        # work vs the kernel's O(B * L).
+        edge = jnp.arange(1, nl) * tile_l
+        last_cat = _classify(t[:, edge - 1], q[:, edge - 1]).astype(jnp.int32)
+        first_cat = _classify(t[:, edge], q[:, edge]).astype(jnp.int32)
+        cont = last_cat == first_cat
+        corr = corr.at[:, STAT_RUNS].add(
+            jnp.sum(cont, axis=1, dtype=jnp.int32)
+        )
+        corr = corr.at[:, STAT_INS_EVENT].add(
+            jnp.sum(cont & (first_cat == I), axis=1, dtype=jnp.int32)
+        )
+        corr = corr.at[:, STAT_DEL_EVENT].add(
+            jnp.sum(cont & (first_cat == D), axis=1, dtype=jnp.int32)
+        )
+
+    # padding corrections: columns >= len are '-'/'-' => '=' and gap/gap
+    pad = (L - lengths).astype(jnp.int32)
+    corr = corr.at[:, STAT_MATCHED].add(pad)
+    corr = corr.at[:, STAT_GAPGAP].add(pad)
+    # the padding run is one extra run unless it merged with a trailing
+    # real '=' run (or the row has no padding)
+    last_idx = jnp.maximum(lengths - 1, 0)
+    last_real_cat = _classify(
+        jnp.take_along_axis(t, last_idx[:, None], axis=1),
+        jnp.take_along_axis(q, last_idx[:, None], axis=1),
+    )[:, 0].astype(jnp.int32)
+    has_pad = lengths < L
+    merged = (lengths > 0) & (last_real_cat == EQ)
+    corr = corr.at[:, STAT_RUNS].add(
+        jnp.where(has_pad & ~merged, 1, 0).astype(jnp.int32)
+    )
+    return out - corr
 
 
 def _default_interpret() -> bool:
@@ -209,16 +254,15 @@ def column_stats(t, q, lengths, use_pallas=None):
 def pack_pairs(pairs, align=128):
     """Pack a list of (t_bytes, q_bytes) into padded [B, L] uint8 arrays.
 
-    Padding bytes are 0 for target and 1 for query so padded columns
-    classify as X (harmless: they are masked out anyway, but never
-    accidentally equal).
-    Returns (t, q, lengths) numpy arrays.
+    Padding bytes are '-' in BOTH rows so padded columns classify as '='
+    and gap/gap -- the contract classify_stat_pallas's padding corrections
+    rely on.  Returns (t, q, lengths) numpy arrays.
     """
     B = len(pairs)
     L = max((len(t) for t, _ in pairs), default=0)
     L = max(((L + align - 1) // align) * align, align)
-    t_arr = np.zeros((B, L), dtype=np.uint8)
-    q_arr = np.ones((B, L), dtype=np.uint8)
+    t_arr = np.full((B, L), GAP, dtype=np.uint8)
+    q_arr = np.full((B, L), GAP, dtype=np.uint8)
     lengths = np.zeros(B, dtype=np.int32)
     for k, (t, q) in enumerate(pairs):
         n = len(t)

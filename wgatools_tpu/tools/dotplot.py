@@ -1,7 +1,348 @@
-"""Dotplot rendering (reference: src/tools/dotplot.rs). Full impl in M4."""
+"""Dotplot rendering: vega-lite HTML/JSON/CSV (reference: src/tools/dotplot.rs).
 
-from ..errors import NotImplementedFeature
+Overview mode: one segment per record colored by identity
+(dotplot.rs:384-423).  BaseLevel mode: per-CIGAR-op segments with indels
+below the cutoff merged into neighboring match segments
+(emit_baseplotdatas, reference: src/parser/cigar.rs:807-985).
+"""
+
+import copy
+import json
+
+import numpy as np
+
+from ..core import cigar as C
+from ..core.strand import Strand
+from ..errors import WGAError
+from ..io.maf import MafReader
+from ..io.paf import PafReader
+
+# vega-lite v5 spec skeleton (reference: dotplot.rs:41-150)
+DOTPLOT_SPEC = {
+    "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+    "height": 800,
+    "width": 800,
+    "data": {"values": []},
+    "params": [
+        {"name": "zoom", "select": "interval", "bind": "scales"},
+        {
+            "name": "cigartype",
+            "select": {"type": "point", "fields": ["cigar"]},
+            "bind": "legend",
+        },
+    ],
+    "mark": {"type": "rule", "tooltip": True, "strokeCap": "round"},
+    "transform": [
+        {
+            "calculate": "datum.ref_chro+':'+toString(datum.ref_start)+'-'+toString(datum.ref_end)",
+            "as": "ref",
+        },
+        {
+            "calculate": "datum.query_chro+':'+toString(datum.query_start)+'-'+toString(datum.query_end)",
+            "as": "query",
+        },
+        {"calculate": "abs(datum.ref_end-datum.ref_start)", "as": "ref_len"},
+        {
+            "calculate": "abs(datum.query_end-datum.query_start)",
+            "as": "query_len",
+        },
+        {
+            "as": "cigar",
+            "calculate": "datum.cigar == 'M' && datum.query_start > datum.query_end ? 'M_R' : datum.cigar",
+        },
+    ],
+    "encoding": {
+        "x": {"field": "ref_start", "type": "quantitative", "title": None},
+        "y": {"field": "query_start", "type": "quantitative", "title": None},
+        "x2": {"field": "ref_end"},
+        "y2": {"field": "query_end"},
+        "color": {
+            "field": "identity",
+            "type": "quantitative",
+            "scale": {"scheme": "blues"},
+            "legend": {
+                "labelFontSize": 20,
+                "symbolSize": 10,
+                "symbolStrokeWidth": 10,
+                "symbolType": "square",
+            },
+        },
+        "tooltip": [
+            {"field": "ref", "type": "nominal"},
+            {"field": "query", "type": "nominal"},
+            {"field": "identity", "type": "nominal"},
+            {"field": "ref_len", "type": "quantitative"},
+            {"field": "query_len", "type": "quantitative"},
+        ],
+        "column": {"field": "ref_chro", "title": None},
+        "row": {
+            "field": "query_chro",
+            "header": {"labelAngle": 0},
+            "sort": "descending",
+            "title": None,
+        },
+        "opacity": {
+            "condition": {"param": "cigartype", "value": 1},
+            "value": 0.2,
+        },
+        "strokeWidth": {
+            "condition": {"param": "cigartype", "value": 5},
+            "value": 2,
+        },
+    },
+    "resolve": {"scale": {"x": "independent", "y": "independent"}},
+}
+
+HTML_TEMPLATE = """<head>
+    <script src="https://cdn.jsdelivr.net/npm/vega@5"></script>
+    <script src="https://cdn.jsdelivr.net/npm/vega-lite@5"></script>
+    <script src="https://cdn.jsdelivr.net/npm/vega-embed@6"></script>
+</head>
+
+<body>
+    <div id="view" style="display: flex; justify-content: space-evenly;"></div>
+    <script>
+        const spec = {vl_json};
+        vegaEmbed(
+            '#view',
+            spec
+        );
+    </script>
+</body>
+"""
+
+ALL_FIELDS = (
+    "ref_start",
+    "ref_end",
+    "query_start",
+    "query_end",
+    "identity",
+    "ref_chro",
+    "query_chro",
+)
+BASE_FIELDS = (
+    "ref_start",
+    "ref_end",
+    "query_start",
+    "query_end",
+    "cigar",
+    "ref_chro",
+    "query_chro",
+)
 
 
-def dotplot(*args, **kwargs):
-    raise NotImplementedFeature()
+def parse_color_config(color_str: str):
+    """Parse "M:#FF0000,I:#00FF00" (reference: dotplot.rs:19-39)."""
+    color_map = {}
+    for pair in color_str.split(","):
+        parts = pair.split(":")
+        if len(parts) != 2:
+            raise WGAError(
+                f"Invalid color format: {pair}. Expected format: M:#FF0000"
+            )
+        if not parts[1].startswith("#") or len(parts[1]) != 7:
+            raise WGAError(
+                f"Invalid hex color code: {parts[1]}. Expected format: #RRGGBB"
+            )
+        color_map[parts[0]] = parts[1]
+    return color_map
+
+
+def base_plotdata_from_runs(op_runs, rec, skip_cutoff: int):
+    """Segment emission with short-indel merging
+    (emit_baseplotdatas, reference: cigar.rs:815-952).
+
+    op_runs: iterable of (op_char, length).  Negative-strand records swap
+    query start/end at segment creation.
+    """
+    negative = rec.query_strand == Strand.NEGATIVE
+    ref_chro = rec.target_name
+    query_chro = rec.query_name
+    ref_off = rec.target_start
+    q_off = rec.query_start
+    out = []
+    last_m = False
+
+    def push(rs, re_, qs, qe, cigar):
+        if negative:
+            qs, qe = qe, qs
+        out.append(
+            {
+                "ref_start": rs,
+                "ref_end": re_,
+                "query_start": qs,
+                "query_end": qe,
+                "cigar": cigar,
+                "ref_chro": ref_chro,
+                "query_chro": query_chro,
+            }
+        )
+
+    for op, length in op_runs:
+        if op in ("M", "=", "X"):
+            ref_end = ref_off + length
+            q_end = q_off + length
+            if not last_m:
+                push(ref_off, ref_end, q_off, q_end, "M")
+            else:
+                seg = out[-1]
+                if negative:
+                    seg["ref_end"] = ref_end
+                    seg["query_start"] = q_end
+                else:
+                    seg["ref_end"] = ref_end
+                    seg["query_end"] = q_end
+            ref_off += length
+            q_off += length
+            last_m = True
+        elif op == "I":
+            q_end = q_off + length
+            if length > skip_cutoff:
+                push(ref_off, ref_off, q_off, q_end, "I")
+                last_m = False
+            elif last_m:
+                seg = out[-1]
+                if negative:
+                    seg["query_start"] = q_end
+                else:
+                    seg["query_end"] = q_end
+            q_off += length
+        elif op == "D":
+            ref_end = ref_off + length
+            if length > skip_cutoff:
+                push(ref_off, ref_end, q_off, q_off, "D")
+                last_m = False
+            elif last_m:
+                out[-1]["ref_end"] = ref_end
+            ref_off += length
+    return out
+
+
+def _overview_row(rec, no_identity: bool):
+    """reference: dotplot.rs:384-423."""
+    query_start, query_end = rec.query_start, rec.query_end
+    if rec.query_strand == Strand.NEGATIVE:
+        query_start, query_end = query_end, query_start
+    if no_identity:
+        identity = 1.0
+    else:
+        identity = float(rec.get_stat().matched) / float(rec.target_align_size)
+    return {
+        "ref_start": rec.target_start,
+        "ref_end": rec.target_end,
+        "query_start": query_start,
+        "query_end": query_end,
+        "identity": identity,
+        "ref_chro": rec.target_name,
+        "query_chro": rec.query_name,
+    }
+
+
+def _maf_runs(rec):
+    cat = C.classify_ext(
+        C.seq_bytes(rec.target_seq), C.seq_bytes(rec.query_seq)
+    )
+    vals, lens = C.rle(cat)
+    chars = "=XID"
+    return [(chars[v], int(n)) for v, n in zip(vals.tolist(), lens.tolist())]
+
+
+def _paf_runs(rec):
+    ops, lens = rec.get_cigar_ops()
+    return [(chr(o), int(n)) for o, n in zip(ops.tolist(), lens.tolist())]
+
+
+def _fmt_value(v):
+    return v
+
+
+def _render(data, writer, out_format, spec, fields):
+    if out_format == "json":
+        spec = copy.deepcopy(spec)
+        spec["data"]["values"] = data
+        writer.write(
+            (json.dumps(spec, sort_keys=True, separators=(",", ":")) + "\n").encode()
+        )
+    elif out_format == "html":
+        spec = copy.deepcopy(spec)
+        spec["data"]["values"] = data
+        vl_json = json.dumps(spec, sort_keys=True, separators=(",", ":"))
+        writer.write(HTML_TEMPLATE.format(vl_json=vl_json).encode() + b"\n")
+    else:  # csv
+        lines = [",".join(fields)]
+        for row in data:
+            lines.append(
+                ",".join(_csv_cell(row[f]) for f in fields)
+            )
+        writer.write(("\n".join(lines) + "\n").encode())
+    writer.flush()
+
+
+def _csv_cell(v):
+    if isinstance(v, float):
+        return repr(v)
+    s = str(v)
+    if any(c in s for c in ",\"\n"):
+        s = '"' + s.replace('"', '""') + '"'
+    return s
+
+
+def dotplot(
+    input_path,
+    writer,
+    format="maf",
+    out_format="html",
+    mode="base-level",
+    no_identity=False,
+    skip_cutoff=50,
+    query_name=None,
+    color=None,
+):
+    """reference: dotplot.rs:192-261."""
+    from ..io.compression import open_input
+
+    spec = copy.deepcopy(DOTPLOT_SPEC)
+    reader_stream = open_input(input_path)
+
+    if mode == "overview":
+        rows = []
+        if format == "maf":
+            for rec in MafReader(reader_stream).records():
+                if query_name is not None:
+                    rec.set_query_idx_byname(query_name)
+                rows.append(_overview_row(rec, no_identity))
+        elif format == "paf":
+            for rec in PafReader(reader_stream).records():
+                rows.append(_overview_row(rec, no_identity))
+        else:
+            raise WGAError("Only support MAF and PAF format")
+        _render(rows, writer, out_format, spec, ALL_FIELDS)
+    else:
+        rows = []
+        if format == "maf":
+            for rec in MafReader(reader_stream).records():
+                if query_name is not None:
+                    rec.set_query_idx_byname(query_name)
+                rows.extend(
+                    base_plotdata_from_runs(_maf_runs(rec), rec, skip_cutoff)
+                )
+        elif format == "paf":
+            for rec in PafReader(reader_stream).records():
+                rows.extend(
+                    base_plotdata_from_runs(_paf_runs(rec), rec, skip_cutoff)
+                )
+        else:
+            raise WGAError("Only support MAF and PAF format")
+
+        # BaseLevel spec tweaks (dotplot.rs:240-255)
+        spec["encoding"]["x"].setdefault("scale", {})["zero"] = False
+        spec["encoding"]["y"].setdefault("scale", {})["zero"] = False
+        spec["encoding"]["color"]["scale"]["scheme"] = "category10"
+        spec["encoding"]["color"]["field"] = "cigar"
+        spec["encoding"]["color"]["type"] = "nominal"
+        spec["encoding"]["tooltip"][2]["field"] = "cigar"
+        if color is not None:
+            color_map = parse_color_config(color)
+            spec["encoding"]["color"]["scale"]["domain"] = list(color_map.keys())
+            spec["encoding"]["color"]["scale"]["range"] = list(color_map.values())
+        _render(rows, writer, out_format, spec, BASE_FIELDS)
