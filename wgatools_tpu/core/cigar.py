@@ -160,6 +160,11 @@ def runs_to_cigar_string(vals: np.ndarray, lens: np.ndarray) -> str:
     """Format RLE runs as a CIGAR string using the category chars."""
     if len(vals) == 0:
         return ""
+    from .. import native
+
+    s = native.format_runs(vals, np.asarray(lens, dtype=np.int64), b"=XIDW")
+    if s is not None:
+        return s
     chars = CAT_CHARS[vals]
     parts = []
     append = parts.append
@@ -207,6 +212,26 @@ def cigar_from_runs(
     return c
 
 
+def ext_runs(t_seq: np.ndarray, q_seq: np.ndarray):
+    """Classify + RLE in ext mode; native C++ path when available."""
+    from .. import native
+
+    res = native.classify_and_rle(t_seq, q_seq, caller=False)
+    if res is not None:
+        return res
+    return rle(classify_ext(t_seq, q_seq))
+
+
+def caller_runs(t_seq: np.ndarray, q_seq: np.ndarray):
+    """Classify + RLE in caller mode (gap/gap -> W)."""
+    from .. import native
+
+    res = native.classify_and_rle(t_seq, q_seq, caller=True)
+    if res is not None:
+        return res
+    return rle(classify_caller(t_seq, q_seq))
+
+
 def cigar_from_seqs(
     t_seq: np.ndarray,
     q_seq: np.ndarray,
@@ -216,8 +241,7 @@ def cigar_from_seqs(
     h_end: int = 0,
 ) -> Cigar:
     """parse_maf_seq_to_cigar over byte arrays (reference: cigar.rs:344-432)."""
-    cat = classify_ext(t_seq, q_seq)
-    vals, lens = rle(cat)
+    vals, lens = ext_runs(t_seq, q_seq)
     return cigar_from_runs(vals, lens, negative, with_h, h_begin, h_end)
 
 
@@ -239,6 +263,18 @@ def tokenize_cigar(cigar: str):
     """
     if not cigar:
         return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    from .. import native
+
+    if native.available():
+        raw = cigar.encode("ascii") if isinstance(cigar, str) else cigar
+        try:
+            return native.tokenize_cigar(raw)
+        except ValueError as e:
+            pos = e.args[0]
+            frag = raw[pos : pos + 2].decode("ascii", "replace")
+            if pos < len(raw) and not raw[pos : pos + 1].isdigit():
+                raise CigarOpInvalid(frag) from None
+            raise ParseIntError(frag) from None
     b = seq_bytes(cigar)
     isdig = _DIGIT_MASK[b]
     # op positions: non-digit bytes
@@ -506,8 +542,14 @@ def reverse_complement(seq: bytes) -> bytes:
     """Reverse complement with the reference's strict base alphabet
     (reference: src/utils.rs:83-101)."""
     from ..errors import InvalidBase
+    from .. import native
 
     arr = seq_bytes(seq)
+    if native.available():
+        try:
+            return native.reverse_complement(arr)
+        except ValueError as e:
+            raise InvalidBase(chr(arr[e.args[0]])) from None
     if not np.all(_VALID_RC[arr]):
         bad = arr[~_VALID_RC[arr]][0]
         raise InvalidBase(chr(bad))

@@ -1,0 +1,155 @@
+"""ctypes loader for the native host kernels.
+
+Compiles wganative.cpp with g++ on first use (cached as libwganative.so
+next to the source); every entry point has a numpy fallback in
+wgatools_tpu.core.cigar, so a missing toolchain only costs speed.
+"""
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "wganative.cpp")
+_LIB = os.path.join(_HERE, "libwganative.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_i64 = ctypes.c_int64
+_u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+_charp = ctypes.c_char_p
+
+
+def _build():
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        _SRC,
+        "-o",
+        _LIB,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def load():
+    """Return the loaded library or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_LIB) or os.path.getmtime(
+                _LIB
+            ) < os.path.getmtime(_SRC):
+                _build()
+            lib = ctypes.CDLL(_LIB)
+        except Exception as e:  # missing toolchain, sandboxed fs, ...
+            log.debug("native library unavailable: %s", e)
+            return None
+        lib.classify_ext.argtypes = [_u8p, _u8p, _i64, _u8p]
+        lib.classify_caller.argtypes = [_u8p, _u8p, _i64, _u8p]
+        lib.rle_encode.argtypes = [_u8p, _i64, _u8p, _i64p]
+        lib.rle_encode.restype = _i64
+        lib.tokenize_cigar.argtypes = [_charp, _i64, _u8p, _i64p]
+        lib.tokenize_cigar.restype = _i64
+        lib.format_runs.argtypes = [_u8p, _i64p, _i64, _charp, _charp, _i64]
+        lib.format_runs.restype = _i64
+        lib.reverse_complement.argtypes = [_u8p, _i64, _u8p]
+        lib.reverse_complement.restype = _i64
+        lib.count_non_gap.argtypes = [_u8p, _i64]
+        lib.count_non_gap.restype = _i64
+        lib.coverage_diff.argtypes = [_i64p, _i64p, _i64, _i64p, _i64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+def classify_and_rle(t: np.ndarray, q: np.ndarray, caller: bool = False):
+    """Fused classify + RLE; returns (vals uint8, lens int64) or None when
+    the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = t.shape[0]
+    cat = np.empty(n, dtype=np.uint8)
+    t = np.ascontiguousarray(t)
+    q = np.ascontiguousarray(q)
+    if caller:
+        lib.classify_caller(t, q, n, cat)
+    else:
+        lib.classify_ext(t, q, n, cat)
+    vals = np.empty(n if n else 1, dtype=np.uint8)
+    lens = np.empty(n if n else 1, dtype=np.int64)
+    n_runs = lib.rle_encode(cat, n, vals, lens)
+    return vals[:n_runs], lens[:n_runs]
+
+
+def tokenize_cigar(cigar: bytes):
+    """Returns (ops uint8, lens int64) or None; raises ValueError with the
+    error byte offset for malformed strings."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(cigar)
+    cap = max(n // 2 + 1, 1)
+    ops = np.empty(cap, dtype=np.uint8)
+    lens = np.empty(cap, dtype=np.int64)
+    res = lib.tokenize_cigar(cigar, n, ops, lens)
+    if res < 0:
+        raise ValueError(-res - 1)
+    return ops[: int(res)], lens[: int(res)]
+
+
+def format_runs(vals: np.ndarray, lens: np.ndarray, chars: bytes):
+    lib = load()
+    if lib is None:
+        return None
+    n_runs = len(vals)
+    cap = 24 * max(n_runs, 1)
+    out = ctypes.create_string_buffer(cap)
+    w = lib.format_runs(
+        np.ascontiguousarray(vals, dtype=np.uint8),
+        np.ascontiguousarray(lens, dtype=np.int64),
+        n_runs,
+        chars,
+        out,
+        cap,
+    )
+    if w < 0:
+        return None
+    return out.raw[: int(w)].decode("ascii")
+
+
+def reverse_complement(seq: np.ndarray):
+    """Returns revcomp bytes or raises ValueError(bad_index)."""
+    lib = load()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    out = np.empty_like(seq)
+    res = lib.reverse_complement(seq, seq.shape[0], out)
+    if res != 0:
+        raise ValueError(int(res) - 1)
+    return out.tobytes()

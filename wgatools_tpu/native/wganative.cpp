@@ -1,0 +1,155 @@
+// Native host kernels for wgatools-tpu.
+//
+// The reference relies on Rust + nom + htslib for its byte-level hot paths
+// (reference: src/parser/cigar.rs:59-75 tokenizer, src/utils.rs:83-101
+// reverse complement, per-char classify loops).  These C++ equivalents are
+// compiled with -O3 and autovectorize; they feed the packed arrays that the
+// device kernels consume.  Loaded via ctypes (no pybind11 in this image).
+//
+// Build: g++ -O3 -march=native -shared -fPIC wganative.cpp -o libwganative.so
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ext-mode column classification (cigar_cat_ext, reference cigar.rs:298-308)
+// cat codes: 0 '=', 1 'X', 2 'I', 3 'D'
+void classify_ext(const uint8_t* t, const uint8_t* q, int64_t n,
+                  uint8_t* cat) {
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t a = t[i], b = q[i];
+        uint8_t c = (a == b) ? 0 : ((a == '-') ? 2 : ((b == '-') ? 3 : 1));
+        cat[i] = c;
+    }
+}
+
+// caller-mode classification (gap/gap -> 4 'W'; reference cigar.rs:314-328)
+void classify_caller(const uint8_t* t, const uint8_t* q, int64_t n,
+                     uint8_t* cat) {
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t a = t[i], b = q[i];
+        uint8_t c;
+        if (a == '-')
+            c = (b == '-') ? 4 : 2;
+        else if (b == '-')
+            c = 3;
+        else
+            c = (a == b) ? 0 : 1;
+        cat[i] = c;
+    }
+}
+
+// run-length encode; returns run count.  vals/lens must hold n entries.
+int64_t rle_encode(const uint8_t* cat, int64_t n, uint8_t* vals,
+                   int64_t* lens) {
+    if (n == 0) return 0;
+    int64_t runs = 0;
+    uint8_t cur = cat[0];
+    int64_t len = 1;
+    for (int64_t i = 1; i < n; ++i) {
+        if (cat[i] == cur) {
+            ++len;
+        } else {
+            vals[runs] = cur;
+            lens[runs] = len;
+            ++runs;
+            cur = cat[i];
+            len = 1;
+        }
+    }
+    vals[runs] = cur;
+    lens[runs] = len;
+    return runs + 1;
+}
+
+// CIGAR string tokenizer (nom tokenizer analog, reference cigar.rs:59-75).
+// Returns op count, or -(pos+1) on malformed input at byte pos.
+int64_t tokenize_cigar(const char* s, int64_t n, uint8_t* ops,
+                       int64_t* lens) {
+    int64_t count = 0;
+    int64_t i = 0;
+    while (i < n) {
+        int64_t start = i;
+        int64_t v = 0;
+        while (i < n && s[i] >= '0' && s[i] <= '9') {
+            v = v * 10 + (s[i] - '0');
+            ++i;
+        }
+        if (i == start) return -(i + 1);  // no digits before op
+        if (i >= n) return -(i + 1);      // digits with no op
+        ops[count] = (uint8_t)s[i];
+        lens[count] = v;
+        ++count;
+        ++i;
+    }
+    return count;
+}
+
+// format runs back into a CIGAR string; returns bytes written or -1 if the
+// buffer (cap) is too small.  chars maps cat code -> op char.
+int64_t format_runs(const uint8_t* vals, const int64_t* lens, int64_t n_runs,
+                    const char* chars, char* out, int64_t cap) {
+    int64_t w = 0;
+    char tmp[24];
+    for (int64_t k = 0; k < n_runs; ++k) {
+        int64_t v = lens[k];
+        int64_t tl = 0;
+        if (v == 0) {
+            tmp[tl++] = '0';
+        } else {
+            while (v > 0) {
+                tmp[tl++] = (char)('0' + (v % 10));
+                v /= 10;
+            }
+        }
+        if (w + tl + 1 > cap) return -1;
+        for (int64_t d = tl - 1; d >= 0; --d) out[w++] = tmp[d];
+        out[w++] = chars[vals[k]];
+    }
+    return w;
+}
+
+// strict reverse complement (reference utils.rs:83-101).
+// Returns 0 on success, or (index+1) of the first invalid base.
+int64_t reverse_complement(const uint8_t* in, int64_t n, uint8_t* out) {
+    static uint8_t table[256];
+    static bool init = false;
+    if (!init) {
+        memset(table, 0, sizeof(table));
+        table['A'] = 'T'; table['C'] = 'G'; table['G'] = 'C';
+        table['T'] = 'A'; table['N'] = 'N';
+        table['a'] = 't'; table['c'] = 'g'; table['g'] = 'c';
+        table['t'] = 'a'; table['n'] = 'n';
+        init = true;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t c = table[in[n - 1 - i]];
+        if (c == 0) return (n - 1 - i) + 1;
+        out[i] = c;
+    }
+    return 0;
+}
+
+int64_t count_non_gap(const uint8_t* s, int64_t n) {
+    int64_t c = 0;
+    for (int64_t i = 0; i < n; ++i) c += (s[i] != '-');
+    return c;
+}
+
+// per-base coverage increments over M/'=' spans into an int64 difference
+// array (reference pafcov update_cov_vec, cigar.rs:710-741)
+void coverage_diff(const int64_t* starts, const int64_t* ends,
+                   int64_t n_spans, int64_t* diff, int64_t genome_len) {
+    for (int64_t k = 0; k < n_spans; ++k) {
+        int64_t s = starts[k], e = ends[k];
+        if (s < 0) s = 0;
+        if (s > genome_len) s = genome_len;
+        if (e < 0) e = 0;
+        if (e > genome_len) e = genome_len;
+        if (s < genome_len) diff[s] += 1;
+        if (e < genome_len) diff[e] -= 1;
+    }
+}
+
+}  // extern "C"

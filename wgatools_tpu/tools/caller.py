@@ -132,8 +132,7 @@ def call_within_var(mafrec: MafRecord, if_snp: bool, svlen_cutoff: int, if_inv: 
     if negative and len(t_seq_ref) > 0 and if_inv:
         _emit_inv_record(out, mafrec, t_seq_ref, fmt_suffix)
 
-    cat = C.classify_caller(t_arr, q_arr)
-    vals, lens = C.rle(cat)
+    vals, lens = C.caller_runs(t_arr, q_arr)
     nruns = vals.shape[0]
     if nruns == 0:
         return out

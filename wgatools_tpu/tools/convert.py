@@ -29,10 +29,9 @@ def maf2paf(mafreader: MafReader, writer, query_name=None):
 
 
 def _maf_ext_runs(record: MafRecord):
-    t = C.seq_bytes(record.target_seq)
-    q = C.seq_bytes(record.query_seq)
-    cat = C.classify_ext(t, q)
-    return C.rle(cat)
+    return C.ext_runs(
+        C.seq_bytes(record.target_seq), C.seq_bytes(record.query_seq)
+    )
 
 
 _EXT2OP = np.zeros(5, dtype=np.uint8)

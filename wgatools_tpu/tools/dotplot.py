@@ -239,10 +239,9 @@ def _overview_row(rec, no_identity: bool):
 
 
 def _maf_runs(rec):
-    cat = C.classify_ext(
+    vals, lens = C.ext_runs(
         C.seq_bytes(rec.target_seq), C.seq_bytes(rec.query_seq)
     )
-    vals, lens = C.rle(cat)
     chars = "=XID"
     return [(chars[v], int(n)) for v, n in zip(vals.tolist(), lens.tolist())]
 
