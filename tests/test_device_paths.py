@@ -1,0 +1,47 @@
+"""Device-path vs host-path parity for the tool pipelines."""
+
+import io
+
+import pytest
+
+from conftest import fixture_path
+
+from wgatools_tpu.io.maf import MafReader
+from wgatools_tpu.tools.stat import stat_maf
+
+
+@pytest.mark.parametrize("each", [False, True])
+def test_stat_maf_device_parity(each):
+    host = io.BytesIO()
+    stat_maf(
+        MafReader.from_path(fixture_path("test.maf")), host, each, device=False
+    )
+    dev = io.BytesIO()
+    stat_maf(
+        MafReader.from_path(fixture_path("test.maf")), dev, each, device=True
+    )
+    assert host.getvalue() == dev.getvalue()
+
+
+def test_batch_rec_stats_multi_flush():
+    """Batching across flush boundaries preserves order and values."""
+    import random
+
+    from wgatools_tpu.core.cigar import cigar_from_seqs, rec_stat_from_cigar, seq_bytes
+    from wgatools_tpu.ops.batch import batch_rec_stats
+
+    rng = random.Random(7)
+    pairs = []
+    negatives = []
+    for _ in range(9):
+        n = rng.randint(50, 4000)
+        t = "".join(rng.choice("ACGT-") for _ in range(n)).encode()
+        q = "".join(rng.choice("ACGT-") for _ in range(n)).encode()
+        pairs.append((t, q))
+        negatives.append(rng.random() < 0.5)
+    got = batch_rec_stats(pairs, negatives, batch_columns=8192)
+    for (t, q), neg, rs in zip(pairs, negatives, got):
+        want = rec_stat_from_cigar(
+            cigar_from_seqs(seq_bytes(t), seq_bytes(q), neg)
+        )
+        assert rs == want

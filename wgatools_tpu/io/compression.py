@@ -34,9 +34,12 @@ def open_input(path):
     transparent gz/bz2/xz decompression chosen by magic bytes or extension.
     """
     if path is None or path == "-":
-        if sys.stdin.isatty():
-            raise EmptyStdin()
-        return io.BufferedReader(sys.stdin.buffer, BUFFER_SIZE)
+        try:
+            if sys.stdin.isatty():
+                raise EmptyStdin()
+        except AttributeError:
+            pass
+        return sys.stdin.buffer
     if not os.path.exists(path):
         raise FileNotExist(path)
     magic = _sniff(path)
@@ -62,7 +65,12 @@ def open_output(path: str, rewrite: bool):
     """Open an output for binary buffered writing, compressing by extension."""
     check_outfile(path, rewrite)
     if path == "-":
-        return sys.stdout.buffer
+        # wrap in a big buffer: per-row write() syscalls dominate when
+        # emitting millions of VCF/BED lines to a pipe
+        return io.BufferedWriter(
+            os.fdopen(os.dup(sys.stdout.fileno()), "wb", closefd=True),
+            1 << 20,
+        )
     ext = os.path.splitext(path)[1]
     level = 6
     if ext == ".xz":

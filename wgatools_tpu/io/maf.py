@@ -69,7 +69,9 @@ class MafSLine:
         return len(self.seq)
 
 
-def parse_sline(line: str) -> MafSLine:
+def parse_sline(line: bytes) -> MafSLine:
+    """Parse an s-line at the bytes level: the (potentially huge) sequence
+    field is never decoded or copied through str."""
     fields = line.split()
     names = ("mode", "name", "start", "align_size", "strand", "size", "seq")
     if len(fields) < 7:
@@ -79,13 +81,13 @@ def parse_sline(line: str) -> MafSLine:
         raise ParseMafError("Surplus Filed > 7")
     mode, name, start, align_size, strand, size, seq = fields
     return MafSLine(
-        mode=mode[0],
-        name=name,
-        start=_parse_u64(start),
-        align_size=_parse_u64(align_size),
-        strand=Strand.parse(strand),
-        size=_parse_u64(size),
-        seq=seq.encode("ascii"),
+        mode=chr(mode[0]),
+        name=name.decode("ascii"),
+        start=_parse_u64(start.decode("ascii")),
+        align_size=_parse_u64(align_size.decode("ascii")),
+        strand=Strand.parse(strand.decode("ascii")),
+        size=_parse_u64(size.decode("ascii")),
+        seq=seq,
     )
 
 
@@ -330,13 +332,13 @@ class MafReader:
             if line.startswith(b"s"):
                 break
         record = MafRecord(score=255, slines=[], query_idx=1)
-        record.slines.append(parse_sline(line.decode("ascii")))
+        record.slines.append(parse_sline(line))
         while True:
             line = self._readline()
             if not line:
                 break
             if line.startswith(b"s"):
-                record.slines.append(parse_sline(line.decode("ascii")))
+                record.slines.append(parse_sline(line))
             else:
                 # the separating line is consumed, matching the reference
                 break

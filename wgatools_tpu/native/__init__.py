@@ -74,6 +74,16 @@ def load():
         lib.count_non_gap.argtypes = [_u8p, _i64]
         lib.count_non_gap.restype = _i64
         lib.coverage_diff.argtypes = [_i64p, _i64p, _i64, _i64p, _i64]
+        lib.format_bed_lines.argtypes = [
+            ctypes.c_char_p,
+            _i64,
+            _i64,
+            _i64p,
+            _i64,
+            _u8p,
+            _i64,
+        ]
+        lib.format_bed_lines.restype = _i64
         _lib = lib
         return _lib
 
@@ -140,6 +150,22 @@ def format_runs(vals: np.ndarray, lens: np.ndarray, chars: bytes):
     if w < 0:
         return None
     return out.raw[: int(w)].decode("ascii")
+
+
+def format_bed_lines(prefix: bytes, start: int, counts: np.ndarray):
+    """Bulk per-base BED formatting; returns bytes or None."""
+    lib = load()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    n = counts.shape[0]
+    # worst case per line: prefix + 3 tabs + newline + 3x 20-digit ints
+    cap = (len(prefix) + 84) * max(n, 1)
+    out = np.empty(cap, dtype=np.uint8)
+    w = lib.format_bed_lines(prefix, len(prefix), start, counts, n, out, cap)
+    if w < 0:
+        return None
+    return out[: int(w)].tobytes()
 
 
 def reverse_complement(seq: np.ndarray):

@@ -152,4 +152,36 @@ void coverage_diff(const int64_t* starts, const int64_t* ends,
     }
 }
 
+// bulk-format per-base BED lines: "<prefix>\t<pos>\t<pos+1>\t<count>\n"
+// for pos in [start, start+n).  Returns bytes written, or -1 if cap is too
+// small (caller sizes cap generously).
+static inline int64_t write_i64(char* out, int64_t v) {
+    char tmp[24];
+    int64_t tl = 0;
+    if (v < 0) { *out++ = '-'; v = -v; }
+    if (v == 0) tmp[tl++] = '0';
+    while (v > 0) { tmp[tl++] = (char)('0' + (v % 10)); v /= 10; }
+    for (int64_t d = tl - 1; d >= 0; --d) *out++ = tmp[d];
+    return tl;
+}
+
+int64_t format_bed_lines(const char* prefix, int64_t prefix_len,
+                         int64_t start, const int64_t* counts, int64_t n,
+                         char* out, int64_t cap) {
+    int64_t w = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (w + prefix_len + 80 > cap) return -1;
+        memcpy(out + w, prefix, prefix_len);
+        w += prefix_len;
+        out[w++] = '\t';
+        w += write_i64(out + w, start + i);
+        out[w++] = '\t';
+        w += write_i64(out + w, start + i + 1);
+        out[w++] = '\t';
+        w += write_i64(out + w, counts[i]);
+        out[w++] = '\n';
+    }
+    return w;
+}
+
 }  // extern "C"

@@ -1,0 +1,80 @@
+"""Batched device execution of per-record statistics.
+
+Streams MAF records into padded [B, L] column batches, runs the fused
+classify+stat kernel, and converts the counter rows back into RecStats with
+host-side strand routing.  This is the production path on TPU backends (the
+reference's rayon data parallelism becomes device batch parallelism,
+SURVEY.md §2.12); the host numpy engine remains the small-input fallback
+and differential oracle.
+"""
+
+import numpy as np
+
+from ..core.cigar import Cigar, RecStat, rec_stat_from_cigar
+from .classify import (
+    STAT_DEL_EVENT,
+    STAT_DEL_SIZE,
+    STAT_INS_EVENT,
+    STAT_INS_SIZE,
+    STAT_MATCHED,
+    STAT_MISMATCHED,
+    column_stats,
+    pack_pairs,
+)
+
+# batch capacity in columns; batches are flushed when the padded size would
+# exceed this (keeps device buffers ~2x64 MB for uint8 pairs)
+DEFAULT_BATCH_COLUMNS = 64 << 20
+
+
+def stats_row_to_cigar(row, negative: bool) -> Cigar:
+    """Device counter row -> Cigar (without the cigar string)."""
+    c = Cigar()
+    c.match_count = int(row[STAT_MATCHED])
+    c.mismatch_count = int(row[STAT_MISMATCHED])
+    if negative:
+        c.inv_event = 1
+        c.inv_ins_event = int(row[STAT_INS_EVENT])
+        c.inv_ins_count = int(row[STAT_INS_SIZE])
+        c.inv_del_event = int(row[STAT_DEL_EVENT])
+        c.inv_del_count = int(row[STAT_DEL_SIZE])
+    else:
+        c.ins_event = int(row[STAT_INS_EVENT])
+        c.ins_count = int(row[STAT_INS_SIZE])
+        c.del_event = int(row[STAT_DEL_EVENT])
+        c.del_count = int(row[STAT_DEL_SIZE])
+    return c
+
+
+def batch_rec_stats(pairs, negatives, batch_columns=DEFAULT_BATCH_COLUMNS):
+    """Compute RecStats for (t_bytes, q_bytes) pairs on the device.
+
+    pairs: list of byte pairs; negatives: list of bools (strand routing).
+    Returns a list of RecStat in input order.
+    """
+    out = [None] * len(pairs)
+    pending = []  # (original_index, pair)
+
+    def flush():
+        if not pending:
+            return
+        idxs = [i for i, _ in pending]
+        t, q, lens = pack_pairs([p for _, p in pending])
+        rows = np.asarray(column_stats(t, q, lens))
+        for k, i in enumerate(idxs):
+            out[i] = rec_stat_from_cigar(
+                stats_row_to_cigar(rows[k], negatives[i])
+            )
+        pending.clear()
+
+    max_len = 0
+    for i, pair in enumerate(pairs):
+        n = len(pair[0])
+        new_max = max(max_len, n)
+        if pending and new_max * (len(pending) + 1) > batch_columns:
+            flush()
+            new_max = n
+        max_len = new_max
+        pending.append((i, pair))
+    flush()
+    return out

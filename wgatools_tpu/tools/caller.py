@@ -53,40 +53,44 @@ def find_safe_chunk_boundary(t_seq, q_seq, start, chunk_size, svlen_cutoff, tota
 
 class _ChunkView:
     """Chunked record view with re-derived coordinates
-    (reference: create_chunk_record, caller.rs:221-265), computed from
-    precomputed non-gap prefix sums instead of per-chunk char loops."""
+    (reference: create_chunk_record, caller.rs:221-265), computed with
+    running non-gap counters instead of per-chunk full rescans."""
 
     def __init__(self, record: MafRecord):
         self.record = record
         self.t_arr = C.seq_bytes(record.target_seq)
         self.q_arr = C.seq_bytes(record.query_seq)
-        self.t_prefix = np.concatenate(
-            ([0], np.cumsum(self.t_arr != C.GAP))
-        )
-        self.q_prefix = np.concatenate(
-            ([0], np.cumsum(self.q_arr != C.GAP))
-        )
+        # chunks are consumed left-to-right, so running non-gap counters
+        # replace the reference's per-chunk full prefix rescans
+        # (caller.rs:240-245) without changing any derived coordinate
+        self._consumed = 0
+        self._t_nongap = 0
+        self._q_nongap = 0
 
     def chunk(self, start: int, end: int) -> MafRecord:
         rec = self.record
-        t_sline = rec.slines[0]
-        q_sline = rec.slines[rec.query_idx]
+        assert start == self._consumed, "chunks must be sequential"
+        t_cnt = int((self.t_arr[start:end] != C.GAP).sum())
+        q_cnt = int((self.q_arr[start:end] != C.GAP).sum())
         new = MafRecord(score=rec.score, slines=[], query_idx=1)
-        for sline, arr, prefix in (
-            (t_sline, self.t_arr, self.t_prefix),
-            (q_sline, self.q_arr, self.q_prefix),
+        for sline, arr, before, cnt in (
+            (rec.slines[0], self.t_arr, self._t_nongap, t_cnt),
+            (rec.slines[rec.query_idx], self.q_arr, self._q_nongap, q_cnt),
         ):
             new.slines.append(
                 MafSLine(
                     mode=sline.mode,
                     name=sline.name,
-                    start=sline.start + int(prefix[start]),
-                    align_size=int(prefix[end] - prefix[start]),
+                    start=sline.start + before,
+                    align_size=cnt,
                     strand=sline.strand,
                     size=sline.size,
                     seq=arr[start:end].tobytes(),
                 )
             )
+        self._consumed = end
+        self._t_nongap += t_cnt
+        self._q_nongap += q_cnt
         return new
 
 
@@ -124,9 +128,12 @@ def call_within_var(mafrec: MafRecord, if_snp: bool, svlen_cutoff: int, if_inv: 
     fmt_suffix = "N" if negative else "P"
     init_info = "INV_NEST=TRUE;" if negative else ""
 
-    # gap-stripped copies used for REF/ALT slicing (caller.rs:411-415)
+    # gap-stripped, pre-uppercased copies used for REF/ALT slicing
+    # (caller.rs:411-415; noodles uppercases bases on parse)
     t_seq_ref = t_arr[t_arr != C.GAP].tobytes()
     q_seq_ref = q_arr[q_arr != C.GAP].tobytes()
+    t_str = t_seq_ref.decode("ascii").upper()
+    q_str = q_seq_ref.decode("ascii").upper()
 
     out = []
     if negative and len(t_seq_ref) > 0 and if_inv:
@@ -164,8 +171,8 @@ def call_within_var(mafrec: MafRecord, if_snp: bool, svlen_cutoff: int, if_inv: 
         to, qo = int(t_off[k]), int(q_off[k])
         ts = to - t_start - 1
         qs = qo - q_start - 1
-        ref = t_seq_ref[ts : ts + 1].decode("ascii").upper()
-        alt = q_seq_ref[qs : qs + ln + 1].decode("ascii").upper()
+        ref = t_str[ts : ts + 1]
+        alt = q_str[qs : qs + ln + 1]
         info = f"{init_info}SVTYPE=INS;SVLEN={ln};END={to}"
         qi = f"1|1:{q_chro}@{qo}@{qo + ln}@{fmt_suffix}"
         events.append((k, 0, (chro, to, ref, alt, info, "GT:QI", qi)))
@@ -174,21 +181,23 @@ def call_within_var(mafrec: MafRecord, if_snp: bool, svlen_cutoff: int, if_inv: 
         to, qo = int(t_off[k]), int(q_off[k])
         ts = to - t_start - 1
         qs = qo - q_start - 1
-        ref = t_seq_ref[ts : ts + ln + 1].decode("ascii").upper()
-        alt = q_seq_ref[qs : qs + 1].decode("ascii").upper()
+        ref = t_str[ts : ts + ln + 1]
+        alt = q_str[qs : qs + 1]
         info = f"{init_info}SVTYPE=DEL;SVLEN={ln};END={to + ln}"
         qi = f"1|1:{q_chro}@{qo}@{qo}@{fmt_suffix}"
         events.append((k, 0, (chro, to, ref, alt, info, "GT:QI", qi)))
     for k in snp_sel.tolist():
         ln = int(lens64[k])
         to, qo = int(t_off[k]), int(q_off[k])
+        ts0 = to - t_start
+        qs0 = qo - q_start
         for i in range(ln):
-            ts = to + i - t_start
-            qs = qo + i - q_start
-            ref = t_seq_ref[ts : ts + 1].decode("ascii").upper()
-            alt = q_seq_ref[qs : qs + 1].decode("ascii").upper()
             qi = f"1|1:{q_chro}@{qo + i}@{fmt_suffix}"
-            events.append((k, i, (chro, to + i + 1, ref, alt, None, "GT:QI", qi)))
+            events.append(
+                (k, i,
+                 (chro, to + i + 1, t_str[ts0 + i], q_str[qs0 + i], None,
+                  "GT:QI", qi))
+            )
 
     events.sort(key=lambda e: (e[0], e[1]))
     out.extend(row for _, _, row in events)

@@ -46,13 +46,26 @@ def pafcov(reader, writer):
         add_spans(cov[:-1], starts, ends)
     for target, diff in diff_map.items():
         counts = np.cumsum(diff[:-1])
-        n = counts.shape[0]
-        positions = np.arange(n)
-        # bulk-format BED lines
-        prefix = target.encode("ascii")
-        out = bytearray()
-        for pos, cnt in zip(positions.tolist(), counts.tolist()):
-            out += prefix
-            out += b"\t%d\t%d\t%d\n" % (pos, pos + 1, cnt)
-        writer.write(bytes(out))
+        write_per_base_bed(writer, target, counts)
     writer.flush()
+
+
+def write_per_base_bed(writer, target: str, counts: np.ndarray,
+                       chunk: int = 1 << 20):
+    """Bulk-format one BED line per base: `target\\tpos\\tpos+1\\tcount`.
+
+    Per-base output over whole chromosomes is the pafcov output bottleneck;
+    the C++ formatter does ~2 GB/min vs ~2.7 us/line in Python."""
+    from .. import native
+
+    prefix = target.encode("ascii")
+    n = counts.shape[0]
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        block = native.format_bed_lines(prefix, lo, counts[lo:hi])
+        if block is None:
+            buf = bytearray()
+            for p, c in zip(range(lo, hi), counts[lo:hi].tolist()):
+                buf += b"%s\t%d\t%d\t%d\n" % (prefix, p, p + 1, c)
+            block = bytes(buf)
+        writer.write(block)

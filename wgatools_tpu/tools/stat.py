@@ -220,13 +220,67 @@ def write_style_result(pair_stats, writer, each: bool):
     writer.flush()
 
 
-def stat_maf(reader, writer, each: bool = False, query_name=None):
-    """MAF statistics (reference: stat.rs:61-84)."""
-    pair_stats = []
+def _device_requested(device):
+    if device is not None:
+        return device
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def stat_maf(reader, writer, each: bool = False, query_name=None, device=None):
+    """MAF statistics (reference: stat.rs:61-84).
+
+    device=None auto-selects the batched device kernel path on TPU
+    backends; True/False force it.  Both paths produce identical integers
+    (tested) -- the device path batches records through the fused
+    classify+stat kernel instead of per-record host RLE.
+    """
+    if not _device_requested(device):
+        pair_stats = []
+        for rec in reader.records():
+            if query_name is not None:
+                rec.set_query_idx_byname(query_name)
+            pair_stats.append(_stat_from_rec(rec))
+        write_style_result(pair_stats, writer, each)
+        return
+
+    from ..ops.batch import batch_rec_stats
+
+    metas = []
+    pairs = []
+    negatives = []
     for rec in reader.records():
         if query_name is not None:
             rec.set_query_idx_byname(query_name)
-        pair_stats.append(_stat_from_rec(rec))
+        metas.append(
+            (
+                rec.target_name,
+                rec.target_length,
+                rec.query_name,
+                rec.query_length,
+                rec.target_start,
+                rec.query_start,
+            )
+        )
+        pairs.append((rec.target_seq, rec.query_seq))
+        negatives.append(rec.is_negative)
+    rec_stats = batch_rec_stats(pairs, negatives)
+    pair_stats = [
+        PairStat(
+            ref_name=m[0],
+            ref_size=m[1],
+            query_name=m[2],
+            query_size=m[3],
+            ref_start=m[4],
+            query_start=m[5],
+            rec_stat=rs,
+        )
+        for m, rs in zip(metas, rec_stats)
+    ]
     write_style_result(pair_stats, writer, each)
 
 
