@@ -23,6 +23,30 @@ def test_stat_maf_device_parity(each):
     assert host.getvalue() == dev.getvalue()
 
 
+def test_validate_device_parity():
+    from wgatools_tpu.io.paf import PafReader
+    from wgatools_tpu.tools.validate import validate_paf
+
+    src = open(fixture_path("testdotplot.paf"), "rb").read()
+    # corrupt both ends of record 1 to exercise the fix path
+    lines = src.splitlines()
+    f = lines[0].split(b"\t")
+    f[3] = b"7"
+    f[8] = b"9"
+    src = b"\n".join([b"\t".join(f)] + lines[1:]) + b"\n"
+
+    outs = []
+    for device in (False, True):
+        out, fix = io.BytesIO(), io.BytesIO()
+        validate_paf(
+            PafReader(io.BytesIO(src)), out, fix, True, device=device
+        )
+        outs.append((out.getvalue(), fix.getvalue()))
+    assert outs[0] == outs[1]
+    assert b"Query invalid records: 1" in outs[0][0]
+    assert b"Target invalid records: 1" in outs[0][0]
+
+
 def test_batch_rec_stats_multi_flush():
     """Batching across flush boundaries preserves order and values."""
     import random

@@ -34,12 +34,59 @@ class Validations:
         return "\n".join(lines) + "\n"
 
 
-def validate_paf(reader, writer, fix_writer=None, fix_flag=False):
+def _batch_stats(records):
+    """Per-record stats on the device: tokenize (native), segment-sum
+    (wgatools_tpu.ops.segments), strand-route on host."""
+    import numpy as np
+
+    from ..core.cigar import Cigar, rec_stat_from_cigar
+    from ..ops.segments import cigar_batch_stats, pack_cigar_batch
+
+    op_arrays, len_arrays = [], []
+    for rec in records:
+        ops, lens = rec.get_cigar_ops()
+        op_arrays.append(ops)
+        len_arrays.append(lens)
+    ops, lens, row_ids = pack_cigar_batch(op_arrays, len_arrays)
+    rows = np.asarray(cigar_batch_stats(ops, lens, row_ids, len(records)))
+    out = []
+    for rec, row in zip(records, rows):
+        c = Cigar()
+        c.match_count = int(row[0])
+        c.mismatch_count = int(row[1])
+        if rec.is_negative:
+            c.inv_event = 1
+            c.inv_ins_count, c.inv_del_count = int(row[2]), int(row[3])
+            c.inv_ins_event, c.inv_del_event = int(row[4]), int(row[5])
+        else:
+            c.ins_count, c.del_count = int(row[2]), int(row[3])
+            c.ins_event, c.del_event = int(row[4]), int(row[5])
+        out.append(rec_stat_from_cigar(c))
+    return out
+
+
+def _device_requested(device):
+    if device is not None:
+        return device
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def validate_paf(reader, writer, fix_writer=None, fix_flag=False, device=None):
     """reference: validate.rs:44-141."""
     vd = Validations()
-    for rec in reader.records():
+    if _device_requested(device):
+        records = list(reader.records())
+        stats = _batch_stats(records)
+        stream = zip(records, stats)
+    else:
+        stream = ((rec, rec.get_stat()) for rec in reader.records())
+    for rec, rs in stream:
         vd.total += 1
-        rs = rec.get_stat()
         exp_query_end = (
             rec.query_start
             + rs.matched
