@@ -214,13 +214,19 @@ def dispatch(args):
     rw = args.rewrite
 
     if cmd in ("maf2paf", "m2p"):
+        from .parallel.host_pool import is_plain_seekable, parallel_maf2paf
         from .tools.convert import maf2paf
 
-        maf2paf(
-            MafReader(open_input(args.input)),
-            open_output(out, rw),
-            args.query_name,
-        )
+        if args.threads > 1 and is_plain_seekable(args.input):
+            parallel_maf2paf(
+                args.input, open_output(out, rw), args.threads, args.query_name
+            )
+        else:
+            maf2paf(
+                MafReader(open_input(args.input)),
+                open_output(out, rw),
+                args.query_name,
+            )
     elif cmd in ("maf2chain", "m2c"):
         from .tools.convert import maf2chain
 
@@ -290,15 +296,25 @@ def dispatch(args):
     elif cmd in ("call", "c"):
         _dispatch_call(args, out, rw)
     elif cmd in ("stat", "st"):
+        from .parallel.host_pool import is_plain_seekable, parallel_stat_maf
         from .tools.stat import stat_maf, stat_paf
 
         if args.format == "maf":
-            stat_maf(
-                MafReader(open_input(args.input)),
-                open_output(out, rw),
-                args.each,
-                args.query_name,
-            )
+            if args.threads > 1 and is_plain_seekable(args.input):
+                parallel_stat_maf(
+                    args.input,
+                    open_output(out, rw),
+                    args.threads,
+                    args.each,
+                    args.query_name,
+                )
+            else:
+                stat_maf(
+                    MafReader(open_input(args.input)),
+                    open_output(out, rw),
+                    args.each,
+                    args.query_name,
+                )
         else:
             stat_paf(PafReader(open_input(args.input)), open_output(out, rw), args.each)
     elif cmd in ("dotplot", "dp"):
@@ -419,18 +435,35 @@ def _dispatch_call(args, out, rw):
             if args.query_regex
             else None
         )
-        call_var_maf(
-            MafReader(open_input(args.input)),
-            mafindex,
-            open_output(out, rw),
-            args.snp,
-            args.inv,
-            args.svlen,
-            args.sample,
-            args.query_name,
-            regex,
-            args.chunk_size,
-        )
+        from .parallel.host_pool import is_plain_seekable, parallel_call_maf
+
+        if args.threads > 1 and is_plain_seekable(args.input):
+            parallel_call_maf(
+                args.input,
+                open_output(out, rw),
+                args.threads,
+                mafindex,
+                args.snp,
+                args.inv,
+                args.svlen,
+                args.sample,
+                args.query_name,
+                regex,
+                args.chunk_size,
+            )
+        else:
+            call_var_maf(
+                MafReader(open_input(args.input)),
+                mafindex,
+                open_output(out, rw),
+                args.snp,
+                args.inv,
+                args.svlen,
+                args.sample,
+                args.query_name,
+                regex,
+                args.chunk_size,
+            )
     else:
         if not args.target or not args.query:
             raise WGAError("target and query are necessary")

@@ -1,0 +1,216 @@
+"""Host-side record parallelism over byte-offset work units.
+
+The reference parallelizes with a rayon thread pool over a record iterator
+(reference: src/main.rs:30-32, converter.rs:43, stat.rs:69).  The analog
+here is process parallelism over the MAF byte-offset manifest: a cheap raw
+line scan finds record start offsets, workers fork and seek to their
+assigned ranges, and the parent merges ordered results -- the same
+shard-manifest shape used for distributed work claims (SURVEY.md §5).
+
+Only seekable plain files qualify; compressed/stdin inputs fall back to
+single-process operation.
+"""
+
+import gzip
+import io
+
+import os
+
+
+def is_plain_seekable(path) -> bool:
+    if path is None or path == "-":
+        return False
+    try:
+        with open(path, "rb") as fp:
+            magic = fp.read(3)
+        return magic[:2] not in (b"\x1f\x8b", b"BZ") and magic != b"\xfd7z"
+    except OSError:
+        return False
+
+
+def maf_record_offsets(path):
+    """Byte offsets of each record's first s-line (raw scan, no parsing)."""
+    offsets = []
+    with open(path, "rb", buffering=1 << 20) as fp:
+        fp.readline()  # header line is always consumed (maf.rs:25-36)
+        in_record = False
+        while True:
+            off = fp.tell()
+            line = fp.readline()
+            if not line:
+                break
+            if line.startswith(b"s"):
+                if not in_record:
+                    offsets.append(off)
+                    in_record = True
+            else:
+                in_record = False
+    return offsets
+
+
+def _ranges(n_items, n_workers):
+    """Split [0, n_items) into at most n_workers contiguous ranges."""
+    n_workers = max(1, min(n_workers, n_items))
+    base = n_items // n_workers
+    rem = n_items % n_workers
+    out = []
+    start = 0
+    for w in range(n_workers):
+        size = base + (1 if w < rem else 0)
+        out.append((start, start + size))
+        start += size
+    return out
+
+
+_WORK = {}
+
+
+def _worker(args):
+    path, offsets, lo, hi, fn_key, extra = args
+    from ..io.maf import MafReader
+
+    reader = MafReader.from_path(path)
+    records = []
+    fn = _WORK[fn_key]
+    out = io.BytesIO()
+    results = []
+    for i in range(lo, hi):
+        reader.seek(offsets[i])
+        rec = reader.next_record()
+        if rec is None:
+            break
+        results.append(fn(rec, out, i, extra))
+    return out.getvalue(), results
+
+
+def map_maf_records(path, n_workers, fn_key, extra=None):
+    """Run _WORK[fn_key](record, out_stream, record_index, extra) over all
+    records with n_workers forked processes.  Returns the ordered list of
+    (bytes, results) per range.
+
+    Children are raw os.fork + os._exit: the axon PJRT client registered at
+    interpreter start has multi-second atexit teardown per process, which a
+    multiprocessing.Pool pays 8x on shutdown; _exit skips atexit entirely.
+    Results travel via per-range temp files (no pipe size limits).
+    """
+    import pickle
+    import tempfile
+
+    offsets = maf_record_offsets(path)
+    if not offsets:
+        return []
+    ranges = _ranges(len(offsets), n_workers)
+    args = [(path, offsets, lo, hi, fn_key, extra) for lo, hi in ranges]
+    if len(args) == 1:
+        return [_worker(args[0])]
+
+    tmpdir = tempfile.mkdtemp(prefix="wgatpu-pool-")
+    pids = []
+    try:
+        for k, a in enumerate(args):
+            pid = os.fork()
+            if pid == 0:
+                status = 1
+                try:
+                    result = _worker(a)
+                    with open(os.path.join(tmpdir, f"{k}.pkl"), "wb") as fp:
+                        pickle.dump(result, fp, protocol=4)
+                    status = 0
+                finally:
+                    os._exit(status)
+            pids.append(pid)
+        failed = False
+        for pid in pids:
+            _, status = os.waitpid(pid, 0)
+            failed |= os.waitstatus_to_exitcode(status) != 0
+        if failed:
+            raise RuntimeError("parallel worker failed")
+        out = []
+        for k in range(len(args)):
+            with open(os.path.join(tmpdir, f"{k}.pkl"), "rb") as fp:
+                out.append(pickle.load(fp))
+        return out
+    finally:
+        for k in range(len(args)):
+            p = os.path.join(tmpdir, f"{k}.pkl")
+            if os.path.exists(p):
+                os.unlink(p)
+        os.rmdir(tmpdir)
+
+
+# -- registered work functions (must be importable in workers) --
+
+
+def _work_maf2paf(rec, out, i, extra):
+    query_name = extra
+    out.write(rec.convert2paf(query_name).to_row())
+    return None
+
+
+def _work_stat(rec, out, i, extra):
+    from ..tools.stat import _stat_from_rec
+
+    query_name = extra
+    if query_name is not None:
+        rec.set_query_idx_byname(query_name)
+    return _stat_from_rec(rec)
+
+
+def _work_call(rec, out, i, extra):
+    from ..tools.caller import call_one_record
+
+    if_snp, if_inv, svlen, chunk_size, query_name, query_regex = extra
+    call_one_record(
+        rec, out, if_snp, if_inv, svlen, chunk_size, query_name, query_regex
+    )
+    return None
+
+
+_WORK["maf2paf"] = _work_maf2paf
+_WORK["stat"] = _work_stat
+_WORK["call"] = _work_call
+
+
+def parallel_maf2paf(path, writer, n_workers, query_name=None):
+    for chunk, _ in map_maf_records(path, n_workers, "maf2paf", query_name):
+        writer.write(chunk)
+    writer.flush()
+
+
+def parallel_stat_maf(path, writer, n_workers, each=False, query_name=None):
+    from ..tools.stat import write_style_result
+
+    pair_stats = []
+    for _, results in map_maf_records(path, n_workers, "stat", query_name):
+        pair_stats.extend(r for r in results if r is not None)
+    write_style_result(pair_stats, writer, each)
+
+
+def parallel_call_maf(
+    path,
+    writer,
+    n_workers,
+    mafindex,
+    if_snp,
+    if_inv,
+    svlen,
+    sample=None,
+    query_name=None,
+    query_regex=None,
+    chunk_size=None,
+):
+    from ..io.vcf import VcfWriter
+
+    vcf = VcfWriter(writer, sample or "sample")
+    contigs = None
+    if mafindex:
+        contigs = [
+            (name, item["size"])
+            for name, item in mafindex.items()
+            if item["isref"]
+        ]
+    vcf.write_header(contigs)
+    extra = (if_snp, if_inv, svlen, chunk_size, query_name, query_regex)
+    for chunk, _ in map_maf_records(path, n_workers, "call", extra):
+        writer.write(chunk)
+    writer.flush()

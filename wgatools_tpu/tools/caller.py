@@ -228,35 +228,63 @@ def call_var_maf(
         ]
     vcf.write_header(contigs)
 
-    base_chunk_size = chunk_size or DEFAULT_CHUNK_SIZE
     for record in mafreader.records():
-        if len(record.slines) == 1:
-            continue
-        if query_name is not None:
-            if record.get_query_idx_byname(query_name) is None:
-                continue
-            record.set_query_idx_byname(query_name)
-        elif query_regex is not None:
-            try:
-                record.set_query_idx_by_regex(query_regex)
-            except Exception:
-                continue
-        else:
-            record.query_idx = 1
-
-        view = _ChunkView(record)
-        total = len(record.target_seq)
-        chunk_start = 0
-        while chunk_start < total:
-            safe_end, next_start = find_safe_chunk_boundary(
-                view.t_arr, view.q_arr, chunk_start, base_chunk_size,
-                svlen_cutoff, total,
-            )
-            chunk_rec = view.chunk(chunk_start, safe_end)
-            for row in call_within_var(chunk_rec, if_snp, svlen_cutoff, if_inv):
-                vcf.write_record(*_row_args(row))
-            chunk_start = next_start
+        call_one_record(
+            record,
+            writer,
+            if_snp,
+            if_inv,
+            svlen_cutoff,
+            chunk_size,
+            query_name,
+            query_regex,
+            vcf=vcf,
+        )
     writer.flush()
+
+
+def call_one_record(
+    record,
+    writer,
+    if_snp,
+    if_inv,
+    svlen_cutoff,
+    chunk_size=None,
+    query_name=None,
+    query_regex=None,
+    vcf=None,
+):
+    """Chunked variant calling for one record, writing VCF body rows
+    (reference: caller.rs:62-149)."""
+    if vcf is None:
+        vcf = VcfWriter(writer)
+    base_chunk_size = chunk_size or DEFAULT_CHUNK_SIZE
+    if len(record.slines) == 1:
+        return
+    if query_name is not None:
+        if record.get_query_idx_byname(query_name) is None:
+            return
+        record.set_query_idx_byname(query_name)
+    elif query_regex is not None:
+        try:
+            record.set_query_idx_by_regex(query_regex)
+        except Exception:
+            return
+    else:
+        record.query_idx = 1
+
+    view = _ChunkView(record)
+    total = len(record.target_seq)
+    chunk_start = 0
+    while chunk_start < total:
+        safe_end, next_start = find_safe_chunk_boundary(
+            view.t_arr, view.q_arr, chunk_start, base_chunk_size,
+            svlen_cutoff, total,
+        )
+        chunk_rec = view.chunk(chunk_start, safe_end)
+        for row in call_within_var(chunk_rec, if_snp, svlen_cutoff, if_inv):
+            vcf.write_record(*_row_args(row))
+        chunk_start = next_start
 
 
 def _row_args(row):
