@@ -87,3 +87,25 @@ def test_is_plain_seekable(tmp_path, maf_copy):
     with gzip.open(gz, "wb") as fp:
         fp.write(b"hi")
     assert not is_plain_seekable(str(gz))
+
+
+def test_claim_work_units():
+    from wgatools_tpu.parallel.distributed import claim_work_units
+
+    idx = {
+        "chr1": {
+            "isref": True,
+            "size": 100,
+            "ivls": [
+                {"start": 0, "end": 10, "strand": "+", "offset": 5},
+                {"start": 10, "end": 20, "strand": "+", "offset": 105},
+            ],
+        },
+        "q1": {"isref": False, "size": 50, "ivls": []},
+    }
+    a = claim_work_units(idx, 0, 2)
+    b = claim_work_units(idx, 1, 2)
+    assert len(a) == 1 and len(b) == 1
+    assert a[0][3] == 5 and b[0][3] == 105
+    # disjoint and complete
+    assert {u[3] for u in a} | {u[3] for u in b} == {5, 105}

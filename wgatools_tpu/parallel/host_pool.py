@@ -104,11 +104,17 @@ def map_maf_records(path, n_workers, fn_key, extra=None):
     if len(args) == 1:
         return [_worker(args[0])]
 
+    import warnings
+
     tmpdir = tempfile.mkdtemp(prefix="wgatpu-pool-")
     pids = []
     try:
         for k, a in enumerate(args):
-            pid = os.fork()
+            with warnings.catch_warnings():
+                # JAX warns about fork-after-init; safe here: the parent is
+                # single-threaded at this point and children never touch JAX
+                warnings.simplefilter("ignore", RuntimeWarning)
+                pid = os.fork()
             if pid == 0:
                 status = 1
                 try:
