@@ -69,3 +69,42 @@ def test_batch_rec_stats_multi_flush():
             cigar_from_seqs(seq_bytes(t), seq_bytes(q), neg)
         )
         assert rs == want
+
+
+def test_maf2paf_device_parity():
+    from wgatools_tpu.tools.convert import maf2paf
+
+    host = io.BytesIO()
+    maf2paf(MafReader.from_path(fixture_path("test.maf")), host, device=False)
+    dev = io.BytesIO()
+    maf2paf(MafReader.from_path(fixture_path("test.maf")), dev, device=True)
+    assert host.getvalue() == dev.getvalue()
+
+
+def test_batch_runs_vs_host():
+    import random
+
+    import numpy as np
+
+    from wgatools_tpu.core import cigar as CC
+    from wgatools_tpu.ops.classify import pack_pairs
+    from wgatools_tpu.ops.rle_device import batch_runs
+
+    rng = random.Random(3)
+    pairs = []
+    for _ in range(6):
+        n = rng.randint(1, 700)
+        t = "".join(rng.choice("ACGT-") for _ in range(n)).encode()
+        q = "".join(rng.choice("ACGT-") for _ in range(n)).encode()
+        pairs.append((t, q))
+    t, q, lens = pack_pairs(pairs)
+    row_ids, cats, run_lens = batch_runs(t, q, lens)
+    splits = np.searchsorted(row_ids, np.arange(1, len(pairs)))
+    for (tb, qb), vals, lens_k in zip(
+        pairs, np.split(cats, splits), np.split(run_lens, splits)
+    ):
+        want_v, want_l = CC.rle(
+            CC.classify_ext(CC.seq_bytes(tb), CC.seq_bytes(qb))
+        )
+        assert vals.tolist() == want_v.tolist()
+        assert lens_k.tolist() == want_l.tolist()

@@ -274,3 +274,76 @@ def test_maf2sam_stub():
     )
     assert out.startswith(b"@HD")
     assert b"sq2" in out
+
+
+def test_filter_paf_align_pair():
+    """All-to-all mode keeps records whose pair's summed span passes
+    (reference: filter.rs:108-160)."""
+    from wgatools_tpu.tools.filter import filter_paf_align_pair
+
+    paf = (
+        "q1\t100\t0\t30\t+\tt1\t100\t0\t30\t30\t30\t255\n"
+        "q1\t100\t40\t70\t+\tt1\t100\t40\t70\t30\t30\t255\n"
+        "q2\t100\t0\t10\t+\tt1\t100\t0\t10\t10\t10\t255\n"
+    )
+    out = io.BytesIO()
+    filter_paf_align_pair(PafReader(io.BytesIO(paf.encode())), out, 50)
+    lines = out.getvalue().decode().splitlines()
+    # q1xt1 sums to 60 >= 50 (both records kept); q2xt1 sums to 10 (dropped)
+    assert len(lines) == 2
+    assert all(l.startswith("q1") for l in lines)
+
+
+def test_filter_chain_format():
+    """Chain filtering re-serializes every data line with three columns
+    (reference: filter.rs:18-41 uses Display for all lines)."""
+    from wgatools_tpu.io.chain import ChainReader
+    from wgatools_tpu.tools.filter import filter_chain
+    from wgatools_tpu.tools import convert
+
+    chain = run_tool(
+        convert.paf2chain, PafReader.from_path(fixture_path("testdotplot.paf"))
+    )
+    out = io.BytesIO()
+    filter_chain(ChainReader(io.BytesIO(chain)), out, 0, 0)
+    text = out.getvalue().decode()
+    # the bare final size lines gain \t0\t0 through Display
+    assert "\n70\t0\t0\n" in text
+    assert "\n20\t0\t0\n" in text
+
+
+def test_rename_count_mismatch():
+    from wgatools_tpu.errors import SLineCountNotMatch
+    from wgatools_tpu.tools.rename import rename_maf
+
+    with pytest.raises(SLineCountNotMatch):
+        rename_maf(
+            MafReader.from_path(fixture_path("test.maf")),
+            io.BytesIO(),
+            ["only-one"],
+        )
+
+
+def test_maf_ext_bed_file(tmp_path):
+    import shutil
+
+    from wgatools_tpu.tools.index import build_index
+    from wgatools_tpu.tools.mafextra import maf_extract_idx
+
+    maf = tmp_path / "t.maf"
+    shutil.copy(fixture_path("test.maf"), maf)
+    idx_out = io.BytesIO()
+    build_index(MafReader.from_path(str(maf)), idx_out)
+    bed = tmp_path / "regions.bed"
+    bed.write_text("ref.chr8\t181470000\t181470100\n")
+    out = io.BytesIO()
+    failed = maf_extract_idx(
+        None,
+        str(bed),
+        MafReader.from_path(str(maf)),
+        json.loads(idx_out.getvalue()),
+        out,
+    )
+    assert not failed
+    rec = next(MafReader(io.BytesIO(out.getvalue())).records())
+    assert rec.target_start == 181470000

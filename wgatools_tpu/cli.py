@@ -397,6 +397,12 @@ def dispatch(args):
 
         fix_writer = None
         if args.fix is not None:
+            # fixed output must not clobber the input (utils.rs:750-758)
+            input_path = args.input if args.input else "stdin"
+            if args.fix == input_path:
+                raise WGAError(
+                    "fixed file should not be the same as output file"
+                )
             fix_writer = open_output(args.fix, True)
         validate_paf(
             PafReader(open_input(args.input)),

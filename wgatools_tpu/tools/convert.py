@@ -20,12 +20,94 @@ from ..io.maf import MafReader, MafRecord, MafSLine, MafWriter
 from ..io.paf import PafReader, PafWriter
 
 
-def maf2paf(mafreader: MafReader, writer, query_name=None):
-    """MAF -> PAF (reference: converter.rs:29-54)."""
+def maf2paf(mafreader: MafReader, writer, query_name=None, device=None):
+    """MAF -> PAF (reference: converter.rs:29-54).
+
+    device=None auto-selects the device pipeline on TPU backends: column
+    batches classify + run-length-encode on device, only the run table
+    returns, and the host formats PAF rows (SURVEY.md §3.1).  Host and
+    device paths are byte-identical (tested).
+    """
+    from ..tools.stat import _device_requested
+
+    if not _device_requested(device):
+        paf_writer = PafWriter(writer)
+        for record in mafreader.records():
+            paf_writer.write_record(record.convert2paf(query_name))
+        writer.flush()
+        return
+    _maf2paf_device(mafreader, writer, query_name)
+
+
+def _maf2paf_device(mafreader: MafReader, writer, query_name=None,
+                    batch_columns=64 << 20):
+    from ..ops.classify import pack_pairs
+    from ..ops.rle_device import batch_runs
+
     paf_writer = PafWriter(writer)
+    pending = []
+    max_len = 0
+
+    def flush():
+        nonlocal max_len
+        if not pending:
+            return
+        t, q, lens = pack_pairs([(r.target_seq, r.query_seq) for r in pending])
+        row_ids, cats, run_lens = batch_runs(t, q, lens)
+        splits = np.searchsorted(row_ids, np.arange(1, len(pending)))
+        for rec, vals, lens_k in zip(
+            pending,
+            np.split(cats.astype(np.uint8), splits),
+            np.split(run_lens.astype(np.int64), splits),
+        ):
+            cigar = C.cigar_from_runs(vals, lens_k, rec.is_negative)
+            paf_writer.write_record(_paf_from_cigar(rec, cigar))
+        pending.clear()
+        max_len = 0
+
     for record in mafreader.records():
-        paf_writer.write_record(record.convert2paf(query_name))
+        if query_name is not None:
+            record.set_query_idx_byname(query_name)
+        n = len(record.target_seq)
+        new_max = max(max_len, n)
+        if pending and new_max * (len(pending) + 1) > batch_columns:
+            flush()
+            new_max = n
+        max_len = new_max
+        pending.append(record)
+    flush()
     writer.flush()
+
+
+def _paf_from_cigar(record: MafRecord, cigar):
+    """PafRecord fields from a Cigar (maf.rs:484-520 body)."""
+    from ..io.paf import PafRecord
+
+    matches = cigar.match_count
+    block_length = (
+        cigar.match_count
+        + cigar.mismatch_count
+        + cigar.ins_count
+        + cigar.inv_ins_count
+        + cigar.del_count
+        + cigar.inv_del_count
+    )
+    edit_dist = block_length - matches
+    return PafRecord(
+        query_name=record.query_name,
+        query_length=record.query_length,
+        query_start=record.query_start,
+        query_end=record.query_end,
+        strand=record.query_strand,
+        target_name=record.target_name,
+        target_length=record.target_length,
+        target_start=record.target_start,
+        target_end=record.target_end,
+        matches=matches,
+        block_length=block_length,
+        mapq=255,
+        tags=[f"NM:i:{edit_dist}", "cg:Z:" + cigar.cigar_string],
+    )
 
 
 def _maf_ext_runs(record: MafRecord):
