@@ -1,0 +1,89 @@
+"""PAF-path variant caller: differential against the MAF path.
+
+For positive-strand records, `call -f paf` (CIGAR-driven, FASTA-backed REF/
+ALT) must produce exactly the rows of `call -f maf` on the equivalent MAF
+(reference: caller.rs:610-822 mirrors caller.rs:388-608).
+"""
+
+import io
+
+import pytest
+
+from synth import make_paf_case
+
+from wgatools_tpu.io.maf import MafReader
+from wgatools_tpu.io.paf import PafReader
+from wgatools_tpu.tools.caller import call_var_maf, call_var_paf
+from wgatools_tpu.tools.convert import paf2maf
+
+
+def _body(vcf_bytes):
+    return [
+        l
+        for l in vcf_bytes.decode().splitlines()
+        if l and not l.startswith("#")
+    ]
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("svlen", [0, 5])
+def test_paf_caller_matches_maf_caller(tmp_path, seed, svlen):
+    paf_line, t_fa, q_fa = make_paf_case(seed, negative=False)
+    t_path = tmp_path / "t.fa"
+    q_path = tmp_path / "q.fa"
+    t_path.write_text(t_fa)
+    q_path.write_text(q_fa)
+
+    paf_out = io.BytesIO()
+    call_var_paf(
+        PafReader(io.BytesIO(paf_line.encode())),
+        str(t_path),
+        str(q_path),
+        paf_out,
+        if_snp=True,
+        svlen_cutoff=svlen,
+    )
+
+    maf_bytes = io.BytesIO()
+    paf2maf(
+        PafReader(io.BytesIO(paf_line.encode())),
+        maf_bytes,
+        str(t_path),
+        str(q_path),
+    )
+    maf_out = io.BytesIO()
+    call_var_maf(
+        MafReader(io.BytesIO(maf_bytes.getvalue())),
+        None,
+        maf_out,
+        if_snp=True,
+        if_inv=False,
+        svlen_cutoff=svlen,
+    )
+    assert _body(paf_out.getvalue()) == _body(maf_out.getvalue())
+
+
+def test_paf_caller_negative_emits_inv(tmp_path):
+    paf_line, t_fa, q_fa = make_paf_case(11, negative=True)
+    t_path = tmp_path / "t.fa"
+    q_path = tmp_path / "q.fa"
+    t_path.write_text(t_fa)
+    q_path.write_text(q_fa)
+    out = io.BytesIO()
+    call_var_paf(
+        PafReader(io.BytesIO(paf_line.encode())),
+        str(t_path),
+        str(q_path),
+        out,
+        if_snp=False,
+        svlen_cutoff=0,
+    )
+    body = _body(out.getvalue())
+    # the PAF path always emits the INV record for negative strands
+    # (caller.rs:641-657 has no if_inv gate)
+    assert body[0].split("\t")[4] == "<INV>"
+    assert "SVTYPE=INV" in body[0]
+    # nested variants are flagged
+    for row in body[1:]:
+        if "SVTYPE" in row:
+            assert "INV_NEST=TRUE" in row

@@ -83,33 +83,26 @@ def _worker(args):
     return out.getvalue(), results
 
 
-def map_maf_records(path, n_workers, fn_key, extra=None):
-    """Run _WORK[fn_key](record, out_stream, record_index, extra) over all
-    records with n_workers forked processes.  Returns the ordered list of
-    (bytes, results) per range.
+def forked_map(fn, args_list):
+    """Run fn over args_list in forked children, one per item.
 
-    Children are raw os.fork + os._exit: the axon PJRT client registered at
+    Children exit via os._exit: the axon PJRT client registered at
     interpreter start has multi-second atexit teardown per process, which a
-    multiprocessing.Pool pays 8x on shutdown; _exit skips atexit entirely.
-    Results travel via per-range temp files (no pipe size limits).
+    multiprocessing.Pool pays N x on shutdown; _exit skips atexit entirely.
+    Results travel via per-item temp files (no pipe size limits).
+    Returns results in args_list order.
     """
     import pickle
     import tempfile
-
-    offsets = maf_record_offsets(path)
-    if not offsets:
-        return []
-    ranges = _ranges(len(offsets), n_workers)
-    args = [(path, offsets, lo, hi, fn_key, extra) for lo, hi in ranges]
-    if len(args) == 1:
-        return [_worker(args[0])]
-
     import warnings
+
+    if len(args_list) == 1:
+        return [fn(args_list[0])]
 
     tmpdir = tempfile.mkdtemp(prefix="wgatpu-pool-")
     pids = []
     try:
-        for k, a in enumerate(args):
+        for k, a in enumerate(args_list):
             with warnings.catch_warnings():
                 # JAX warns about fork-after-init; safe here: the parent is
                 # single-threaded at this point and children never touch JAX
@@ -118,7 +111,7 @@ def map_maf_records(path, n_workers, fn_key, extra=None):
             if pid == 0:
                 status = 1
                 try:
-                    result = _worker(a)
+                    result = fn(a)
                     with open(os.path.join(tmpdir, f"{k}.pkl"), "wb") as fp:
                         pickle.dump(result, fp, protocol=4)
                     status = 0
@@ -132,16 +125,28 @@ def map_maf_records(path, n_workers, fn_key, extra=None):
         if failed:
             raise RuntimeError("parallel worker failed")
         out = []
-        for k in range(len(args)):
+        for k in range(len(args_list)):
             with open(os.path.join(tmpdir, f"{k}.pkl"), "rb") as fp:
                 out.append(pickle.load(fp))
         return out
     finally:
-        for k in range(len(args)):
+        for k in range(len(args_list)):
             p = os.path.join(tmpdir, f"{k}.pkl")
             if os.path.exists(p):
                 os.unlink(p)
         os.rmdir(tmpdir)
+
+
+def map_maf_records(path, n_workers, fn_key, extra=None):
+    """Run _WORK[fn_key](record, out_stream, record_index, extra) over all
+    records with n_workers forked processes.  Returns the ordered list of
+    (bytes, results) per range."""
+    offsets = maf_record_offsets(path)
+    if not offsets:
+        return []
+    ranges = _ranges(len(offsets), n_workers)
+    args = [(path, offsets, lo, hi, fn_key, extra) for lo, hi in ranges]
+    return forked_map(_worker, args)
 
 
 # -- registered work functions (must be importable in workers) --
@@ -192,6 +197,36 @@ def parallel_stat_maf(path, writer, n_workers, each=False, query_name=None):
     write_style_result(pair_stats, writer, each)
 
 
+# records larger than this (bytes) split across workers by chunk-plan
+# slices -- the genome-axis sharding rule (SURVEY.md §5): every worker
+# derives the same SV-safe plan and claims a contiguous part
+SPLIT_BYTES = 32 << 20
+
+
+def _call_units_worker(args):
+    path, offsets, units, params = args
+    from ..io.maf import MafReader
+    from ..tools.caller import call_record_part
+
+    if_snp, if_inv, svlen, chunk_size, query_name, query_regex = params
+    reader = MafReader.from_path(path)
+    out = io.BytesIO()
+    last_idx = None
+    rec = None
+    for rec_idx, part, n_parts in units:
+        if rec_idx != last_idx:
+            reader.seek(offsets[rec_idx])
+            rec = reader.next_record()
+            last_idx = rec_idx
+        if rec is None:
+            continue
+        call_record_part(
+            rec, out, if_snp, if_inv, svlen, chunk_size,
+            query_name, query_regex, part, n_parts,
+        )
+    return out.getvalue()
+
+
 def parallel_call_maf(
     path,
     writer,
@@ -205,6 +240,9 @@ def parallel_call_maf(
     query_regex=None,
     chunk_size=None,
 ):
+    """Record- AND genome-axis parallel variant calling: small records map
+    whole to workers; records above SPLIT_BYTES shard into chunk-plan
+    parts, preserving exact sequential output order."""
     from ..io.vcf import VcfWriter
 
     vcf = VcfWriter(writer, sample or "sample")
@@ -216,7 +254,38 @@ def parallel_call_maf(
             if item["isref"]
         ]
     vcf.write_header(contigs)
-    extra = (if_snp, if_inv, svlen, chunk_size, query_name, query_regex)
-    for chunk, _ in map_maf_records(path, n_workers, "call", extra):
+
+    offsets = maf_record_offsets(path)
+    if not offsets:
+        writer.flush()
+        return
+    sizes = [
+        (offsets[i + 1] if i + 1 < len(offsets) else os.path.getsize(path))
+        - offsets[i]
+        for i in range(len(offsets))
+    ]
+    # ordered unit list: (rec_idx, part, n_parts) with cost weights
+    units = []
+    for i, sz in enumerate(sizes):
+        if sz > SPLIT_BYTES and n_workers > 1:
+            n_parts = min(n_workers, (sz + SPLIT_BYTES - 1) // SPLIT_BYTES)
+            for j in range(n_parts):
+                units.append(((i, j, n_parts), sz / n_parts))
+        else:
+            units.append(((i, 0, 1), sz))
+    # contiguous partition balanced by weight
+    total_w = sum(w for _, w in units)
+    target = total_w / max(1, n_workers)
+    groups = [[]]
+    acc = 0.0
+    for u, w in units:
+        if acc >= target and len(groups) < n_workers:
+            groups.append([])
+            acc = 0.0
+        groups[-1].append(u)
+        acc += w
+    params = (if_snp, if_inv, svlen, chunk_size, query_name, query_regex)
+    args = [(path, offsets, g, params) for g in groups if g]
+    for chunk in forked_map(_call_units_worker, args):
         writer.write(chunk)
     writer.flush()

@@ -67,6 +67,13 @@ class _ChunkView:
         self._t_nongap = 0
         self._q_nongap = 0
 
+    def skip_to(self, col: int):
+        """Position the running counters at column `col` (for chunk-plan
+        slices claimed by parallel workers)."""
+        self._t_nongap = int((self.t_arr[:col] != C.GAP).sum())
+        self._q_nongap = int((self.q_arr[:col] != C.GAP).sum())
+        self._consumed = col
+
     def chunk(self, start: int, end: int) -> MafRecord:
         rec = self.record
         assert start == self._consumed, "chunks must be sequential"
@@ -256,6 +263,33 @@ def call_one_record(
 ):
     """Chunked variant calling for one record, writing VCF body rows
     (reference: caller.rs:62-149)."""
+    call_record_part(
+        record, writer, if_snp, if_inv, svlen_cutoff, chunk_size,
+        query_name, query_regex, 0, 1, vcf,
+    )
+
+
+def call_record_part(
+    record,
+    writer,
+    if_snp,
+    if_inv,
+    svlen_cutoff,
+    chunk_size=None,
+    query_name=None,
+    query_regex=None,
+    part: int = 0,
+    n_parts: int = 1,
+    vcf=None,
+):
+    """Process contiguous slice `part` of `n_parts` of one record's SV-safe
+    chunk plan.
+
+    Every worker derives the same deterministic plan from the sequences
+    (plan_chunks), so genome-axis sharding needs no coordination: part j
+    of J takes plan[floor(j*K/J) : floor((j+1)*K/J)] and outputs
+    concatenate in part order to exactly the sequential result.
+    """
     if vcf is None:
         vcf = VcfWriter(writer)
     base_chunk_size = chunk_size or DEFAULT_CHUNK_SIZE
@@ -274,17 +308,42 @@ def call_one_record(
         record.query_idx = 1
 
     view = _ChunkView(record)
-    total = len(record.target_seq)
-    chunk_start = 0
-    while chunk_start < total:
-        safe_end, next_start = find_safe_chunk_boundary(
-            view.t_arr, view.q_arr, chunk_start, base_chunk_size,
-            svlen_cutoff, total,
-        )
+    plan = plan_chunks(
+        view.t_arr, view.q_arr, base_chunk_size, svlen_cutoff
+    )
+    k = len(plan)
+    lo = (part * k) // n_parts
+    hi = ((part + 1) * k) // n_parts
+    if lo >= hi:
+        return
+    if plan[lo][0] > 0:
+        view.skip_to(plan[lo][0])
+    for chunk_start, safe_end in plan[lo:hi]:
         chunk_rec = view.chunk(chunk_start, safe_end)
         for row in call_within_var(chunk_rec, if_snp, svlen_cutoff, if_inv):
             vcf.write_record(*_row_args(row))
+
+
+def plan_chunks(t_arr, q_arr, chunk_size, svlen_cutoff):
+    """The full SV-safe chunk decomposition of a record.
+
+    This is the genome-axis shard plan (SURVEY.md §5): deterministic from
+    the sequences alone, so independent workers (or hosts) derive the same
+    boundaries and claim disjoint chunk slices -- the halo rule is that no
+    chunk boundary splits a gap run >= svlen_cutoff.
+
+    Returns a list of (start, end) column windows covering [0, total).
+    """
+    total = len(t_arr)
+    plan = []
+    chunk_start = 0
+    while chunk_start < total:
+        safe_end, next_start = find_safe_chunk_boundary(
+            t_arr, q_arr, chunk_start, chunk_size, svlen_cutoff, total
+        )
+        plan.append((chunk_start, safe_end))
         chunk_start = next_start
+    return plan
 
 
 def _row_args(row):
