@@ -193,13 +193,19 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     init_logger(args.verbose)
+    from .core.metrics import METRICS, maybe_trace
+
     try:
-        dispatch(args)
+        with maybe_trace(), METRICS.stage("total"):
+            dispatch(args)
     except WGAError as e:
         log.error(str(e))
         sys.exit(1)
     except BrokenPipeError:
         sys.exit(0)
+    finally:
+        if args.verbose >= 2:
+            METRICS.report()
     return 0
 
 

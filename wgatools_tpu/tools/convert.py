@@ -48,12 +48,18 @@ def _maf2paf_device(mafreader: MafReader, writer, query_name=None,
     pending = []
     max_len = 0
 
+    from ..core.metrics import METRICS
+
     def flush():
         nonlocal max_len
         if not pending:
             return
-        t, q, lens = pack_pairs([(r.target_seq, r.query_seq) for r in pending])
-        row_ids, cats, run_lens = batch_runs(t, q, lens)
+        with METRICS.stage("pack", sum(len(r.target_seq) * 2 for r in pending)):
+            t, q, lens = pack_pairs(
+                [(r.target_seq, r.query_seq) for r in pending]
+            )
+        with METRICS.stage("device_rle", t.nbytes * 2):
+            row_ids, cats, run_lens = batch_runs(t, q, lens)
         splits = np.searchsorted(row_ids, np.arange(1, len(pending)))
         for rec, vals, lens_k in zip(
             pending,
