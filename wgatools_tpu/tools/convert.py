@@ -43,6 +43,7 @@ def _maf2paf_device(mafreader: MafReader, writer, query_name=None,
                     batch_columns=64 << 20):
     from ..ops.classify import pack_pairs
     from ..ops.rle_device import batch_runs
+    from ..tools.stat import DEVICE_MIN_COLUMNS
 
     paf_writer = PafWriter(writer)
     pending = []
@@ -53,6 +54,14 @@ def _maf2paf_device(mafreader: MafReader, writer, query_name=None,
     def flush():
         nonlocal max_len
         if not pending:
+            return
+        total_cols = sum(len(r.target_seq) for r in pending)
+        if total_cols < DEVICE_MIN_COLUMNS:
+            # too small to amortize device dispatch
+            for rec in pending:
+                paf_writer.write_record(rec.convert2paf(None))
+            pending.clear()
+            max_len = 0
             return
         with METRICS.stage("pack", sum(len(r.target_seq) * 2 for r in pending)):
             t, q, lens = pack_pairs(

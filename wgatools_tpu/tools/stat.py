@@ -220,6 +220,11 @@ def write_style_result(pair_stats, writer, each: bool):
     writer.flush()
 
 
+# auto-device only pays off past this many alignment columns (device
+# dispatch + remote compile latency dominates below it)
+DEVICE_MIN_COLUMNS = 1 << 22
+
+
 def _device_requested(device):
     if device is not None:
         return device
@@ -268,7 +273,19 @@ def stat_maf(reader, writer, each: bool = False, query_name=None, device=None):
         )
         pairs.append((rec.target_seq, rec.query_seq))
         negatives.append(rec.is_negative)
-    rec_stats = batch_rec_stats(pairs, negatives)
+    total_cols = sum(len(t) for t, _ in pairs)
+    if device is None and total_cols < DEVICE_MIN_COLUMNS:
+        # too small to amortize device dispatch; host engine instead
+        from ..core.cigar import cigar_from_seqs, rec_stat_from_cigar, seq_bytes
+
+        rec_stats = [
+            rec_stat_from_cigar(
+                cigar_from_seqs(seq_bytes(t), seq_bytes(q), neg)
+            )
+            for (t, q), neg in zip(pairs, negatives)
+        ]
+    else:
+        rec_stats = batch_rec_stats(pairs, negatives)
     pair_stats = [
         PairStat(
             ref_name=m[0],
