@@ -108,3 +108,15 @@ def test_batch_runs_vs_host():
         )
         assert vals.tolist() == want_v.tolist()
         assert lens_k.tolist() == want_l.tolist()
+
+
+@pytest.mark.parametrize("each", [False, True])
+def test_stat_paf_device_parity(each):
+    from wgatools_tpu.io.paf import PafReader
+    from wgatools_tpu.tools.stat import stat_paf
+
+    src = open(fixture_path("testdotplot.paf"), "rb").read()
+    host, dev = io.BytesIO(), io.BytesIO()
+    stat_paf(PafReader(io.BytesIO(src)), host, each, device=False)
+    stat_paf(PafReader(io.BytesIO(src)), dev, each, device=True)
+    assert host.getvalue() == dev.getvalue()

@@ -315,7 +315,30 @@ def stat_maf(reader, writer, each: bool = False, query_name=None, device=None):
     write_style_result(pair_stats, writer, each)
 
 
-def stat_paf(reader, writer, each: bool = False):
-    """PAF statistics (reference: stat.rs:87-105)."""
-    pair_stats = [_stat_from_rec(rec) for rec in reader.records()]
+def stat_paf(reader, writer, each: bool = False, device=None):
+    """PAF statistics (reference: stat.rs:87-105).
+
+    The device path reduces tokenized CIGAR op batches with segment sums
+    (wgatools_tpu.ops.segments); parity with the host path is tested."""
+    if not _device_requested(device):
+        pair_stats = [_stat_from_rec(rec) for rec in reader.records()]
+        write_style_result(pair_stats, writer, each)
+        return
+
+    from ..tools.validate import _batch_stats
+
+    records = list(reader.records())
+    rec_stats = _batch_stats(records)
+    pair_stats = [
+        PairStat(
+            ref_name=rec.target_name,
+            ref_size=rec.target_length,
+            query_name=rec.query_name,
+            query_size=rec.query_length,
+            ref_start=rec.target_start,
+            query_start=rec.query_start,
+            rec_stat=rs,
+        )
+        for rec, rs in zip(records, rec_stats)
+    ]
     write_style_result(pair_stats, writer, each)
