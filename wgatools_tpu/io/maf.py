@@ -101,28 +101,40 @@ class MafRecord:
 
     # -- AlignRecord surface (reference: maf.rs:424-540) --
 
+    def _query_sline(self) -> MafSLine:
+        """The reference panics on out-of-range query access (Rust index);
+        surface it as a WGAError instead."""
+        if self.query_idx >= len(self.slines):
+            from ..errors import WGAError
+
+            raise WGAError(
+                f"MAF record has {len(self.slines)} s-line(s) but query "
+                f"index {self.query_idx}"
+            )
+        return self.slines[self.query_idx]
+
     @property
     def query_name(self) -> str:
-        return self.slines[self.query_idx].name
+        return self._query_sline().name
 
     @property
     def query_length(self) -> int:
-        return self.slines[self.query_idx].size
+        return self._query_sline().size
 
     @property
     def query_strand(self) -> str:
-        return self.slines[self.query_idx].strand
+        return self._query_sline().strand
 
     @property
     def query_start(self) -> int:
-        s = self.slines[self.query_idx]
+        s = self._query_sline()
         if s.strand == Strand.NEGATIVE:
             return s.size - s.start - s.align_size
         return s.start
 
     @property
     def query_end(self) -> int:
-        s = self.slines[self.query_idx]
+        s = self._query_sline()
         if s.strand == Strand.NEGATIVE:
             return s.size - s.start
         return s.start + s.align_size
