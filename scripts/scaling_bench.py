@@ -1,0 +1,93 @@
+"""Multi-device scaling benchmark for the sharded column-stats pipeline.
+
+Measures aligned columns/s of `sharded_column_stats` (record-axis
+shard_map) at 1, 2, 4, ... devices and reports parallel efficiency
+(BASELINE.md target: >= 85% at 2+ hosts).
+
+On a real pod slice, run one process per host with
+JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID set
+(wgatools_tpu.parallel.distributed.maybe_initialize_distributed is called
+first) and the mesh spans all hosts' chips.  On a single host it scales
+over the local chips.  With JAX_PLATFORMS=cpu and
+--xla_force_host_platform_device_count=N it exercises the same code path
+on virtual devices (functional check; virtual devices share host cores,
+so efficiency numbers are only meaningful on real chips).
+
+Usage: python scripts/scaling_bench.py [--cols 1048576] [--rows-per-dev 8]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cols", type=int, default=1 << 20)
+    ap.add_argument("--rows-per-dev", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    from wgatools_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wgatools_tpu.parallel.mesh import (
+        RECORDS_AXIS,
+        make_mesh,
+        sharded_column_stats,
+    )
+
+    n_total = len(jax.devices())
+    sizes = []
+    n = 1
+    while n <= n_total:
+        sizes.append(n)
+        n *= 2
+    if sizes[-1] != n_total:
+        sizes.append(n_total)
+
+    rng = np.random.default_rng(0)
+    alphabet = np.frombuffer(b"ACGT-", dtype=np.uint8)
+    results = {}
+    for n_dev in sizes:
+        B = args.rows_per_dev * n_dev
+        t = alphabet[rng.integers(0, 5, (B, args.cols))]
+        q = alphabet[rng.integers(0, 5, (B, args.cols))]
+        lens = np.full(B, args.cols, dtype=np.int32)
+        mesh = make_mesh(n_dev)
+        sh = NamedSharding(mesh, P(RECORDS_AXIS, None))
+        sh1 = NamedSharding(mesh, P(RECORDS_AXIS))
+        t_d = jax.device_put(jnp.asarray(t), sh)
+        q_d = jax.device_put(jnp.asarray(q), sh)
+        l_d = jax.device_put(jnp.asarray(lens), sh1)
+        out = sharded_column_stats(mesh, t_d, q_d, l_d)
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = sharded_column_stats(mesh, t_d, q_d, l_d)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        rate = B * args.cols * args.iters / dt
+        results[n_dev] = rate
+        base = results[sizes[0]] * n_dev / sizes[0]
+        eff = rate / base if base else 0.0
+        print(
+            json.dumps(
+                {
+                    "devices": n_dev,
+                    "gcols_per_s": round(rate / 1e9, 2),
+                    "scaling_efficiency": round(eff, 3),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
