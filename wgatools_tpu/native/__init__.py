@@ -96,24 +96,38 @@ def available() -> bool:
 # wrappers
 # ---------------------------------------------------------------------------
 
+# grow-only scratch buffers: repeated multi-MB np.empty allocations mmap
+# and fault fresh pages on every call, dominating the per-chunk cost
+_SCRATCH = {}
+
+
+def _scratch(name, n, dtype):
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.shape[0] < n:
+        buf = np.empty(max(n, 1 << 16), dtype=dtype)
+        _SCRATCH[name] = buf
+    return buf
+
+
 def classify_and_rle(t: np.ndarray, q: np.ndarray, caller: bool = False):
     """Fused classify + RLE; returns (vals uint8, lens int64) or None when
-    the native library is unavailable."""
+    the native library is unavailable.  The returned arrays are copies (the
+    scratch buffers are reused across calls)."""
     lib = load()
     if lib is None:
         return None
     n = t.shape[0]
-    cat = np.empty(n, dtype=np.uint8)
+    cat = _scratch("cat", n, np.uint8)
     t = np.ascontiguousarray(t)
     q = np.ascontiguousarray(q)
     if caller:
         lib.classify_caller(t, q, n, cat)
     else:
         lib.classify_ext(t, q, n, cat)
-    vals = np.empty(n if n else 1, dtype=np.uint8)
-    lens = np.empty(n if n else 1, dtype=np.int64)
+    vals = _scratch("vals", n, np.uint8)
+    lens = _scratch("lens", n, np.int64)
     n_runs = lib.rle_encode(cat, n, vals, lens)
-    return vals[:n_runs], lens[:n_runs]
+    return vals[:n_runs].copy(), lens[:n_runs].copy()
 
 
 def tokenize_cigar(cigar: bytes):
