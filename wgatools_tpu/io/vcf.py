@@ -33,6 +33,9 @@ class VcfWriter:
         )
         self.inner.write(("\n".join(out) + "\n").encode("ascii"))
 
+    def write_raw(self, blob: bytes):
+        self.inner.write(blob)
+
     def write_record(
         self, chrom, pos, ref, alt, info=None, fmt="GT", sample_value="1|1"
     ):

@@ -84,6 +84,21 @@ def load():
             _i64,
         ]
         lib.format_bed_lines.restype = _i64
+        lib.format_snp_rows.argtypes = [
+            ctypes.c_char_p,
+            _i64,
+            ctypes.c_char_p,
+            _i64,
+            ctypes.c_char,
+            _i64p,
+            _i64p,
+            _u8p,
+            _u8p,
+            _i64,
+            _u8p,
+            _i64,
+        ]
+        lib.format_snp_rows.restype = _i64
         _lib = lib
         return _lib
 
@@ -177,6 +192,28 @@ def format_bed_lines(prefix: bytes, start: int, counts: np.ndarray):
     cap = (len(prefix) + 84) * max(n, 1)
     out = np.empty(cap, dtype=np.uint8)
     w = lib.format_bed_lines(prefix, len(prefix), start, counts, n, out, cap)
+    if w < 0:
+        return None
+    return out[: int(w)].tobytes()
+
+
+def format_snp_rows(chrom: bytes, qchro: bytes, suffix: bytes, pos, qpos,
+                    ref, alt):
+    """Bulk VCF SNP row formatting; returns bytes or None."""
+    lib = load()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    qpos = np.ascontiguousarray(qpos, dtype=np.int64)
+    ref = np.ascontiguousarray(ref, dtype=np.uint8)
+    alt = np.ascontiguousarray(alt, dtype=np.uint8)
+    n = pos.shape[0]
+    cap = (len(chrom) + len(qchro) + 100) * max(n, 1)
+    out = np.empty(cap, dtype=np.uint8)
+    w = lib.format_snp_rows(
+        chrom, len(chrom), qchro, len(qchro), suffix, pos, qpos, ref, alt,
+        n, out, cap,
+    )
     if w < 0:
         return None
     return out[: int(w)].tobytes()

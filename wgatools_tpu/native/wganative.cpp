@@ -184,4 +184,36 @@ int64_t format_bed_lines(const char* prefix, int64_t prefix_len,
     return w;
 }
 
+// bulk-format SNP VCF rows:
+//   "<chrom>\t<pos+1>\t.\t<ref>\t<alt>\t.\t.\t.\tGT:QI\t1|1:<qchro>@<qpos>@<sfx>\n"
+// ref/alt are single uppercase bases given as parallel byte arrays.
+// Returns bytes written or -1 if cap too small.
+int64_t format_snp_rows(const char* chrom, int64_t chrom_len,
+                        const char* qchro, int64_t qchro_len, char suffix,
+                        const int64_t* pos, const int64_t* qpos,
+                        const uint8_t* ref, const uint8_t* alt, int64_t n,
+                        char* out, int64_t cap) {
+    static const char mid[] = "\t.\t";
+    int64_t w = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (w + chrom_len + qchro_len + 96 > cap) return -1;
+        memcpy(out + w, chrom, chrom_len);
+        w += chrom_len;
+        out[w++] = '\t';
+        w += write_i64(out + w, pos[i] + 1);
+        memcpy(out + w, mid, 3); w += 3;            // \t.\t
+        out[w++] = (char)ref[i];
+        out[w++] = '\t';
+        out[w++] = (char)alt[i];
+        memcpy(out + w, "\t.\t.\t.\tGT:QI\t1|1:", 17); w += 17;
+        memcpy(out + w, qchro, qchro_len); w += qchro_len;
+        out[w++] = '@';
+        w += write_i64(out + w, qpos[i]);
+        out[w++] = '@';
+        out[w++] = suffix;
+        out[w++] = '\n';
+    }
+    return w;
+}
+
 }  // extern "C"

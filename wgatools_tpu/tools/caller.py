@@ -193,21 +193,69 @@ def call_within_var(mafrec: MafRecord, if_snp: bool, svlen_cutoff: int, if_inv: 
         info = f"{init_info}SVTYPE=DEL;SVLEN={ln};END={to + ln}"
         qi = f"1|1:{q_chro}@{qo}@{qo}@{fmt_suffix}"
         events.append((k, 0, (chro, to, ref, alt, info, "GT:QI", qi)))
-    for k in snp_sel.tolist():
-        ln = int(lens64[k])
-        to, qo = int(t_off[k]), int(q_off[k])
-        ts0 = to - t_start
-        qs0 = qo - q_start
-        for i in range(ln):
-            qi = f"1|1:{q_chro}@{qo + i}@{fmt_suffix}"
-            events.append(
-                (k, i,
-                 (chro, to + i + 1, t_str[ts0 + i], q_str[qs0 + i], None,
-                  "GT:QI", qi))
-            )
+    events.sort(key=lambda e: e[0])
 
-    events.sort(key=lambda e: (e[0], e[1]))
-    out.extend(row for _, _, row in events)
+    if snp_sel.size == 0:
+        out.extend(row for _, _, row in events)
+        return out
+
+    # SNP rows: run-expand the X runs into flat position arrays and
+    # bulk-format whole blocks between indel events (native C++ formatter;
+    # per-row Python f-strings dominate SNP-dense chunks otherwise)
+    snp_lens = lens64[snp_sel]
+    total_snps = int(snp_lens.sum())
+    run_ids = np.repeat(snp_sel, snp_lens)
+    intra = np.arange(total_snps) - np.repeat(
+        np.cumsum(snp_lens) - snp_lens, snp_lens
+    )
+    pos_flat = np.repeat(t_off[snp_sel], snp_lens) + intra
+    qpos_flat = np.repeat(q_off[snp_sel], snp_lens) + intra
+    t_ref_np = np.frombuffer(t_str.encode("ascii"), dtype=np.uint8)
+    q_ref_np = np.frombuffer(q_str.encode("ascii"), dtype=np.uint8)
+    ref_flat = t_ref_np[pos_flat - t_start]
+    alt_flat = q_ref_np[qpos_flat - q_start]
+
+    def snp_block(lo, hi):
+        if lo >= hi:
+            return None
+        from .. import native
+
+        blob = native.format_snp_rows(
+            chro.encode("ascii"),
+            q_chro.encode("ascii"),
+            fmt_suffix.encode("ascii"),
+            pos_flat[lo:hi],
+            qpos_flat[lo:hi],
+            ref_flat[lo:hi],
+            alt_flat[lo:hi],
+        )
+        if blob is not None:
+            return blob
+        rows = []
+        for p, qp, rb, ab in zip(
+            pos_flat[lo:hi].tolist(),
+            qpos_flat[lo:hi].tolist(),
+            ref_flat[lo:hi].tolist(),
+            alt_flat[lo:hi].tolist(),
+        ):
+            rows.append(
+                f"{chro}\t{p + 1}\t.\t{chr(rb)}\t{chr(ab)}\t.\t.\t.\t"
+                f"GT:QI\t1|1:{q_chro}@{qp}@{fmt_suffix}\n"
+            )
+        return "".join(rows).encode("ascii")
+
+    # interleave indel rows with SNP blocks in run order
+    cursor = 0
+    for k, _, row in events:
+        cut = int(np.searchsorted(run_ids, k))
+        blob = snp_block(cursor, cut)
+        if blob:
+            out.append(blob)
+        cursor = cut
+        out.append(row)
+    blob = snp_block(cursor, total_snps)
+    if blob:
+        out.append(blob)
     return out
 
 
@@ -321,7 +369,10 @@ def call_record_part(
     for chunk_start, safe_end in plan[lo:hi]:
         chunk_rec = view.chunk(chunk_start, safe_end)
         for row in call_within_var(chunk_rec, if_snp, svlen_cutoff, if_inv):
-            vcf.write_record(*_row_args(row))
+            if isinstance(row, bytes):
+                vcf.write_raw(row)  # pre-formatted SNP block
+            else:
+                vcf.write_record(*_row_args(row))
 
 
 def plan_chunks(t_arr, q_arr, chunk_size, svlen_cutoff):
