@@ -356,27 +356,36 @@ def trims_from_ops(ops: np.ndarray, lens: np.ndarray):
     """Head/tail indel trim sizes (reference: cigar.rs:155-199, 202-245).
 
     Returns (head_ins, head_del, tail_ins, tail_del): the summed I and D run
-    lengths before the first M-type op, and the length of the trailing I and D
-    runs after the last M-type op (the reference keeps only the *last* I and
-    last D run length for the tail).
+    lengths before the first M-type op, and the length of the *last* I and
+    last D op after the last M-type op (the reference overwrites, not sums,
+    the tail counters).  Vectorized.
     """
-    head_ins = head_del = tail_ins = tail_del = 0
-    head = True
-    for op, ln in zip(ops.tolist(), np.asarray(lens).tolist()):
-        if op in (OP_M, OP_EQ, OP_X):
-            tail_ins = 0
-            tail_del = 0
-            head = False
-        elif op == OP_I:
-            if head:
-                head_ins += ln
-            tail_ins = ln
-        elif op == OP_D:
-            if head:
-                head_del += ln
-            tail_del = ln
-        else:
-            raise CigarOpInvalid(chr(op))
+    ops = np.asarray(ops)
+    lens = np.asarray(lens, dtype=np.int64)
+    is_m = (ops == OP_M) | (ops == OP_EQ) | (ops == OP_X)
+    is_i = ops == OP_I
+    is_d = ops == OP_D
+    if not np.all(is_m | is_i | is_d):
+        bad = ops[~(is_m | is_i | is_d)][0]
+        raise CigarOpInvalid(chr(bad))
+    m_idx = np.flatnonzero(is_m)
+    if m_idx.size == 0:
+        # no M at all: everything is "head"; the tail counters end up
+        # holding the last I/D lengths (never reset)
+        head_ins = int(lens[is_i].sum())
+        head_del = int(lens[is_d].sum())
+        i_pos = np.flatnonzero(is_i)
+        d_pos = np.flatnonzero(is_d)
+        tail_ins = int(lens[i_pos[-1]]) if i_pos.size else 0
+        tail_del = int(lens[d_pos[-1]]) if d_pos.size else 0
+        return head_ins, head_del, tail_ins, tail_del
+    first_m, last_m = int(m_idx[0]), int(m_idx[-1])
+    head_ins = int(lens[: first_m][is_i[:first_m]].sum())
+    head_del = int(lens[: first_m][is_d[:first_m]].sum())
+    tail_i = np.flatnonzero(is_i[last_m + 1 :])
+    tail_d = np.flatnonzero(is_d[last_m + 1 :])
+    tail_ins = int(lens[last_m + 1 + tail_i[-1]]) if tail_i.size else 0
+    tail_del = int(lens[last_m + 1 + tail_d[-1]]) if tail_d.size else 0
     return head_ins, head_del, tail_ins, tail_del
 
 
@@ -384,8 +393,8 @@ def trims_from_ops(ops: np.ndarray, lens: np.ndarray):
 # Chain data lines
 # ---------------------------------------------------------------------------
 
-def chain_lines_from_ops(ops: np.ndarray, lens: np.ndarray):
-    """Stream chain data lines from CIGAR ops.
+def chain_line_arrays_from_ops(ops: np.ndarray, lens: np.ndarray):
+    """Chain data lines from CIGAR ops, as columnar arrays.
 
     Mirrors cigar_unit_chain's state machine (reference: cigar.rs:460-490):
     M/X/= accumulate `size` (merging runs separated by empty diffs), I
@@ -393,18 +402,19 @@ def chain_lines_from_ops(ops: np.ndarray, lens: np.ndarray):
     (size, query_diff, target_diff) is emitted when a new M-run starts with
     pending diffs; the final line carries only the last size.
 
-    Returns (lines, final_size) where lines is a list of (size, dq, dt).
-    Vectorized over runs with reduceat.
+    Returns (sizes, dqs, dts, final_size) int64 arrays.  Vectorized over
+    runs with reduceat.
     """
     ops = np.asarray(ops)
     lens = np.asarray(lens, dtype=np.int64)
+    empty = np.zeros(0, dtype=np.int64)
     for op in np.unique(ops).tolist():
         if op not in _VALID_STAT_OPS:
             raise CigarOpInvalid(chr(op))
     is_m = (ops == OP_M) | (ops == OP_EQ) | (ops == OP_X)
     m_idx = np.flatnonzero(is_m)
     if m_idx.size == 0:
-        return [], 0
+        return empty, empty, empty, 0
     m_sizes = lens[m_idx]
     # diffs accumulated between consecutive M runs
     ins_lens = np.where(ops == OP_I, lens, 0)
@@ -419,21 +429,32 @@ def chain_lines_from_ops(ops: np.ndarray, lens: np.ndarray):
     seg_starts = np.concatenate(([0], np.flatnonzero(nonzero_gap) + 1))
     merged = np.add.reduceat(m_sizes, seg_starts)
     gap_sel = np.flatnonzero(nonzero_gap)
-    lines = [
-        (int(merged[k]), int(qd[g]), int(td[g])) for k, g in enumerate(gap_sel)
-    ]
-    return lines, int(merged[-1])
+    return merged[:-1], qd[gap_sel], td[gap_sel], int(merged[-1])
+
+
+def chain_lines_from_ops(ops: np.ndarray, lens: np.ndarray):
+    """List-of-tuples view of chain_line_arrays_from_ops:
+    ([(size, dq, dt), ...], final_size)."""
+    sizes, dqs, dts, final = chain_line_arrays_from_ops(ops, lens)
+    lines = list(zip(sizes.tolist(), dqs.tolist(), dts.tolist()))
+    return lines, final
+
+
+_CAT2OP = np.zeros(5, dtype=np.uint8)
+_CAT2OP[EQ] = OP_M
+_CAT2OP[X] = OP_X
+_CAT2OP[I] = OP_I
+_CAT2OP[D] = OP_D
 
 
 def chain_lines_from_cat_runs(vals: np.ndarray, lens: np.ndarray):
     """Chain data lines from m-mode classified runs (parse_maf_seq_to_chain,
     reference: cigar.rs:435-458).  Category codes EQ(=M)/I/D."""
-    op_map = np.zeros(5, dtype=np.uint8)
-    op_map[EQ] = OP_M
-    op_map[X] = OP_X
-    op_map[I] = OP_I
-    op_map[D] = OP_D
-    return chain_lines_from_ops(op_map[vals], lens)
+    return chain_lines_from_ops(_CAT2OP[vals], lens)
+
+
+def chain_line_arrays_from_cat_runs(vals: np.ndarray, lens: np.ndarray):
+    return chain_line_arrays_from_ops(_CAT2OP[vals], lens)
 
 
 # ---------------------------------------------------------------------------

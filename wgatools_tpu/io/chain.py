@@ -301,10 +301,28 @@ class ChainReader:
 
 def write_chain_record(stream, header: ChainHeader, lines, final_size: int):
     """Write one chain record: header, data lines, final size, blank line
-    (reference: converter.rs:148-173 + cigar.rs:291-293)."""
-    out = [header.format()]
-    for size, dq, dt in lines:
-        out.append(f"\n{size}\t{dq}\t{dt}")
-    out.append(f"\n{final_size}")
-    out.append("\n\n")
-    stream.write("".join(out).encode("ascii"))
+    (reference: converter.rs:148-173 + cigar.rs:291-293).
+
+    `lines` is either a list of (size, dq, dt) tuples or a columnar
+    (sizes, dqs, dts) array triple; the latter bulk-formats in C++."""
+    stream.write(header.format().encode("ascii"))
+    if isinstance(lines, tuple):
+        from .. import native
+
+        sizes, dqs, dts = lines
+        blob = native.format_chain_lines(sizes, dqs, dts)
+        if blob is None:
+            blob = "".join(
+                f"\n{s}\t{q}\t{t}"
+                for s, q, t in zip(
+                    sizes.tolist(), dqs.tolist(), dts.tolist()
+                )
+            ).encode("ascii")
+        stream.write(blob)
+    else:
+        stream.write(
+            "".join(
+                f"\n{size}\t{dq}\t{dt}" for size, dq, dt in lines
+            ).encode("ascii")
+        )
+    stream.write(f"\n{final_size}\n\n".encode("ascii"))

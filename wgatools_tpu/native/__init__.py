@@ -99,6 +99,8 @@ def load():
             _i64,
         ]
         lib.format_snp_rows.restype = _i64
+        lib.format_chain_lines.argtypes = [_i64p, _i64p, _i64p, _i64, _u8p, _i64]
+        lib.format_chain_lines.restype = _i64
         _lib = lib
         return _lib
 
@@ -192,6 +194,23 @@ def format_bed_lines(prefix: bytes, start: int, counts: np.ndarray):
     cap = (len(prefix) + 84) * max(n, 1)
     out = np.empty(cap, dtype=np.uint8)
     w = lib.format_bed_lines(prefix, len(prefix), start, counts, n, out, cap)
+    if w < 0:
+        return None
+    return out[: int(w)].tobytes()
+
+
+def format_chain_lines(sizes, dqs, dts):
+    """Bulk chain data-line formatting; returns bytes or None."""
+    lib = load()
+    if lib is None:
+        return None
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    dqs = np.ascontiguousarray(dqs, dtype=np.int64)
+    dts = np.ascontiguousarray(dts, dtype=np.int64)
+    n = sizes.shape[0]
+    cap = 66 * max(n, 1)
+    out = np.empty(cap, dtype=np.uint8)
+    w = lib.format_chain_lines(sizes, dqs, dts, n, out, cap)
     if w < 0:
         return None
     return out[: int(w)].tobytes()

@@ -184,6 +184,24 @@ int64_t format_bed_lines(const char* prefix, int64_t prefix_len,
     return w;
 }
 
+// bulk-format chain data lines: "\n<size>\t<dq>\t<dt>" per line.
+// Returns bytes written or -1 if cap too small.
+int64_t format_chain_lines(const int64_t* sizes, const int64_t* dqs,
+                           const int64_t* dts, int64_t n, char* out,
+                           int64_t cap) {
+    int64_t w = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (w + 66 > cap) return -1;
+        out[w++] = '\n';
+        w += write_i64(out + w, sizes[i]);
+        out[w++] = '\t';
+        w += write_i64(out + w, dqs[i]);
+        out[w++] = '\t';
+        w += write_i64(out + w, dts[i]);
+    }
+    return w;
+}
+
 // bulk-format SNP VCF rows:
 //   "<chrom>\t<pos+1>\t.\t<ref>\t<alt>\t.\t.\t.\tGT:QI\t1|1:<qchro>@<qpos>@<sfx>\n"
 // ref/alt are single uppercase bases given as parallel byte arrays.

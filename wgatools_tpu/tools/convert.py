@@ -160,8 +160,10 @@ def maf2chain(mafreader: MafReader, writer, query_name=None):
         header = chain_header_from_record(record, *trims)
         header.chain_id = chain_id
         m_vals, m_lens = _merge_m_runs(vals, lens)
-        lines, final_size = C.chain_lines_from_cat_runs(m_vals, m_lens)
-        write_chain_record(writer, header, lines, final_size)
+        sizes, dqs, dts, final_size = C.chain_line_arrays_from_cat_runs(
+            m_vals, m_lens
+        )
+        write_chain_record(writer, header, (sizes, dqs, dts), final_size)
     writer.flush()
 
 
@@ -172,8 +174,8 @@ def paf2chain(pafreader: PafReader, writer):
         trims = C.trims_from_ops(ops, lens)
         header = chain_header_from_record(record, *trims)
         header.chain_id = chain_id
-        lines, final_size = C.chain_lines_from_ops(ops, lens)
-        write_chain_record(writer, header, lines, final_size)
+        sizes, dqs, dts, final_size = C.chain_line_arrays_from_ops(ops, lens)
+        write_chain_record(writer, header, (sizes, dqs, dts), final_size)
     writer.flush()
 
 
