@@ -465,30 +465,35 @@ def insert_gaps_by_ops(ops, lens, t_raw: bytes, q_raw: bytes):
     """Insert '-' gaps into raw target/query per CIGAR.
 
     Equivalent to parse_cigar_to_insert (reference: cigar.rs:492-551) but
-    linear-time segment assembly instead of repeated String::insert_str:
-    M/=/X consume both sources, I puts gaps in target while consuming query,
-    D puts gaps in query while consuming target.
-    Returns (t_gapped bytes, q_gapped bytes).
+    fully vectorized instead of repeated String::insert_str: expand the op
+    table to per-column gap masks, then gather source bytes through
+    cumulative non-gap indices.  M/=/X consume both sources, I puts gaps in
+    target while consuming query, D puts gaps in query while consuming
+    target.  Returns (t_gapped bytes, q_gapped bytes).
     """
-    t_parts, q_parts = [], []
-    t_off = q_off = 0
-    for op, ln in zip(np.asarray(ops).tolist(), np.asarray(lens).tolist()):
-        if op in (OP_M, OP_EQ, OP_X):
-            t_parts.append(t_raw[t_off : t_off + ln])
-            q_parts.append(q_raw[q_off : q_off + ln])
-            t_off += ln
-            q_off += ln
-        elif op == OP_I:
-            t_parts.append(b"-" * ln)
-            q_parts.append(q_raw[q_off : q_off + ln])
-            q_off += ln
-        elif op == OP_D:
-            t_parts.append(t_raw[t_off : t_off + ln])
-            q_parts.append(b"-" * ln)
-            t_off += ln
-        else:
-            raise CigarOpInvalid(chr(op))
-    return b"".join(t_parts), b"".join(q_parts)
+    ops = np.asarray(ops)
+    lens = np.asarray(lens, dtype=np.int64)
+    is_m = (ops == OP_M) | (ops == OP_EQ) | (ops == OP_X)
+    is_i = ops == OP_I
+    is_d = ops == OP_D
+    if not np.all(is_m | is_i | is_d):
+        bad = ops[~(is_m | is_i | is_d)][0]
+        raise CigarOpInvalid(chr(bad))
+    t_gap = np.repeat(is_i, lens)  # I columns are gaps in target
+    q_gap = np.repeat(is_d, lens)  # D columns are gaps in query
+    t_arr = seq_bytes(t_raw)
+    q_arr = seq_bytes(q_raw)
+    if t_gap.size == 0:
+        return b"", b""
+    if len(t_arr) == 0 or len(q_arr) == 0:
+        # degenerate sources: emit gaps only where defined
+        t_arr = np.array([GAP], dtype=np.uint8)
+        q_arr = np.array([GAP], dtype=np.uint8)
+    t_src = np.cumsum(~t_gap) - 1
+    q_src = np.cumsum(~q_gap) - 1
+    t_out = np.where(t_gap, GAP, t_arr[np.minimum(t_src, len(t_arr) - 1)])
+    q_out = np.where(q_gap, GAP, q_arr[np.minimum(q_src, len(q_arr) - 1)])
+    return t_out.astype(np.uint8).tobytes(), q_out.astype(np.uint8).tobytes()
 
 
 def insert_gaps_by_chain(lines, final_size, t_raw: bytes, q_raw: bytes):

@@ -105,8 +105,33 @@ def chain_header_from_record(rec, head_ins, head_del, tail_ins, tail_del):
 @dataclass
 class ChainRecord:
     header: ChainHeader = field(default_factory=ChainHeader)
-    # list of (size, query_diff, target_diff); the final line has diffs 0
-    lines: list = field(default_factory=list)
+    # columnar data lines (the final line parses with diffs 0)
+    sizes: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    dqs: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    dts: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+
+    @property
+    def lines(self):
+        """Tuple view of the columnar data lines."""
+        return list(
+            zip(self.sizes.tolist(), self.dqs.tolist(), self.dts.tolist())
+        )
+
+    def op_arrays(self):
+        """Interleave data lines into CIGAR op arrays: per line `{size}M`
+        then `{dt}I` then `{dq}D`, keeping zero-length M ops (the reference
+        always emits the M, cigar.rs:580-582) and dropping zero diffs."""
+        from ..core.cigar import OP_D, OP_I, OP_M
+
+        n = self.sizes.shape[0]
+        ops_mat = np.tile(
+            np.array([OP_M, OP_I, OP_D], dtype=np.uint8), (n, 1)
+        )
+        lens_mat = np.stack([self.sizes, self.dts, self.dqs], axis=1)
+        keep = lens_mat > 0
+        keep[:, 0] = True  # M always emitted
+        flat_keep = keep.reshape(-1)
+        return ops_mat.reshape(-1)[flat_keep], lens_mat.reshape(-1)[flat_keep]
 
     # -- AlignRecord surface (chain.rs:385-453) --
 
@@ -160,32 +185,39 @@ class ChainRecord:
 
     def to_cigar(self) -> Cigar:
         """parse_chain_to_cigar (reference: cigar.rs:554-626): every data
-        line emits `{size}M` then optional `{dt}I` / `{dq}D`."""
+        line emits `{size}M` then optional `{dt}I` / `{dq}D`.  Vectorized:
+        interleaved op arrays + bulk string formatting."""
+        from ..core.cigar import OP_D, OP_I
+
         c = Cigar()
         inv = self.is_negative
         if inv:
             c.inv_event = 1
-        parts = []
-        for size, dq, dt in self.lines:
-            parts.append(f"{size}M")
-            c.match_count += size
-            if dt != 0:
-                parts.append(f"{dt}I")
-                if inv:
-                    c.inv_ins_event += 1
-                    c.inv_ins_count += dt
-                else:
-                    c.ins_event += 1
-                    c.ins_count += dt
-            if dq != 0:
-                parts.append(f"{dq}D")
-                if inv:
-                    c.inv_del_event += 1
-                    c.inv_del_count += dq
-                else:
-                    c.del_event += 1
-                    c.del_count += dq
-        c.cigar_string = "".join(parts)
+        c.match_count = int(self.sizes.sum())
+        ins_ev = int((self.dts > 0).sum())
+        ins_ct = int(self.dts.sum())
+        del_ev = int((self.dqs > 0).sum())
+        del_ct = int(self.dqs.sum())
+        if inv:
+            c.inv_ins_event, c.inv_ins_count = ins_ev, ins_ct
+            c.inv_del_event, c.inv_del_count = del_ev, del_ct
+        else:
+            c.ins_event, c.ins_count = ins_ev, ins_ct
+            c.del_event, c.del_count = del_ev, del_ct
+        ops, lens = self.op_arrays()
+        # map op byte -> index into the char table "MID"
+        cat = np.where(ops == OP_I, 1, np.where(ops == OP_D, 2, 0)).astype(
+            np.uint8
+        )
+        from .. import native
+
+        cg = native.format_runs(cat, lens.astype(np.int64), b"MID")
+        if cg is None:
+            chars = "MID"
+            cg = "".join(
+                f"{l}{chars[v]}" for v, l in zip(cat.tolist(), lens.tolist())
+            )
+        c.cigar_string = cg
         return c
 
     def convert2paf(self):
@@ -268,6 +300,31 @@ def _parse_data_line(line: str):
     return (size, dq, dt)
 
 
+def _parse_block(block: bytes):
+    """Parse a record's data-line block into columnar arrays."""
+    from .. import native
+
+    try:
+        res = native.parse_chain_lines(bytes(block))
+    except ValueError as e:
+        raise ParseChainError(
+            f"bad chain data line near byte {e.args[0]}"
+        ) from None
+    if res is not None:
+        sizes, dqs, dts = res
+        return {"sizes": sizes, "dqs": dqs, "dts": dts}
+    rows = []
+    for raw in block.decode("ascii", "replace").splitlines():
+        line = raw.strip()
+        if line:
+            rows.append(_parse_data_line(line))
+    if rows:
+        arr = np.array(rows, dtype=np.int64)
+        return {"sizes": arr[:, 0], "dqs": arr[:, 1], "dts": arr[:, 2]}
+    z = np.zeros(0, np.int64)
+    return {"sizes": z, "dqs": z, "dts": z}
+
+
 class ChainReader:
     def __init__(self, stream):
         self.inner = stream
@@ -280,23 +337,33 @@ class ChainReader:
 
     def records(self):
         """Parse all chain records (the reference also slurps the whole
-        input, chain.rs:33-38)."""
-        data = self.inner.read().decode("ascii", "replace")
-        header = None
-        lines = []
-        for raw in data.splitlines():
-            line = raw.strip()
-            if line.startswith("chain"):
-                if header is not None:
-                    yield ChainRecord(header=header, lines=lines)
-                header = _parse_header_line(line[len("chain") :])
-                lines = []
-            elif line:
-                if header is None:
+        input, chain.rs:33-38).  Data-line blocks parse natively (C++) in
+        bulk; headers parse in Python (one per record)."""
+        data = self.inner.read()
+        pos = 0
+        n = len(data)
+        while True:
+            start = data.find(b"chain", pos)
+            if start < 0:
+                tail = data[pos:].strip()
+                if tail:
                     raise ParseChainError("data line before chain header")
-                lines.append(_parse_data_line(line))
-        if header is not None:
-            yield ChainRecord(header=header, lines=lines)
+                return
+            lead = data[pos:start].strip()
+            if lead:
+                raise ParseChainError("data line before chain header")
+            eol = data.find(b"\n", start)
+            if eol < 0:
+                eol = n
+            header = _parse_header_line(
+                data[start + len(b"chain") : eol].decode("ascii", "replace")
+            )
+            nxt = data.find(b"chain", eol)
+            block = data[eol + 1 : nxt if nxt >= 0 else n]
+            yield ChainRecord(header=header, **_parse_block(block))
+            if nxt < 0:
+                return
+            pos = nxt
 
 
 def write_chain_record(stream, header: ChainHeader, lines, final_size: int):

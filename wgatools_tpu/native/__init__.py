@@ -101,6 +101,10 @@ def load():
         lib.format_snp_rows.restype = _i64
         lib.format_chain_lines.argtypes = [_i64p, _i64p, _i64p, _i64, _u8p, _i64]
         lib.format_chain_lines.restype = _i64
+        lib.parse_chain_lines.argtypes = [
+            ctypes.c_char_p, _i64, _i64p, _i64p, _i64p,
+        ]
+        lib.parse_chain_lines.restype = _i64
         _lib = lib
         return _lib
 
@@ -197,6 +201,25 @@ def format_bed_lines(prefix: bytes, start: int, counts: np.ndarray):
     if w < 0:
         return None
     return out[: int(w)].tobytes()
+
+
+def parse_chain_lines(text: bytes):
+    """Parse chain data lines into (sizes, dqs, dts) int64 arrays.
+    Returns None if the native library is unavailable; raises
+    ValueError(byte_pos) on malformed input."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(text)
+    max_lines = text.count(b"\n") + 1
+    sizes = np.empty(max_lines, dtype=np.int64)
+    dqs = np.empty(max_lines, dtype=np.int64)
+    dts = np.empty(max_lines, dtype=np.int64)
+    res = lib.parse_chain_lines(text, n, sizes, dqs, dts)
+    if res < 0:
+        raise ValueError(-res - 1)
+    k = int(res)
+    return sizes[:k].copy(), dqs[:k].copy(), dts[:k].copy()
 
 
 def format_chain_lines(sizes, dqs, dts):

@@ -184,6 +184,42 @@ int64_t format_bed_lines(const char* prefix, int64_t prefix_len,
     return w;
 }
 
+// parse chain data lines: up to 3 whitespace-separated non-negative ints
+// per line (missing -> 0, extra tokens ignored); blank lines skipped.
+// Returns line count, or -(pos+1) at the first non-numeric token start.
+int64_t parse_chain_lines(const char* s, int64_t n, int64_t* sizes,
+                          int64_t* dqs, int64_t* dts) {
+    int64_t count = 0;
+    int64_t i = 0;
+    while (i < n) {
+        // skip leading spaces/tabs/CR
+        while (i < n && (s[i] == ' ' || s[i] == '\t' || s[i] == '\r')) ++i;
+        if (i < n && s[i] == '\n') { ++i; continue; }
+        if (i >= n) break;
+        int64_t vals[3] = {0, 0, 0};
+        int field = 0;
+        while (i < n && s[i] != '\n') {
+            while (i < n && (s[i] == ' ' || s[i] == '\t' || s[i] == '\r'))
+                ++i;
+            if (i >= n || s[i] == '\n') break;
+            if (s[i] < '0' || s[i] > '9') return -(i + 1);
+            int64_t v = 0;
+            while (i < n && s[i] >= '0' && s[i] <= '9') {
+                v = v * 10 + (s[i] - '0');
+                ++i;
+            }
+            if (field < 3) vals[field] = v;
+            ++field;
+        }
+        sizes[count] = vals[0];
+        dqs[count] = vals[1];
+        dts[count] = vals[2];
+        ++count;
+        if (i < n) ++i;  // consume newline
+    }
+    return count;
+}
+
 // bulk-format chain data lines: "\n<size>\t<dq>\t<dt>" per line.
 // Returns bytes written or -1 if cap too small.
 int64_t format_chain_lines(const int64_t* sizes, const int64_t* dqs,

@@ -264,13 +264,14 @@ def chain2maf(chainreader: ChainReader, writer, t_fa_path: str, q_fa_path: str):
         f"q_seq_path={q_fa_path}"
     )
     for rec in chainreader.records():
-        if not rec.lines:
+        if rec.sizes.shape[0] == 0:
             raise WGAError("chain record has no data lines")
+        # per line: copy `size`, then target gaps (dt), then query gaps
+        # (dq) -- exactly the interleaved op order of op_arrays()
+        ops, lens = rec.op_arrays()
 
-        def gap_insert(t_raw, q_raw, _lines=rec.lines):
-            # every parsed line carries its own (size, dq, dt); the bare
-            # final size line parses as (size, 0, 0), so no tail remains
-            return C.insert_gaps_by_chain(_lines, 0, t_raw, q_raw)
+        def gap_insert(t_raw, q_raw, _ops=ops, _lens=lens):
+            return C.insert_gaps_by_ops(_ops, _lens, t_raw, q_raw)
 
         maf_writer.write_record(
             _seq_record_to_maf(rec, 255, t_reader, q_reader, gap_insert)

@@ -37,14 +37,19 @@ def filter_chain(reader, writer, min_block_size: int, min_query_size: int):
     """Filter chain records.  Note the reference re-serializes every data
     line through Display, so the bare final size line gains `\\t0\\t0`
     (reference: filter.rs:18-41) -- reproduced."""
+    from .. import native
+
     for rec in reader.records():
         if not _keep(rec, min_block_size, min_query_size):
             continue
-        parts = [rec.header.format()]
-        for size, dq, dt in rec.lines:
-            parts.append(f"\n{size}\t{dq}\t{dt}")
-        parts.append("\n\n")
-        writer.write("".join(parts).encode("ascii"))
+        writer.write(rec.header.format().encode("ascii"))
+        blob = native.format_chain_lines(rec.sizes, rec.dqs, rec.dts)
+        if blob is None:
+            blob = "".join(
+                f"\n{size}\t{dq}\t{dt}" for size, dq, dt in rec.lines
+            ).encode("ascii")
+        writer.write(blob)
+        writer.write(b"\n\n")
     writer.flush()
 
 
