@@ -521,34 +521,48 @@ def insert_gaps_by_chain(lines, final_size, t_raw: bytes, q_raw: bytes):
 
 
 def pseudo_maf_seq_by_ops(ops, lens, raw_q: bytes, base: bool) -> bytes:
-    """gen_pesudo_maf_by_cigar (reference: cigar.rs:744-804).
+    """gen_pesudo_maf_by_cigar (reference: cigar.rs:744-804), vectorized.
 
     base=True: project the real query bases onto the target axis (drop
     insertions, '-' for deletions).  base=False: emit '1' (match), '0'
     (mismatch), '-' (deletion) symbols; insertions are skipped.
     """
-    parts = []
-    off = 0
-    for op, ln in zip(np.asarray(ops).tolist(), np.asarray(lens).tolist()):
-        if op in (OP_M, OP_EQ):
-            if base:
-                parts.append(raw_q[off : off + ln])
-                off += ln
-            else:
-                parts.append(b"1" * ln)
-        elif op in (OP_I, OP_S):
-            if base:
-                off += ln  # drain inserted bases
-        elif op == OP_D:
-            parts.append(b"-" * ln)
-        elif op == OP_X:
-            if base:
-                parts.append(raw_q[off : off + ln])
-                off += ln
-            else:
-                parts.append(b"0" * ln)
-        # other ops ignored, matching the reference's catch-all
-    return b"".join(parts)
+    ops = np.asarray(ops)
+    lens = np.asarray(lens, dtype=np.int64)
+    is_m = (ops == OP_M) | (ops == OP_EQ)
+    is_x = ops == OP_X
+    is_i = (ops == OP_I) | (ops == OP_S)
+    is_d = ops == OP_D
+    if base:
+        # emitted columns: M/X (query bytes) and D (gaps); the query source
+        # advances over M/X and I (inserted bases are drained)
+        emit = is_m | is_x | is_d
+        out_gap = np.repeat(is_d[emit], lens[emit])
+        # query source offset at the start of each emitted op
+        q_adv = np.where(is_m | is_x | is_i, lens, 0)
+        q_start_all = np.concatenate(([0], np.cumsum(q_adv)[:-1]))
+        q_starts = q_start_all[emit]
+        out_lens = lens[emit]
+        if out_lens.sum() == 0:
+            return b""
+        intra = np.arange(int(out_lens.sum())) - np.repeat(
+            np.cumsum(out_lens) - out_lens, out_lens
+        )
+        src = np.repeat(q_starts, out_lens) + intra
+        q_arr = seq_bytes(raw_q)
+        if len(q_arr) == 0:
+            q_arr = np.array([GAP], dtype=np.uint8)
+        out = np.where(
+            out_gap, GAP, q_arr[np.minimum(src, len(q_arr) - 1)]
+        )
+        return out.astype(np.uint8).tobytes()
+    # symbol mode: per-op constant symbols, insertions skipped
+    sym = np.full(ops.shape[0], 0, dtype=np.uint8)
+    sym[is_m] = ord("1")
+    sym[is_x] = ord("0")
+    sym[is_d] = GAP
+    emit = is_m | is_x | is_d
+    return np.repeat(sym[emit], lens[emit]).tobytes()
 
 
 # ---------------------------------------------------------------------------
