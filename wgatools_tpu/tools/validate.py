@@ -65,19 +65,10 @@ def _batch_stats(records):
     return out
 
 
-def _device_requested(device):
-    if device is not None:
-        return device
-    try:
-        import jax
-
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
-
-
 def validate_paf(reader, writer, fix_writer=None, fix_flag=False, device=None):
     """reference: validate.rs:44-141."""
+    from .stat import _device_requested
+
     vd = Validations()
     if _device_requested(device):
         records = list(reader.records())
