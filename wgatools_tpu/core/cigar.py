@@ -17,7 +17,7 @@ Three classification modes mirror the reference:
 The device mirrors of these kernels live in wgatools_tpu.ops.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -12,11 +12,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..core.cigar import (
-    Cigar,
-    rec_stat_from_cigar,
-    trims_from_ops,
-)
+from ..core.cigar import Cigar, rec_stat_from_cigar
 from ..core.strand import Strand
 from ..errors import ParseChainError, ParseIntError
 

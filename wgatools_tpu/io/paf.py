@@ -8,9 +8,8 @@ empty lines are skipped (paf.rs:22-31).  `cg:Z:` CIGAR tags are preferred and
 import re
 from dataclasses import dataclass, field
 
-import numpy as np
-
 from ..core.cigar import (
+    RecStat,
     cigar_stats_from_ops,
     rec_stat_from_cigar,
     strip_cg_prefix,
@@ -18,8 +17,6 @@ from ..core.cigar import (
 )
 from ..core.strand import Strand
 from ..errors import CigarTagNotFound, ParsePafError
-
-from ..core.cigar import RecStat  # noqa: E402
 
 
 def _parse_u64(s: str, what: str) -> int:

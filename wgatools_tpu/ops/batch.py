@@ -10,7 +10,7 @@ and differential oracle.
 
 import numpy as np
 
-from ..core.cigar import Cigar, RecStat, rec_stat_from_cigar
+from ..core.cigar import Cigar, rec_stat_from_cigar
 from .classify import (
     STAT_DEL_EVENT,
     STAT_DEL_SIZE,

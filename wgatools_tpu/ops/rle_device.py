@@ -17,13 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .classify import (
-    GAP,
-    STAT_RUNS,
-    _classify,
-    _NO_CAT,
-    column_stats,
-)
+from .classify import STAT_RUNS, _classify, _NO_CAT, column_stats
 
 
 @functools.partial(jax.jit, static_argnames=("size",))

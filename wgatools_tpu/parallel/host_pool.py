@@ -11,7 +11,6 @@ Only seekable plain files qualify; compressed/stdin inputs fall back to
 single-process operation.
 """
 
-import gzip
 import io
 
 import os

@@ -18,15 +18,13 @@ Multi-host extends the same mesh over ICI+DCN via jax.distributed (the mesh
 axis simply spans all hosts' devices); nothing below changes.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.classify import classify_stat_jnp, N_STATS
+from ..ops.classify import classify_stat_jnp
 
 RECORDS_AXIS = "records"
 

@@ -12,7 +12,6 @@ tiling step and is computed on the gap bitmask with the same semantics.
 import numpy as np
 
 from ..core import cigar as C
-from ..core.strand import Strand
 from ..io.maf import MafRecord, MafSLine
 from ..io.vcf import VcfWriter
 

@@ -9,8 +9,6 @@ below the cutoff merged into neighboring match segments
 import copy
 import json
 
-import numpy as np
-
 from ..core import cigar as C
 from ..core.strand import Strand
 from ..errors import WGAError

@@ -6,7 +6,7 @@ wgatools_tpu.ops.batch_stats); aggregation merges records keyed by
 then natural-sorts rows by ref_name.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
