@@ -60,7 +60,9 @@ def batch_runs(t, q, lengths):
     if total == 0:
         z = np.zeros(0, dtype=np.int32)
         return z, z, z
-    size = 1 << (total - 1).bit_length()  # bucket to limit recompiles
+    # bucket the extraction size to powers of two with a generous floor so
+    # realistic workloads hit a handful of compiled sizes
+    size = max(1 << (total - 1).bit_length(), 1 << 16)
     row, cat, ln, valid = _extract_runs(t, q, lengths, size)
     valid = np.asarray(valid)
     return (
