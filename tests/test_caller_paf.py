@@ -87,3 +87,62 @@ def test_paf_caller_negative_emits_inv(tmp_path):
     for row in body[1:]:
         if "SVTYPE" in row:
             assert "INV_NEST=TRUE" in row
+
+
+def test_maf_caller_negative_strand_inv_per_chunk():
+    """Negative-strand records emit one INV row per chunk with -i, and
+    nested variants carry INV_NEST=TRUE (caller.rs:423-451)."""
+    import io as iolib
+
+    t_aln = "ACGT" * 50 + "AAAA" + "ACGT" * 50
+    q_aln = "ACGT" * 50 + "----" + "ACGT" * 50
+    n_q = sum(1 for c in q_aln if c != "-")
+    maf = (
+        "#maf version=1.6\n"
+        "a score=0\n"
+        f"s\tref.chr1\t100\t{len(t_aln)}\t+\t10000\t{t_aln}\n"
+        f"s\tqry.chr1\t20\t{n_q}\t-\t5000\t{q_aln}\n\n"
+    )
+    # chunk_size chosen so no boundary lands exactly on the SV start: the
+    # reference's boundary rule would silently drop such an SV via the
+    # leading-indel skip (caller.rs:178-199 + 531-535) -- reproduced
+    out = iolib.BytesIO()
+    call_var_maf(
+        MafReader(iolib.BytesIO(maf.encode())),
+        None,
+        out,
+        if_snp=False,
+        if_inv=True,
+        svlen_cutoff=0,
+        chunk_size=150,
+    )
+    body = [
+        l
+        for l in out.getvalue().decode().splitlines()
+        if l and not l.startswith("#")
+    ]
+    inv_rows = [r for r in body if "<INV>" in r]
+    # 404 columns -> chunks [0,150),[150,204),[204,354),[354,404)
+    assert len(inv_rows) == 4
+    for r in inv_rows:
+        assert r.split("\t")[9].endswith("@N")
+    del_rows = [r for r in body if "SVTYPE=DEL" in r]
+    assert len(del_rows) == 1
+    assert "INV_NEST=TRUE" in del_rows[0]
+    # unchunked gives a single INV plus the same DEL
+    out2 = iolib.BytesIO()
+    call_var_maf(
+        MafReader(iolib.BytesIO(maf.encode())),
+        None,
+        out2,
+        if_snp=False,
+        if_inv=True,
+        svlen_cutoff=0,
+    )
+    body2 = [
+        l
+        for l in out2.getvalue().decode().splitlines()
+        if l and not l.startswith("#")
+    ]
+    assert len([r for r in body2 if "<INV>" in r]) == 1
+    assert [r for r in body2 if "SVTYPE=DEL" in r] == del_rows
