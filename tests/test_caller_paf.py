@@ -129,7 +129,8 @@ def test_maf_caller_negative_strand_inv_per_chunk():
     del_rows = [r for r in body if "SVTYPE=DEL" in r]
     assert len(del_rows) == 1
     assert "INV_NEST=TRUE" in del_rows[0]
-    # unchunked gives a single INV plus the same DEL
+    # default window: the boundary rule still cuts after the last gap run
+    # in each window (caller.rs:188-195), so two chunks -> two INV rows
     out2 = iolib.BytesIO()
     call_var_maf(
         MafReader(iolib.BytesIO(maf.encode())),
@@ -144,5 +145,5 @@ def test_maf_caller_negative_strand_inv_per_chunk():
         for l in out2.getvalue().decode().splitlines()
         if l and not l.startswith("#")
     ]
-    assert len([r for r in body2 if "<INV>" in r]) == 1
+    assert len([r for r in body2 if "<INV>" in r]) == 2
     assert [r for r in body2 if "SVTYPE=DEL" in r] == del_rows
