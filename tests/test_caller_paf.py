@@ -146,4 +146,10 @@ def test_maf_caller_negative_strand_inv_per_chunk():
         if l and not l.startswith("#")
     ]
     assert len([r for r in body2 if "<INV>" in r]) == 2
-    assert [r for r in body2 if "SVTYPE=DEL" in r] == del_rows
+    # negative-strand QI query offsets derive from per-chunk coordinates
+    # (create_chunk_record semantics), so only the decomposition-invariant
+    # fields are compared across chunkings
+    del2 = [r for r in body2 if "SVTYPE=DEL" in r]
+    assert [r.split("\t")[:8] for r in del2] == [
+        r.split("\t")[:8] for r in del_rows
+    ]
