@@ -99,22 +99,6 @@ class PafRecord:
         return ("\t".join(fields) + "\n").encode("ascii")
 
 
-_FIELD_NAMES = (
-    "query_name",
-    "query_length",
-    "query_start",
-    "query_end",
-    "strand",
-    "target_name",
-    "target_length",
-    "target_start",
-    "target_end",
-    "matches",
-    "block_length",
-    "mapq",
-)
-
-
 def parse_paf_line(line: str) -> PafRecord:
     fields = line.rstrip("\r\n").split("\t")
     if len(fields) < 12:

@@ -371,7 +371,7 @@ def call_record_part(
             if isinstance(row, bytes):
                 vcf.write_raw(row)  # pre-formatted SNP block
             else:
-                vcf.write_record(*_row_args(row))
+                vcf.write_record(*row)
 
 
 def plan_chunks(t_arr, q_arr, chunk_size, svlen_cutoff):
@@ -394,11 +394,6 @@ def plan_chunks(t_arr, q_arr, chunk_size, svlen_cutoff):
         plan.append((chunk_start, safe_end))
         chunk_start = next_start
     return plan
-
-
-def _row_args(row):
-    chrom, pos, ref, alt, info, fmt, sample_value = row
-    return chrom, pos, ref, alt, info, fmt, sample_value
 
 
 def call_var_paf(
