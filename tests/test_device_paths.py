@@ -120,3 +120,32 @@ def test_stat_paf_device_parity(each):
     stat_paf(PafReader(io.BytesIO(src)), host, each, device=False)
     stat_paf(PafReader(io.BytesIO(src)), dev, each, device=True)
     assert host.getvalue() == dev.getvalue()
+
+
+def test_batch_runs_caller_mode():
+    """Device caller-mode run extraction (gap/gap -> W) matches the host
+    caller_runs engine."""
+    import random
+
+    import numpy as np
+
+    from wgatools_tpu.core import cigar as CC
+    from wgatools_tpu.ops.classify import pack_pairs
+    from wgatools_tpu.ops.rle_device import batch_runs
+
+    rng = random.Random(9)
+    pairs = []
+    for _ in range(5):
+        n = rng.randint(10, 400)
+        t = "".join(rng.choice("ACGT--") for _ in range(n)).encode()
+        q = "".join(rng.choice("ACGT--") for _ in range(n)).encode()
+        pairs.append((t, q))
+    t, q, lens = pack_pairs(pairs)
+    row_ids, cats, run_lens = batch_runs(t, q, lens, caller=True)
+    splits = np.searchsorted(row_ids, np.arange(1, len(pairs)))
+    for (tb, qb), vals, lens_k in zip(
+        pairs, np.split(cats, splits), np.split(run_lens, splits)
+    ):
+        want_v, want_l = CC.caller_runs(CC.seq_bytes(tb), CC.seq_bytes(qb))
+        assert vals.tolist() == want_v.tolist()
+        assert lens_k.tolist() == want_l.tolist()

@@ -48,15 +48,18 @@ STAT_RUNS = 7
 N_STATS = 8
 
 # category codes (match core.cigar)
-EQ, X, I, D = 0, 1, 2, 3
+EQ, X, I, D, W = 0, 1, 2, 3, 4
 
 # sentinel category for "column before the first": never equal to any real
 # category, so run starts at column 0 are always counted
 _NO_CAT = 255
 
 
-def _classify(t, q):
-    """ext-mode category codes from byte tensors.
+def _classify(t, q, caller=False):
+    """Category codes from byte tensors.
+
+    ext mode (default): cigar_cat_ext -- equal bytes (incl. gap/gap) -> EQ.
+    caller mode: cigar_cat_ext_caller -- gap/gap -> W.
 
     Byte equality is computed as xor-then-widen-then-compare-to-zero:
     Mosaic (v5e) rejects direct sub-32-bit comparisons ("Target does not
@@ -65,6 +68,12 @@ def _classify(t, q):
     eq = (t ^ q).astype(jnp.int32) == 0
     ti = (t ^ jnp.uint8(GAP)).astype(jnp.int32) == 0
     qi = (q ^ jnp.uint8(GAP)).astype(jnp.int32) == 0
+    if caller:
+        return jnp.where(
+            ti,
+            jnp.where(qi, W, I),
+            jnp.where(qi, D, jnp.where(eq, EQ, X)),
+        ).astype(jnp.uint8)
     return jnp.where(eq, EQ, jnp.where(ti, I, jnp.where(qi, D, X))).astype(
         jnp.uint8
     )

@@ -20,10 +20,10 @@ import numpy as np
 from .classify import STAT_RUNS, _classify, _NO_CAT, column_stats
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
-def _extract_runs(t, q, lengths, size):
+@functools.partial(jax.jit, static_argnames=("size", "caller"))
+def _extract_runs(t, q, lengths, size, caller=False):
     B, L = t.shape
-    cat = _classify(t, q).astype(jnp.int32)
+    cat = _classify(t, q, caller).astype(jnp.int32)
     col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     mask = col < lengths[:, None]
     prev = jnp.concatenate(
@@ -47,23 +47,31 @@ def _extract_runs(t, q, lengths, size):
     return row, run_cat, run_len, valid
 
 
-def batch_runs(t, q, lengths):
+def batch_runs(t, q, lengths, caller=False):
     """Extract all runs of a padded batch, in (row, column) order.
 
-    Returns numpy (row_ids int32, cats int32, lens int32).
+    caller=True uses the caller category table (gap/gap -> W) -- the
+    device scan for the variant caller.  Returns numpy
+    (row_ids int32, cats int32, lens int32).
     """
     t = jnp.asarray(t, dtype=jnp.uint8)
     q = jnp.asarray(q, dtype=jnp.uint8)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
     stats = np.asarray(column_stats(t, q, lengths))
     total = int(stats[:, STAT_RUNS].sum())
+    if caller:
+        # the run count comes from the ext-mode stats where gap/gap columns
+        # fold into EQ runs; in caller mode each gap/gap run becomes its
+        # own W run and can split an EQ run in two -- bound by +2 per
+        # gap/gap column
+        total += 2 * int(stats[:, 6].sum()) + 1
     if total == 0:
         z = np.zeros(0, dtype=np.int32)
         return z, z, z
     # bucket the extraction size to powers of two with a generous floor so
     # realistic workloads hit a handful of compiled sizes
     size = max(1 << (total - 1).bit_length(), 1 << 16)
-    row, cat, ln, valid = _extract_runs(t, q, lengths, size)
+    row, cat, ln, valid = _extract_runs(t, q, lengths, size, caller)
     valid = np.asarray(valid)
     return (
         np.asarray(row)[valid],
