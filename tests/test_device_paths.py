@@ -149,3 +149,24 @@ def test_batch_runs_caller_mode():
         want_v, want_l = CC.caller_runs(CC.seq_bytes(tb), CC.seq_bytes(qb))
         assert vals.tolist() == want_v.tolist()
         assert lens_k.tolist() == want_l.tolist()
+
+
+def test_call_device_scan_parity(monkeypatch):
+    """Forcing the device caller scan yields the same VCF as the host scan."""
+    from wgatools_tpu.tools.caller import call_var_maf
+
+    host = io.BytesIO()
+    call_var_maf(
+        MafReader.from_path(fixture_path("test.maf")),
+        None, host, True, False, 0,
+    )
+    monkeypatch.setenv("WGA_TPU_DEVICE", "1")
+    monkeypatch.setattr(
+        "wgatools_tpu.tools.stat.DEVICE_MIN_COLUMNS", 1, raising=True
+    )
+    dev = io.BytesIO()
+    call_var_maf(
+        MafReader.from_path(fixture_path("test.maf")),
+        None, dev, True, False, 0,
+    )
+    assert host.getvalue() == dev.getvalue()

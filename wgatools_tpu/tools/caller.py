@@ -121,6 +121,25 @@ def _emit_inv_record(out, mafrec, t_seq_ref, fmt_suffix):
     )
 
 
+def _caller_runs_dispatch(t_arr, q_arr):
+    """Caller-mode classify+RLE: device run extraction on TPU backends for
+    large chunks (the variant scan's device path), host C++/numpy engine
+    otherwise.  Identical outputs (tested)."""
+    from .stat import DEVICE_MIN_COLUMNS, _device_requested
+
+    if t_arr.shape[0] >= DEVICE_MIN_COLUMNS and _device_requested(None):
+        from ..ops.rle_device import batch_runs
+
+        row_ids, cats, lens = batch_runs(
+            t_arr[None, :],
+            q_arr[None, :],
+            np.array([t_arr.shape[0]], dtype=np.int32),
+            caller=True,
+        )
+        return cats.astype(np.uint8), lens.astype(np.int64)
+    return C.caller_runs(t_arr, q_arr)
+
+
 def call_within_var(mafrec: MafRecord, if_snp: bool, svlen_cutoff: int, if_inv: bool):
     """Vectorized variant scan over one (chunk) record
     (reference: caller.rs:388-608).  Returns VCF row tuples."""
@@ -145,7 +164,7 @@ def call_within_var(mafrec: MafRecord, if_snp: bool, svlen_cutoff: int, if_inv: 
     if negative and len(t_seq_ref) > 0 and if_inv:
         _emit_inv_record(out, mafrec, t_seq_ref, fmt_suffix)
 
-    vals, lens = C.caller_runs(t_arr, q_arr)
+    vals, lens = _caller_runs_dispatch(t_arr, q_arr)
     nruns = vals.shape[0]
     if nruns == 0:
         return out
