@@ -347,3 +347,34 @@ def test_maf_ext_bed_file(tmp_path):
     assert not failed
     rec = next(MafReader(io.BytesIO(out.getvalue())).records())
     assert rec.target_start == 181470000
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_negative_strand_chain_pipe_fixed_point(tmp_path, seed):
+    """For negative strands the reference's chain header remap is not an
+    involution (chain.rs:136-137 sequential mutation), so the 4-step pipe
+    paf2chain|chain2maf|maf2chain|chain2paf is checked for *stability
+    after one pass* rather than equality with the input."""
+    from wgatools_tpu.tools import convert as cv
+
+    paf_line, t_fa, q_fa = make_paf_case(300 + seed, negative=True)
+    t_path = tmp_path / "t.fa"
+    q_path = tmp_path / "q.fa"
+    t_path.write_text(t_fa)
+    q_path.write_text(q_fa)
+
+    def pipe(paf_bytes):
+        chain = run_tool(cv.paf2chain, PafReader(io.BytesIO(paf_bytes)))
+        maf = run_tool(
+            cv.chain2maf, ChainReader(io.BytesIO(chain)),
+            str(t_path), str(q_path),
+        )
+        chain2 = run_tool(cv.maf2chain, MafReader(io.BytesIO(maf)))
+        return run_tool(cv.chain2paf, ChainReader(io.BytesIO(chain2)))
+
+    once = pipe(paf_line.encode() + b"\n")
+    twice = pipe(once)
+    assert once == twice
+    # the PAF row must still point at the same sequences and strand
+    f = once.decode().split("\t")
+    assert f[0] == "q1" and f[4] == "-" and f[5] == "t1"
