@@ -161,3 +161,54 @@ class TestMesh:
                 continue
             expect[s : min(e, 12)] += 1
         np.testing.assert_array_equal(got, expect)
+
+
+def test_pallas_partial_tiles():
+    """Regression: L or B not divisible by the tile sizes must not let
+    out-of-bounds block padding corrupt the counters (found by soak)."""
+    # identical pair, padded L=1152 with tile_l=512 -> partial final tile
+    t = q = (b"ACGT" * 275)[:1097]
+    tb, qb, lens = pack_pairs([(t, q)])
+    got = np.array(
+        classify_stat_pallas(tb, qb, lens, tile_b=4, tile_l=512, interpret=True)
+    )
+    np.testing.assert_array_equal(got, _host_expected([(t, q)]))
+    # B=3 with tile_b=2 -> partial row tile
+    pairs = [(t, q), (b"AC-T", b"ACGT"), (b"AAAA", b"AAAA")]
+    tb, qb, lens = pack_pairs(pairs)
+    got = np.array(
+        classify_stat_pallas(tb, qb, lens, tile_b=2, tile_l=512, interpret=True)
+    )
+    np.testing.assert_array_equal(got, _host_expected(pairs))
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_kernel_soak(trial):
+    """Randomized shapes/tiles vs the host engine (CI slice of the soak)."""
+    rng = random.Random(5000 + trial)
+    B = rng.randint(1, 9)
+    pairs = []
+    for _ in range(B):
+        n = rng.randint(1, 2000)
+        style = rng.random()
+        if style < 0.15:
+            t = q = bytes(rng.choice(b"ACGT") for _ in range(n))
+        else:
+            t = bytes(rng.choice(b"ACGTacgtN--") for _ in range(n))
+            q = bytes(rng.choice(b"ACGTacgtN--") for _ in range(n))
+        pairs.append((t, q))
+    t, q, lens = pack_pairs(pairs)
+    expect = _host_expected(pairs)
+    np.testing.assert_array_equal(
+        np.array(classify_stat_jnp(t, q, lens)), expect
+    )
+    tile_b = rng.choice([1, 2, 4, 8])
+    tile_l = rng.choice([128, 256, 512])
+    np.testing.assert_array_equal(
+        np.array(
+            classify_stat_pallas(
+                t, q, lens, tile_b=tile_b, tile_l=tile_l, interpret=True
+            )
+        ),
+        expect,
+    )

@@ -179,6 +179,24 @@ def classify_stat_pallas(t, q, lengths, tile_b=8, tile_l=32768, interpret=False)
     B, L = t.shape
     tile_b = min(tile_b, B)
     tile_l = min(tile_l, L)
+    # the grid must cover the array exactly: a partial final tile would
+    # read out-of-bounds block padding, which is not '-'/'-' and would
+    # corrupt the counters -- extend the arrays with gap columns instead
+    # (they classify as '=' and are covered by the padding corrections)
+    if L % tile_l:
+        L2 = ((L + tile_l - 1) // tile_l) * tile_l
+        t = jnp.pad(t, ((0, 0), (0, L2 - L)), constant_values=GAP)
+        q = jnp.pad(q, ((0, 0), (0, L2 - L)), constant_values=GAP)
+        L = L2
+    if B % tile_b:
+        B2 = ((B + tile_b - 1) // tile_b) * tile_b
+        t = jnp.pad(t, ((0, B2 - B), (0, 0)), constant_values=GAP)
+        q = jnp.pad(q, ((0, B2 - B), (0, 0)), constant_values=GAP)
+        lengths = jnp.pad(lengths, (0, B2 - B))
+        pad_rows = B2 - B
+        B = B2
+    else:
+        pad_rows = 0
     nb = pl.cdiv(B, tile_b)
     nl = pl.cdiv(L, tile_l)
 
@@ -241,7 +259,10 @@ def classify_stat_pallas(t, q, lengths, tile_b=8, tile_l=32768, interpret=False)
     corr = corr.at[:, STAT_RUNS].add(
         jnp.where(has_pad & ~merged, 1, 0).astype(jnp.int32)
     )
-    return out - corr
+    result = out - corr
+    if pad_rows:
+        result = result[:-pad_rows]
+    return result
 
 
 def _default_interpret() -> bool:
