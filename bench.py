@@ -38,24 +38,25 @@ def main():
     B, L = (16, 1 << 20) if on_tpu else (4, 1 << 16)
     rng = np.random.default_rng(0)
     alphabet = np.frombuffer(b"ACGT-", dtype=np.uint8)
-    t = alphabet[rng.integers(0, 5, size=(B, L))]
-    q = alphabet[rng.integers(0, 5, size=(B, L))]
     lens = np.full(B, L, dtype=np.int32)
-
-    t_d = jax.device_put(jnp.asarray(t))
-    q_d = jax.device_put(jnp.asarray(q))
     lens_d = jax.device_put(jnp.asarray(lens))
 
-    if on_tpu:
-        def step():
-            return classify_stat_pallas(t_d, q_d, lens_d)
-    else:
-        def step():
-            return classify_stat_jnp(t_d, q_d, lens_d)
+    # several DISTINCT buffer pairs, rotated per iteration, so no layer can
+    # elide or deduplicate repeated identical executions
+    n_bufs = 3
+    bufs = []
+    for _ in range(n_bufs):
+        t = alphabet[rng.integers(0, 5, size=(B, L))]
+        q = alphabet[rng.integers(0, 5, size=(B, L))]
+        bufs.append(
+            (jax.device_put(jnp.asarray(t)), jax.device_put(jnp.asarray(q)))
+        )
+
+    kernel = classify_stat_pallas if on_tpu else classify_stat_jnp
 
     # compile + warm
-    out = step()
-    out.block_until_ready()
+    for t_d, q_d in bufs:
+        kernel(t_d, q_d, lens_d).block_until_ready()
 
     # several timed batches; report the best (remote dispatch jitter makes
     # single-batch numbers vary widely)
@@ -64,9 +65,12 @@ def main():
     rates = []
     for _ in range(batches):
         start = time.perf_counter()
-        for _ in range(iters):
-            out = step()
-        out.block_until_ready()
+        outs = []
+        for i in range(iters):
+            t_d, q_d = bufs[i % n_bufs]
+            outs.append(kernel(t_d, q_d, lens_d))
+        for o in outs:
+            o.block_until_ready()
         elapsed = time.perf_counter() - start
         rates.append(B * L * iters / elapsed)
     rates.sort()
