@@ -150,54 +150,20 @@ def _kernel(t_ref, q_ref, out_ref):
     bytes are '-'/'-' (classifying as '=') and applies exact padding and
     tile-boundary corrections outside (see classify_stat_pallas).
 
-    Categories are never materialized as an i32 tensor: everything is
-    derived from boolean masks of the raw bytes and their 1-column shifts,
-    which measures ~1.4x faster than the cat/prev_cat formulation (less
-    widened traffic through the VPU)."""
+    Formulation note: materializing the i32 category tensor and shifting it
+    once measures 1.5-3x FASTER than the all-boolean variant that compares
+    shifted bytes directly (6 xor/widen/compare chains vs 3 + one shift) --
+    same-process A/B on the v5e chip."""
     j = pl.program_id(1)
 
     t = t_ref[:]
     q = q_ref[:]
-    eq = (t ^ q).astype(jnp.int32) == 0
-    ti = (t ^ jnp.uint8(GAP)).astype(jnp.int32) == 0
-    qi = (q ^ jnp.uint8(GAP)).astype(jnp.int32) == 0
-    is_i = ti & ~eq
-    is_d = qi & ~eq & ~ti
-    is_x = ~(eq | ti | qi)
-
-    # 1-column byte shifts for previous-column categories; column 0 of a
-    # tile always counts as a run start (tile-local semantics; cross-tile
-    # continuations are corrected by the wrapper)
-    tp = jnp.concatenate([t[:, :1], t[:, :-1]], axis=1)
-    qp = jnp.concatenate([q[:, :1], q[:, :-1]], axis=1)
-    first_col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == 0
-    eqp = (tp ^ qp).astype(jnp.int32) == 0
-    tip = (tp ^ jnp.uint8(GAP)).astype(jnp.int32) == 0
-    qip = (qp ^ jnp.uint8(GAP)).astype(jnp.int32) == 0
-    is_ip = tip & ~eqp
-    is_dp = qip & ~eqp & ~tip
-    is_xp = ~(eqp | tip | qip)
-
-    i_start = is_i & (first_col | ~is_ip)
-    d_start = is_d & (first_col | ~is_dp)
-    run_start = first_col | ~(
-        (eq & eqp) | (is_i & is_ip) | (is_d & is_dp) | (is_x & is_xp)
+    tb = t.shape[0]
+    cat = _classify(t, q).astype(jnp.int32)
+    prev_cat = jnp.concatenate(
+        [jnp.full((tb, 1), _NO_CAT, jnp.int32), cat[:, :-1]], axis=1
     )
-
-    i32 = jnp.int32
-    stats = jnp.stack(
-        [
-            jnp.sum(eq, axis=1, dtype=i32),
-            jnp.sum(is_x, axis=1, dtype=i32),
-            jnp.sum(is_i, axis=1, dtype=i32),
-            jnp.sum(is_d, axis=1, dtype=i32),
-            jnp.sum(i_start, axis=1, dtype=i32),
-            jnp.sum(d_start, axis=1, dtype=i32),
-            jnp.sum(ti & qi, axis=1, dtype=i32),
-            jnp.sum(run_start, axis=1, dtype=i32),
-        ],
-        axis=1,
-    )
+    stats = _stats_from_cat(cat, prev_cat, _gapgap(t, q))
 
     @pl.when(j == 0)
     def _():
