@@ -153,3 +153,24 @@ def test_rle_empty_and_single():
     assert len(vals) == 0
     vals, lens = C.rle(np.array([3], dtype=np.uint8))
     assert vals.tolist() == [3] and lens.tolist() == [1]
+
+
+def test_fmt_f32_matches_rust_display():
+    """Lock f32 formatting to Rust Display/ryu semantics: shortest
+    round-trip, positional notation, NaN spelling (stat.rs f32 fields)."""
+    from wgatools_tpu.core.fmt import fmt_f32
+
+    cases = [
+        (0.99, "0.99"),
+        (0.999, "0.999"),
+        (1.0, "1.0"),
+        (0.0, "0.0"),
+        (50.0, "50.0"),
+        (1 / 3, "0.33333334"),
+        (0.1, "0.1"),
+        (123456.78, "123456.78"),
+        (1e-9, "0.000000001"),
+        (float("nan"), "NaN"),
+    ]
+    for value, want in cases:
+        assert fmt_f32(value) == want, (value, fmt_f32(value), want)
