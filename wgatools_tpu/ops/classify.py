@@ -150,20 +150,34 @@ def _kernel(t_ref, q_ref, out_ref):
     bytes are '-'/'-' (classifying as '=') and applies exact padding and
     tile-boundary corrections outside (see classify_stat_pallas).
 
-    Formulation note: materializing the i32 category tensor and shifting it
-    once measures 1.5-3x FASTER than the all-boolean variant that compares
-    shifted bytes directly (6 xor/widen/compare chains vs 3 + one shift) --
-    same-process A/B on the v5e chip."""
+    Formulation notes (same-process A/B on the v5e chip):
+    - materializing the i32 category tensor and shifting it once is 1.5-3x
+      faster than an all-boolean variant re-comparing shifted bytes;
+    - pltpu.roll for the 1-column shift (with column 0 forced to be a run
+      start, since roll wraps) is a further ~15% over jnp.concatenate."""
     j = pl.program_id(1)
 
     t = t_ref[:]
     q = q_ref[:]
-    tb = t.shape[0]
     cat = _classify(t, q).astype(jnp.int32)
-    prev_cat = jnp.concatenate(
-        [jnp.full((tb, 1), _NO_CAT, jnp.int32), cat[:, :-1]], axis=1
+    prev_cat = pltpu.roll(cat, 1, axis=1)
+    first_col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == 0
+    is_i = cat == I
+    is_d = cat == D
+    i32 = jnp.int32
+    stats = jnp.stack(
+        [
+            jnp.sum(cat == EQ, axis=1, dtype=i32),
+            jnp.sum(cat == X, axis=1, dtype=i32),
+            jnp.sum(is_i, axis=1, dtype=i32),
+            jnp.sum(is_d, axis=1, dtype=i32),
+            jnp.sum(is_i & (first_col | (prev_cat != I)), axis=1, dtype=i32),
+            jnp.sum(is_d & (first_col | (prev_cat != D)), axis=1, dtype=i32),
+            jnp.sum(_gapgap(t, q), axis=1, dtype=i32),
+            jnp.sum(first_col | (cat != prev_cat), axis=1, dtype=i32),
+        ],
+        axis=1,
     )
-    stats = _stats_from_cat(cat, prev_cat, _gapgap(t, q))
 
     @pl.when(j == 0)
     def _():
