@@ -226,6 +226,37 @@ def _call_units_worker(args):
     return out.getvalue()
 
 
+def _call_split_record(record, n_parts, params):
+    """Process one huge parsed record in n_parts forked children.
+
+    The record is parsed ONCE in the parent and inherited copy-on-write by
+    the children -- each child claims a contiguous slice of the SV-safe
+    chunk plan (call_record_part)."""
+    from ..core import cigar as C
+    from ..tools.caller import DEFAULT_CHUNK_SIZE, call_record_part, plan_chunks
+
+    if_snp, if_inv, svlen, chunk_size, query_name, query_regex = params
+    # the plan is deterministic; compute it once in the parent so the
+    # children (which inherit it copy-on-write) skip the full-record scan
+    plan = plan_chunks(
+        C.seq_bytes(record.target_seq),
+        C.seq_bytes(record.query_seq),
+        chunk_size or DEFAULT_CHUNK_SIZE,
+        svlen,
+    )
+
+    def work(part):
+        out = io.BytesIO()
+        call_record_part(
+            record, out, if_snp, if_inv, svlen, chunk_size,
+            query_name, query_regex, part, n_parts,
+            precomputed_plan=plan,
+        )
+        return out.getvalue()
+
+    return forked_map(work, list(range(n_parts)))
+
+
 def parallel_call_maf(
     path,
     writer,
@@ -263,28 +294,43 @@ def parallel_call_maf(
         - offsets[i]
         for i in range(len(offsets))
     ]
-    # ordered unit list: (rec_idx, part, n_parts) with cost weights
-    units = []
+    params = (if_snp, if_inv, svlen, chunk_size, query_name, query_regex)
+
+    # phases: consecutive small records batch into worker groups; a record
+    # above SPLIT_BYTES becomes its own phase, parsed once in the parent
+    # and processed COW-forked by plan parts (output order preserved)
+    def flush_small(small_range):
+        lo, hi = small_range
+        if lo >= hi:
+            return
+        ranges = _ranges(hi - lo, n_workers)
+        args = [
+            (
+                path,
+                offsets,
+                [(lo + k, 0, 1) for k in range(a, b)],
+                params,
+            )
+            for a, b in ranges
+            if a < b
+        ]
+        for chunk in forked_map(_call_units_worker, args):
+            writer.write(chunk)
+
+    from ..io.maf import MafReader
+
+    reader = MafReader.from_path(path)
+    small_lo = 0
     for i, sz in enumerate(sizes):
         if sz > SPLIT_BYTES and n_workers > 1:
+            flush_small((small_lo, i))
+            small_lo = i + 1
+            reader.seek(offsets[i])
+            record = reader.next_record()
+            if record is None:
+                continue
             n_parts = min(n_workers, (sz + SPLIT_BYTES - 1) // SPLIT_BYTES)
-            for j in range(n_parts):
-                units.append(((i, j, n_parts), sz / n_parts))
-        else:
-            units.append(((i, 0, 1), sz))
-    # contiguous partition balanced by weight
-    total_w = sum(w for _, w in units)
-    target = total_w / max(1, n_workers)
-    groups = [[]]
-    acc = 0.0
-    for u, w in units:
-        if acc >= target and len(groups) < n_workers:
-            groups.append([])
-            acc = 0.0
-        groups[-1].append(u)
-        acc += w
-    params = (if_snp, if_inv, svlen, chunk_size, query_name, query_regex)
-    args = [(path, offsets, g, params) for g in groups if g]
-    for chunk in forked_map(_call_units_worker, args):
-        writer.write(chunk)
+            for chunk in _call_split_record(record, n_parts, params):
+                writer.write(chunk)
+    flush_small((small_lo, len(sizes)))
     writer.flush()

@@ -347,6 +347,7 @@ def call_record_part(
     part: int = 0,
     n_parts: int = 1,
     vcf=None,
+    precomputed_plan=None,
 ):
     """Process contiguous slice `part` of `n_parts` of one record's SV-safe
     chunk plan.
@@ -374,9 +375,11 @@ def call_record_part(
         record.query_idx = 1
 
     view = _ChunkView(record)
-    plan = plan_chunks(
-        view.t_arr, view.q_arr, base_chunk_size, svlen_cutoff
-    )
+    plan = precomputed_plan
+    if plan is None:
+        plan = plan_chunks(
+            view.t_arr, view.q_arr, base_chunk_size, svlen_cutoff
+        )
     k = len(plan)
     lo = (part * k) // n_parts
     hi = ((part + 1) * k) // n_parts
