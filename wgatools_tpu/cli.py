@@ -234,13 +234,19 @@ def dispatch(args):
                 args.query_name,
             )
     elif cmd in ("maf2chain", "m2c"):
+        from .parallel.host_pool import is_plain_seekable, parallel_maf2chain
         from .tools.convert import maf2chain
 
-        maf2chain(
-            MafReader(open_input(args.input)),
-            open_output(out, rw),
-            args.query_name,
-        )
+        if args.threads > 1 and is_plain_seekable(args.input):
+            parallel_maf2chain(
+                args.input, open_output(out, rw), args.threads, args.query_name
+            )
+        else:
+            maf2chain(
+                MafReader(open_input(args.input)),
+                open_output(out, rw),
+                args.query_name,
+            )
     elif cmd in ("paf2maf", "p2m"):
         from .tools.convert import paf2maf
 

@@ -176,13 +176,40 @@ def _work_call(rec, out, i, extra):
     return None
 
 
+def _work_maf2chain(rec, out, i, extra):
+    from ..core import cigar as CC
+    from ..io.chain import chain_header_from_record, write_chain_record
+    from ..tools.convert import _EXT2OP, _maf_ext_runs, _merge_m_runs
+
+    query_name = extra
+    if query_name is not None:
+        rec.set_query_idx_byname(query_name)
+    vals, lens = _maf_ext_runs(rec)
+    trims = CC.trims_from_ops(_EXT2OP[vals], lens)
+    header = chain_header_from_record(rec, *trims)
+    header.chain_id = i  # record index preserves the serial numbering
+    m_vals, m_lens = _merge_m_runs(vals, lens)
+    sizes, dqs, dts, final_size = CC.chain_line_arrays_from_cat_runs(
+        m_vals, m_lens
+    )
+    write_chain_record(out, header, (sizes, dqs, dts), final_size)
+    return None
+
+
 _WORK["maf2paf"] = _work_maf2paf
 _WORK["stat"] = _work_stat
 _WORK["call"] = _work_call
+_WORK["maf2chain"] = _work_maf2chain
 
 
 def parallel_maf2paf(path, writer, n_workers, query_name=None):
     for chunk, _ in map_maf_records(path, n_workers, "maf2paf", query_name):
+        writer.write(chunk)
+    writer.flush()
+
+
+def parallel_maf2chain(path, writer, n_workers, query_name=None):
+    for chunk, _ in map_maf_records(path, n_workers, "maf2chain", query_name):
         writer.write(chunk)
     writer.flush()
 

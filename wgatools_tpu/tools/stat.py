@@ -220,34 +220,8 @@ def write_style_result(pair_stats, writer, each: bool):
     writer.flush()
 
 
-# auto-device only pays off past this many alignment columns (device
-# dispatch + remote compile latency dominates below it)
-DEVICE_MIN_COLUMNS = 1 << 22
-
-
-def _device_requested(device):
-    """Auto mode must not *initialize* a backend just to probe it (the
-    remote-TPU client costs seconds to bring up): use the device when
-    WGA_TPU_DEVICE is set, or when JAX is already live on a TPU backend."""
-    if device is not None:
-        return device
-    import os
-    import sys
-
-    env = os.environ.get("WGA_TPU_DEVICE")
-    if env is not None:
-        return env not in ("", "0", "false")
-    if "jax" not in sys.modules:
-        return False
-    try:
-        import jax
-        from jax._src import xla_bridge
-
-        if not xla_bridge.backends_are_initialized():
-            return False
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+from ..core.device import DEVICE_MIN_COLUMNS  # noqa: F401
+from ..core.device import device_requested as _device_requested  # noqa: F401
 
 
 def stat_maf(reader, writer, each: bool = False, query_name=None, device=None):
