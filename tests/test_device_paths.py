@@ -170,3 +170,17 @@ def test_call_device_scan_parity(monkeypatch):
         None, dev, True, False, 0,
     )
     assert host.getvalue() == dev.getvalue()
+
+
+def test_maf2chain_device_parity():
+    from wgatools_tpu.tools.convert import maf2chain
+
+    host = io.BytesIO()
+    maf2chain(
+        MafReader.from_path(fixture_path("test.maf")), host, device=False
+    )
+    dev = io.BytesIO()
+    maf2chain(
+        MafReader.from_path(fixture_path("test.maf")), dev, device=True
+    )
+    assert host.getvalue() == dev.getvalue()

@@ -39,58 +39,14 @@ def maf2paf(mafreader: MafReader, writer, query_name=None, device=None):
     _maf2paf_device(mafreader, writer, query_name)
 
 
-def _maf2paf_device(mafreader: MafReader, writer, query_name=None,
-                    batch_columns=64 << 20):
-    from ..ops.classify import pack_pairs
-    from ..ops.rle_device import batch_runs
-    from ..tools.stat import DEVICE_MIN_COLUMNS
-
+def _maf2paf_device(mafreader: MafReader, writer, query_name=None):
     paf_writer = PafWriter(writer)
-    pending = []
-    max_len = 0
 
-    from ..core.metrics import METRICS
+    def emit(rec, _idx, vals, lens):
+        cigar = C.cigar_from_runs(vals, lens, rec.is_negative)
+        paf_writer.write_record(_paf_from_cigar(rec, cigar))
 
-    def flush():
-        nonlocal max_len
-        if not pending:
-            return
-        total_cols = sum(len(r.target_seq) for r in pending)
-        if total_cols < DEVICE_MIN_COLUMNS:
-            # too small to amortize device dispatch
-            for rec in pending:
-                paf_writer.write_record(rec.convert2paf(None))
-            pending.clear()
-            max_len = 0
-            return
-        with METRICS.stage("pack", sum(len(r.target_seq) * 2 for r in pending)):
-            t, q, lens = pack_pairs(
-                [(r.target_seq, r.query_seq) for r in pending]
-            )
-        with METRICS.stage("device_rle", t.nbytes * 2):
-            row_ids, cats, run_lens = batch_runs(t, q, lens)
-        splits = np.searchsorted(row_ids, np.arange(1, len(pending)))
-        for rec, vals, lens_k in zip(
-            pending,
-            np.split(cats.astype(np.uint8), splits),
-            np.split(run_lens.astype(np.int64), splits),
-        ):
-            cigar = C.cigar_from_runs(vals, lens_k, rec.is_negative)
-            paf_writer.write_record(_paf_from_cigar(rec, cigar))
-        pending.clear()
-        max_len = 0
-
-    for record in mafreader.records():
-        if query_name is not None:
-            record.set_query_idx_byname(query_name)
-        n = len(record.target_seq)
-        new_max = max(max_len, n)
-        if pending and new_max * (len(pending) + 1) > batch_columns:
-            flush()
-            new_max = n
-        max_len = new_max
-        pending.append(record)
-    flush()
+    _batched_ext_runs(mafreader, query_name, emit)
     writer.flush()
 
 
@@ -149,22 +105,98 @@ def _merge_m_runs(vals: np.ndarray, lens: np.ndarray):
     return m_vals[starts], merged_lens
 
 
-def maf2chain(mafreader: MafReader, writer, query_name=None):
+def maf2chain(mafreader: MafReader, writer, query_name=None, device=None):
     """MAF -> chain (reference: converter.rs:57-92): header via the ext-mode
-    trim rule, data lines via M-merged runs, auto-increment chain ids."""
-    for chain_id, record in enumerate(mafreader.records()):
+    trim rule, data lines via M-merged runs, auto-increment chain ids.
+
+    The device path classifies + run-length-encodes column batches on the
+    TPU (same pipeline as maf2paf); trims/merging/chain emission work on
+    the small run tables host-side."""
+    from ..core.device import device_requested
+
+    if not device_requested(device):
+        for chain_id, record in enumerate(mafreader.records()):
+            if query_name is not None:
+                record.set_query_idx_byname(query_name)
+            vals, lens = _maf_ext_runs(record)
+            _emit_chain(writer, record, chain_id, vals, lens)
+        writer.flush()
+        return
+    _batched_ext_runs(
+        mafreader,
+        query_name,
+        lambda record, chain_id, vals, lens: _emit_chain(
+            writer, record, chain_id, vals, lens
+        ),
+    )
+    writer.flush()
+
+
+def _emit_chain(writer, record, chain_id, vals, lens):
+    trims = C.trims_from_ops(_EXT2OP[vals], lens)
+    header = chain_header_from_record(record, *trims)
+    header.chain_id = chain_id
+    m_vals, m_lens = _merge_m_runs(vals, lens)
+    sizes, dqs, dts, final_size = C.chain_line_arrays_from_cat_runs(
+        m_vals, m_lens
+    )
+    write_chain_record(writer, header, (sizes, dqs, dts), final_size)
+
+
+def _batched_ext_runs(mafreader, query_name, emit, batch_columns=64 << 20):
+    """Stream records through the device run-extraction pipeline, calling
+    emit(record, index, run_vals, run_lens) in input order."""
+    from ..core.device import DEVICE_MIN_COLUMNS
+    from ..core.metrics import METRICS
+    from ..ops.classify import pack_pairs
+    from ..ops.rle_device import batch_runs
+
+    pending = []
+    max_len = 0
+    next_index = 0
+
+    def flush():
+        nonlocal max_len, next_index
+        if not pending:
+            return
+        total_cols = sum(len(r.target_seq) for r in pending)
+        if total_cols < DEVICE_MIN_COLUMNS:
+            # too small to amortize device dispatch
+            for rec in pending:
+                vals, lens = _maf_ext_runs(rec)
+                emit(rec, next_index, vals, lens)
+                next_index += 1
+            pending.clear()
+            max_len = 0
+            return
+        with METRICS.stage("pack", total_cols * 2):
+            t, q, lens = pack_pairs(
+                [(r.target_seq, r.query_seq) for r in pending]
+            )
+        with METRICS.stage("device_rle", t.nbytes * 2):
+            row_ids, cats, run_lens = batch_runs(t, q, lens)
+        splits = np.searchsorted(row_ids, np.arange(1, len(pending)))
+        for rec, vals, lens_k in zip(
+            pending,
+            np.split(cats.astype(np.uint8), splits),
+            np.split(run_lens.astype(np.int64), splits),
+        ):
+            emit(rec, next_index, vals, lens_k)
+            next_index += 1
+        pending.clear()
+        max_len = 0
+
+    for record in mafreader.records():
         if query_name is not None:
             record.set_query_idx_byname(query_name)
-        vals, lens = _maf_ext_runs(record)
-        trims = C.trims_from_ops(_EXT2OP[vals], lens)
-        header = chain_header_from_record(record, *trims)
-        header.chain_id = chain_id
-        m_vals, m_lens = _merge_m_runs(vals, lens)
-        sizes, dqs, dts, final_size = C.chain_line_arrays_from_cat_runs(
-            m_vals, m_lens
-        )
-        write_chain_record(writer, header, (sizes, dqs, dts), final_size)
-    writer.flush()
+        n = len(record.target_seq)
+        new_max = max(max_len, n)
+        if pending and new_max * (len(pending) + 1) > batch_columns:
+            flush()
+            new_max = n
+        max_len = new_max
+        pending.append(record)
+    flush()
 
 
 def paf2chain(pafreader: PafReader, writer):
