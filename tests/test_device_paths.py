@@ -184,3 +184,69 @@ def test_maf2chain_device_parity():
         MafReader.from_path(fixture_path("test.maf")), dev, device=True
     )
     assert host.getvalue() == dev.getvalue()
+
+
+def test_batched_pipeline_multi_flush_parity(monkeypatch):
+    """Device pipeline with forced-small batches (multiple flushes, mixed
+    record sizes and strands) stays byte-identical to the host path."""
+    import random
+
+    # force the real device-RLE path (not the small-input host fallback)
+    monkeypatch.setattr(
+        "wgatools_tpu.core.device.DEVICE_MIN_COLUMNS", 1, raising=True
+    )
+
+    from wgatools_tpu.tools.convert import (
+        _batched_ext_runs,
+        _emit_chain,
+        maf2chain,
+        maf2paf,
+    )
+
+    rng = random.Random(21)
+    lines = ["#maf version=1.6"]
+    for k in range(9):
+        n = rng.randint(50, 3000)
+        t = "".join(rng.choice("ACGT-") for _ in range(n))
+        q = "".join(rng.choice("ACGT-") for _ in range(n))
+        t = "A" + t[1:]
+        q = "A" + q[1:]  # avoid all-gap slines
+        ts = sum(1 for c in t if c != "-")
+        qs = sum(1 for c in q if c != "-")
+        strand = "-" if k % 3 == 0 else "+"
+        lines += [
+            "a score=0",
+            f"s\tt{k % 2}\t{k * 10}\t{ts}\t+\t100000\t{t}",
+            f"s\tq{k}\t{k * 7}\t{qs}\t{strand}\t90000\t{q}",
+            "",
+        ]
+    maf = ("\n".join(lines) + "\n").encode()
+
+    host = io.BytesIO()
+    maf2paf(MafReader(io.BytesIO(maf)), host, device=False)
+    dev = io.BytesIO()
+    # monkey-batch: route through the batched pipeline with tiny batches
+    from wgatools_tpu.io.paf import PafWriter
+    from wgatools_tpu.tools.convert import C, _paf_from_cigar
+
+    paf_writer = PafWriter(dev)
+
+    def emit(rec, _idx, vals, lens_k):
+        cigar = C.cigar_from_runs(vals, lens_k, rec.is_negative)
+        paf_writer.write_record(_paf_from_cigar(rec, cigar))
+
+    _batched_ext_runs(
+        MafReader(io.BytesIO(maf)), None, emit, batch_columns=4096
+    )
+    assert host.getvalue() == dev.getvalue()
+
+    chain_host = io.BytesIO()
+    maf2chain(MafReader(io.BytesIO(maf)), chain_host, device=False)
+    chain_dev = io.BytesIO()
+    _batched_ext_runs(
+        MafReader(io.BytesIO(maf)),
+        None,
+        lambda rec, i, v, l: _emit_chain(chain_dev, rec, i, v, l),
+        batch_columns=4096,
+    )
+    assert chain_host.getvalue() == chain_dev.getvalue()
