@@ -71,19 +71,28 @@ def main():
         assert checksum != 0
         return time.perf_counter() - start
 
-    lo_iters, hi_iters = (4, 12) if on_tpu else (2, 6)
+    lo_iters, hi_iters = (4, 36) if on_tpu else (2, 6)
     # warm compiles for both batch shapes
     run_batch(lo_iters)
     run_batch(hi_iters)
 
-    rates = []
-    for _ in range(3):
-        t_lo = run_batch(lo_iters)
-        t_hi = run_batch(hi_iters)
-        if t_hi > t_lo:
-            rates.append(B * L * (hi_iters - lo_iters) / (t_hi - t_lo))
-    rates.sort()
-    gbps = (rates[len(rates) // 2] if rates else 0.0) / 1e9
+    # min over repeats is the least-interference estimate of each batch
+    # size; the marginal rate between sizes cancels fixed overhead
+    t_lo = min(run_batch(lo_iters) for _ in range(4))
+    t_hi = min(run_batch(hi_iters) for _ in range(4))
+    marginal = (
+        B * L * (hi_iters - lo_iters) / (t_hi - t_lo) if t_hi > t_lo else 0.0
+    )
+    # whole-batch rate is a strict lower bound (includes dispatch/transfer)
+    lower_bound = B * L * hi_iters / t_hi
+    # v5e HBM is ~819 GB/s; at 2 input bytes per column nothing real can
+    # stream faster than ~410 Gcol/s -- a marginal estimate beyond that is
+    # timing noise, so fall back to the lower bound
+    phys_bound = 420e9
+    if 0 < marginal <= phys_bound:
+        gbps = marginal / 1e9
+    else:
+        gbps = lower_bound / 1e9
     print(
         json.dumps(
             {
