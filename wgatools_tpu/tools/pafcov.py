@@ -40,7 +40,8 @@ def pafcov(reader, writer):
         ops, lens = rec.get_cigar_ops()
         cov = diff_map.get(rec.target_name)
         if cov is None:
-            cov = np.zeros(rec.target_length + 1, dtype=np.int64)
+            # int32 halves the footprint vs the reference's usize vectors
+            cov = np.zeros(rec.target_length + 1, dtype=np.int32)
             diff_map[rec.target_name] = cov
         starts, ends = coverage_spans(ops, lens, rec.target_start)
         add_spans(cov[:-1], starts, ends)
