@@ -103,9 +103,12 @@ def forked_map(fn, args_list):
     try:
         for k, a in enumerate(args_list):
             with warnings.catch_warnings():
-                # JAX warns about fork-after-init; safe here: the parent is
-                # single-threaded at this point and children never touch JAX
+                # JAX (RuntimeWarning) and CPython 3.12 (DeprecationWarning)
+                # warn about fork in a threaded process; safe here: the
+                # parent's threads are idle JAX/runtime housekeeping and
+                # children never touch JAX
                 warnings.simplefilter("ignore", RuntimeWarning)
+                warnings.simplefilter("ignore", DeprecationWarning)
                 pid = os.fork()
             if pid == 0:
                 status = 1
