@@ -109,3 +109,33 @@ def test_claim_work_units():
     assert a[0][3] == 5 and b[0][3] == 105
     # disjoint and complete
     assert {u[3] for u in a} | {u[3] for u in b} == {5, 105}
+
+
+def test_parallel_paf2chain_matches_serial(tmp_path):
+    import random
+
+    from wgatools_tpu.io.paf import PafReader
+    from wgatools_tpu.parallel.host_pool import parallel_paf2chain
+    from wgatools_tpu.tools.convert import paf2chain
+
+    rng = random.Random(4)
+    rows = ["# a comment"]
+    for i in range(23):
+        n = rng.randint(2, 12)
+        ops = "".join(
+            f"{rng.randint(1, 50)}{op}"
+            for op in rng.choices("MID", k=n)
+        )
+        rows.append(
+            f"q{i}\t5000\t0\t100\t+\tt{i % 3}\t5000\t0\t100\t50\t100\t255"
+            f"\tcg:Z:{ops}"
+        )
+    paf = tmp_path / "x.paf"
+    paf.write_text("\n".join(rows) + "\n")
+
+    serial = io.BytesIO()
+    paf2chain(PafReader.from_path(str(paf)), serial)
+    for workers in (2, 3, 8):
+        par = io.BytesIO()
+        parallel_paf2chain(str(paf), par, workers)
+        assert serial.getvalue() == par.getvalue(), workers

@@ -257,9 +257,13 @@ def dispatch(args):
             args.query,
         )
     elif cmd in ("paf2chain", "p2c"):
+        from .parallel.host_pool import is_plain_seekable, parallel_paf2chain
         from .tools.convert import paf2chain
 
-        paf2chain(PafReader(open_input(args.input)), open_output(out, rw))
+        if args.threads > 1 and is_plain_seekable(args.input):
+            parallel_paf2chain(args.input, open_output(out, rw), args.threads)
+        else:
+            paf2chain(PafReader(open_input(args.input)), open_output(out, rw))
     elif cmd in ("chain2maf", "c2m"):
         from .tools.convert import chain2maf
 

@@ -211,6 +211,78 @@ def parallel_maf2paf(path, writer, n_workers, query_name=None):
     writer.flush()
 
 
+def paf_line_ranges(path, n_workers):
+    """Split a PAF file into line-aligned byte ranges, with the record
+    index at each range start (comments/blanks don't count as records)."""
+    size = os.path.getsize(path)
+    bounds = [0]
+    with open(path, "rb", buffering=1 << 20) as fp:
+        for w in range(1, n_workers):
+            target = size * w // n_workers
+            if target <= bounds[-1]:
+                continue
+            fp.seek(target)
+            fp.readline()
+            pos = fp.tell()
+            if bounds[-1] < pos < size:
+                bounds.append(pos)
+        bounds.append(size)
+
+        # one pass counting records before each interior boundary
+        start_indices = [0]
+        fp.seek(0)
+        rec_idx = 0
+        pos = 0
+        b = 1
+        while b < len(bounds) - 1:
+            line = fp.readline()
+            if not line:
+                break
+            stripped = line.strip()
+            if stripped and not stripped.startswith(b"#"):
+                rec_idx += 1
+            pos += len(line)
+            while b < len(bounds) - 1 and pos >= bounds[b]:
+                start_indices.append(rec_idx)
+                b += 1
+    return [
+        (bounds[k], bounds[k + 1], start_indices[k])
+        for k in range(len(bounds) - 1)
+    ]
+
+
+def _paf2chain_worker(args):
+    path, lo, hi, start_index = args
+    import io as iolib
+
+    from ..core import cigar as CC
+    from ..io.chain import chain_header_from_record, write_chain_record
+    from ..io.paf import PafReader
+
+    with open(path, "rb") as fp:
+        fp.seek(lo)
+        blob = fp.read(hi - lo)
+    out = iolib.BytesIO()
+    for k, record in enumerate(PafReader(iolib.BytesIO(blob)).records()):
+        ops, lens = record.get_cigar_ops()
+        trims = CC.trims_from_ops(ops, lens)
+        header = chain_header_from_record(record, *trims)
+        header.chain_id = start_index + k
+        sizes, dqs, dts, final = CC.chain_line_arrays_from_ops(ops, lens)
+        write_chain_record(out, header, (sizes, dqs, dts), final)
+    return out.getvalue()
+
+
+def parallel_paf2chain(path, writer, n_workers):
+    """PAF -> chain with forked workers over line-aligned byte ranges;
+    chain ids continue the serial numbering via per-range record counts."""
+    ranges = paf_line_ranges(path, n_workers)
+    args = [(path, lo, hi, idx) for lo, hi, idx in ranges if lo < hi]
+    for chunk in forked_map(_paf2chain_worker, args):
+        writer.write(chunk)
+    writer.flush()
+
+
 def parallel_maf2chain(path, writer, n_workers, query_name=None):
     for chunk, _ in map_maf_records(path, n_workers, "maf2chain", query_name):
         writer.write(chunk)
