@@ -97,3 +97,39 @@ def test_empty_inputs():
     assert list(ChainReader(io.BytesIO(b"")).records()) == []
     # comments / blank lines only
     assert list(PafReader(io.BytesIO(b"# hi\n\n")).records()) == []
+
+
+def test_natsort_ascii_digits_only():
+    """natord only treats ASCII 0-9 as digits; Unicode digits ('²') must not
+    reach int() (ADVICE r1)."""
+    from wgatools_tpu.core.natsort import natural_cmp, natural_key
+
+    assert natural_cmp("chr²a", "chr²b") == -1
+    assert natural_cmp("chr2", "chr10") == -1
+    # superscript-two sorts by ordinal, not numeric value
+    assert sorted(["chr²", "chr3"], key=natural_key) == ["chr3", "chr²"]
+
+
+def test_cigar_length_overflow_raises():
+    """A 20+ digit op length must raise ParseIntError, not wrap int64
+    (reference parse_str2u64 returns ParseIntError; ADVICE r1)."""
+    import pytest
+
+    from wgatools_tpu.core.cigar import tokenize_cigar
+    from wgatools_tpu.errors import WGAError
+
+    with pytest.raises(WGAError):
+        tokenize_cigar("99999999999999999999999M")
+    ops, lens = tokenize_cigar("9223372036854775807M")  # INT64_MAX is fine
+    assert lens[0] == 9223372036854775807
+
+
+def test_chain_score_fmt_positional():
+    """Rust f64 Display never uses exponent notation (ADVICE r1)."""
+    from wgatools_tpu.io.chain import fmt_f64
+
+    assert fmt_f64(1e20) == "100000000000000000000"
+    assert fmt_f64(1e-7) == "0.0000001"
+    assert fmt_f64(255.0) == "255"
+    assert fmt_f64(3.5) == "3.5"
+    assert fmt_f64(-0.25) == "-0.25"

@@ -14,10 +14,16 @@ ordinal.
 from functools import cmp_to_key
 
 
+def _is_ascii_digit(ch: str) -> bool:
+    # natord only treats ASCII 0-9 as digits; str.isdigit() would also accept
+    # Unicode digits ('²', Eastern Arabic numerals) and then int() may raise.
+    return "0" <= ch <= "9"
+
+
 def _digit_run(s: str, i: int):
     j = i
     n = len(s)
-    while j < n and s[j].isdigit():
+    while j < n and _is_ascii_digit(s[j]):
         j += 1
     return s[i:j], j
 
@@ -27,7 +33,7 @@ def natural_cmp(a: str, b: str) -> int:
     na, nb = len(a), len(b)
     while ia < na and ib < nb:
         ca, cb = a[ia], b[ib]
-        if ca.isdigit() and cb.isdigit():
+        if _is_ascii_digit(ca) and _is_ascii_digit(cb):
             run_a, ia = _digit_run(a, ia)
             run_b, ib = _digit_run(b, ib)
             va, vb = int(run_a), int(run_b)

@@ -18,10 +18,24 @@ from ..errors import ParseChainError, ParseIntError
 
 
 def fmt_f64(v: float) -> str:
-    """Rust `{}` Display for f64: integral values print without '.0'."""
-    if v == int(v) and abs(v) < 1e16:
+    """Rust `{}` Display for f64: shortest round-trip decimal, always
+    positional (never exponent notation), integral values without '.0'."""
+    import math
+
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "inf" if v > 0 else "-inf"
+    if v == int(v):
         return str(int(v))
-    return repr(v)
+    s = np.format_float_positional(np.float64(v), unique=True)
+    if s.endswith("."):
+        s += "0"
+    if s.startswith("."):
+        s = "0" + s
+    if s.startswith("-."):
+        s = "-0" + s[1:]
+    return s
 
 
 def _parse_u64(s: str, what: str) -> int:

@@ -73,7 +73,11 @@ int64_t tokenize_cigar(const char* s, int64_t n, uint8_t* ops,
         int64_t start = i;
         int64_t v = 0;
         while (i < n && s[i] >= '0' && s[i] <= '9') {
-            v = v * 10 + (s[i] - '0');
+            int64_t d = s[i] - '0';
+            // overflow guard: the reference's parse_str2u64 surfaces a
+            // ParseIntError on a 20+ digit length instead of wrapping.
+            if (v > (INT64_MAX - d) / 10) return -(start + 1);
+            v = v * 10 + d;
             ++i;
         }
         if (i == start) return -(i + 1);  // no digits before op

@@ -47,6 +47,10 @@ def _batch_stats(records):
         ops, lens = rec.get_cigar_ops()
         op_arrays.append(ops)
         len_arrays.append(lens)
+    # The device segment sums accumulate in int32; a record whose op-length
+    # total approaches 2^31 must take the int64 host path instead.
+    if any(a.sum(dtype=np.int64) >= 2**31 for a in len_arrays):
+        return [rec.get_stat() for rec in records]
     ops, lens, row_ids = pack_cigar_batch(op_arrays, len_arrays)
     rows = np.asarray(cigar_batch_stats(ops, lens, row_ids, len(records)))
     out = []
