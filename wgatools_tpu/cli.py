@@ -274,9 +274,13 @@ def dispatch(args):
             args.query,
         )
     elif cmd in ("chain2paf", "c2p"):
+        from .parallel.host_pool import is_plain_seekable, parallel_chain2paf
         from .tools.convert import chain2paf
 
-        chain2paf(ChainReader(open_input(args.input)), open_output(out, rw))
+        if args.threads > 1 and is_plain_seekable(args.input):
+            parallel_chain2paf(args.input, open_output(out, rw), args.threads)
+        else:
+            chain2paf(ChainReader(open_input(args.input)), open_output(out, rw))
     elif cmd in ("maf2sam", "m2s"):
         from .tools.convert import maf2sam
 
@@ -332,8 +336,20 @@ def dispatch(args):
                     args.query_name,
                 )
         else:
-            stat_paf(PafReader(open_input(args.input)), open_output(out, rw), args.each)
+            from .parallel.host_pool import parallel_stat_paf
+
+            if args.threads > 1 and is_plain_seekable(args.input):
+                parallel_stat_paf(
+                    args.input, open_output(out, rw), args.threads, args.each
+                )
+            else:
+                stat_paf(
+                    PafReader(open_input(args.input)),
+                    open_output(out, rw),
+                    args.each,
+                )
     elif cmd in ("dotplot", "dp"):
+        from .parallel.host_pool import is_plain_seekable
         from .tools.dotplot import dotplot
 
         dotplot(
@@ -346,6 +362,11 @@ def dispatch(args):
             args.length if args.length is not None else 50,
             args.query_name,
             args.color,
+            threads=(
+                args.threads
+                if args.threads > 1 and is_plain_seekable(args.input)
+                else 1
+            ),
         )
     elif cmd in ("filter", "fl"):
         from .tools.filter import (
@@ -369,9 +390,21 @@ def dispatch(args):
                     "`min_align_size` is set, will not filter paf "
                     "`min_block_size` and `min_query_size`"
                 )
-                filter_paf_align_pair(
-                    PafReader(open_input(args.input)), w, args.min_align_size
+                from .parallel.host_pool import (
+                    is_plain_seekable,
+                    parallel_filter_paf_align_pair,
                 )
+
+                if args.threads > 1 and is_plain_seekable(args.input):
+                    parallel_filter_paf_align_pair(
+                        args.input, w, args.threads, args.min_align_size
+                    )
+                else:
+                    filter_paf_align_pair(
+                        PafReader(open_input(args.input)),
+                        w,
+                        args.min_align_size,
+                    )
             else:
                 filter_paf(
                     PafReader(open_input(args.input)),
@@ -395,14 +428,23 @@ def dispatch(args):
             args.prefixs.split(","),
         )
     elif cmd in ("pafcov", "pc"):
+        from .parallel.host_pool import is_plain_seekable, parallel_pafcov
         from .tools.pafcov import pafcov
 
-        pafcov(PafReader(open_input(args.input)), open_output(out, rw))
+        if args.threads > 1 and is_plain_seekable(args.input):
+            parallel_pafcov(args.input, open_output(out, rw), args.threads)
+        else:
+            pafcov(PafReader(open_input(args.input)), open_output(out, rw))
     elif cmd in ("pafpseudo", "pp"):
         from .tools.pseudomaf import generate_pseudo_maf
 
         generate_pseudo_maf(
-            PafReader(open_input(args.input)), out, args.fasta, args.target, rw
+            PafReader(open_input(args.input)),
+            out,
+            args.fasta,
+            args.target,
+            rw,
+            threads=args.threads,
         )
     elif cmd in ("gen-completion", "gc"):
         from .tools.completion import gen_completion
@@ -420,12 +462,23 @@ def dispatch(args):
                     "fixed file should not be the same as output file"
                 )
             fix_writer = open_output(args.fix, True)
-        validate_paf(
-            PafReader(open_input(args.input)),
-            open_output(out, rw),
-            fix_writer,
-            args.fix is not None,
-        )
+        from .parallel.host_pool import is_plain_seekable, parallel_validate_paf
+
+        if args.threads > 1 and is_plain_seekable(args.input):
+            parallel_validate_paf(
+                args.input,
+                open_output(out, rw),
+                args.threads,
+                fix_writer,
+                args.fix is not None,
+            )
+        else:
+            validate_paf(
+                PafReader(open_input(args.input)),
+                open_output(out, rw),
+                fix_writer,
+                args.fix is not None,
+            )
     elif cmd in ("tview", "tv"):
         from .tools.tview import tview
 

@@ -436,3 +436,305 @@ def parallel_call_maf(
                 writer.write(chunk)
     flush_small((small_lo, len(sizes)))
     writer.flush()
+
+
+# ---------------------------------------------------------------------------
+# Generic PAF byte-range map (rayon par_bridge analog for PAF-driven tools:
+# reference stat.rs:94, pafcov.rs:31, validate.rs:52, filter.rs:116,
+# dotplot.rs:303-366).  Each worker parses a line-aligned byte range and
+# returns (emitted bytes, python result); the parent merges in range order,
+# which equals serial file order.
+# ---------------------------------------------------------------------------
+
+_PAF_RANGE_WORK = {}
+
+
+def _paf_range_worker(args):
+    path, lo, hi, start_index, fn_key, extra = args
+    from ..io.paf import PafReader
+
+    with open(path, "rb") as fp:
+        fp.seek(lo)
+        blob = fp.read(hi - lo)
+    out = io.BytesIO()
+    fn = _PAF_RANGE_WORK[fn_key]
+    result = fn(PafReader(io.BytesIO(blob)), out, start_index, extra)
+    return out.getvalue(), result
+
+
+def map_paf_ranges(path, n_workers, fn_key, extra=None):
+    ranges = paf_line_ranges(path, n_workers)
+    args = [
+        (path, lo, hi, idx, fn_key, extra)
+        for lo, hi, idx in ranges
+        if lo < hi
+    ]
+    if not args:
+        return []
+    return forked_map(_paf_range_worker, args)
+
+
+def _prw_stat(reader, out, start_index, extra):
+    from ..tools.stat import _stat_from_rec
+
+    return [_stat_from_rec(rec) for rec in reader.records()]
+
+
+def _prw_pafcov(reader, out, start_index, extra):
+    import numpy as np
+
+    from ..tools.pafcov import add_spans, coverage_spans
+
+    diff_map = {}
+    for rec in reader.records():
+        ops, lens = rec.get_cigar_ops()
+        cov = diff_map.get(rec.target_name)
+        if cov is None:
+            cov = np.zeros(rec.target_length + 1, dtype=np.int32)
+            diff_map[rec.target_name] = cov
+        starts, ends = coverage_spans(ops, lens, rec.target_start)
+        add_spans(cov[:-1], starts, ends)
+    return diff_map
+
+
+def _prw_validate(reader, out, start_index, extra):
+    from ..io.paf import PafWriter
+    from ..tools.validate import Validations, check_record
+
+    fix_flag = extra
+    vd = Validations()
+    for rec in reader.records():
+        check_record(rec, rec.get_stat(), vd, fix_flag)
+    if fix_flag:
+        paf_writer = PafWriter(out)
+        for rec in vd.fix_paf_recs:
+            paf_writer.write_record(rec)
+        vd.fix_paf_recs = []
+    return (
+        vd.total,
+        vd.query_invalid,
+        vd.query_inv_list,
+        vd.ref_invalid,
+        vd.ref_inv_list,
+    )
+
+
+def _prw_pair_sums(reader, out, start_index, extra):
+    sums = {}
+    for rec in reader.records():
+        key = (rec.query_name, rec.target_name)
+        sums[key] = sums.get(key, 0) + rec.target_align_size
+    return sums
+
+
+def _prw_filter_pairs(reader, out, start_index, extra):
+    from ..io.paf import PafWriter
+
+    keep_keys = extra
+    paf_writer = PafWriter(out)
+    for rec in reader.records():
+        if (rec.query_name, rec.target_name) in keep_keys:
+            paf_writer.write_record(rec)
+    return None
+
+
+def _prw_dotplot_overview(reader, out, start_index, extra):
+    from ..tools.dotplot import _overview_row
+
+    no_identity = extra
+    return [_overview_row(rec, no_identity) for rec in reader.records()]
+
+
+def _prw_dotplot_base(reader, out, start_index, extra):
+    from ..tools.dotplot import _paf_runs, base_plotdata_from_runs
+
+    skip_cutoff = extra
+    rows = []
+    for rec in reader.records():
+        rows.extend(base_plotdata_from_runs(_paf_runs(rec), rec, skip_cutoff))
+    return rows
+
+
+_PAF_RANGE_WORK["stat"] = _prw_stat
+_PAF_RANGE_WORK["pafcov"] = _prw_pafcov
+_PAF_RANGE_WORK["validate"] = _prw_validate
+_PAF_RANGE_WORK["pair_sums"] = _prw_pair_sums
+_PAF_RANGE_WORK["filter_pairs"] = _prw_filter_pairs
+_PAF_RANGE_WORK["dotplot_overview"] = _prw_dotplot_overview
+_PAF_RANGE_WORK["dotplot_base"] = _prw_dotplot_base
+
+
+def parallel_stat_paf(path, writer, n_workers, each=False):
+    """PAF stat map-reduce (reference: stat.rs:87-105)."""
+    from ..tools.stat import write_style_result
+
+    pair_stats = []
+    for _, results in map_paf_ranges(path, n_workers, "stat"):
+        pair_stats.extend(results)
+    write_style_result(pair_stats, writer, each)
+
+
+def parallel_pafcov(path, writer, n_workers):
+    """Coverage map-reduce: per-worker difference arrays summed elementwise
+    in the parent (reference: pafcov.rs:29-53).  Target output order equals
+    the serial path's first-appearance order because worker dicts preserve
+    insertion order and ranges are merged in file order."""
+    import numpy as np
+
+    from ..tools.pafcov import write_per_base_bed
+
+    merged = {}
+    for _, diff_map in map_paf_ranges(path, n_workers, "pafcov"):
+        for target, diff in diff_map.items():
+            acc = merged.get(target)
+            if acc is None:
+                merged[target] = diff
+            elif acc.shape[0] >= diff.shape[0]:
+                acc[: diff.shape[0]] += diff
+            else:
+                diff[: acc.shape[0]] += acc
+                merged[target] = diff
+    for target, diff in merged.items():
+        counts = np.cumsum(diff[:-1])
+        write_per_base_bed(writer, target, counts)
+    writer.flush()
+
+
+def parallel_validate_paf(path, writer, n_workers, fix_writer=None,
+                          fix_flag=False):
+    """Validation map-reduce (reference: validate.rs:44-66): counters sum,
+    lists and fixed rows concatenate in range (= file) order."""
+    from ..tools.validate import Validations
+
+    vd = Validations()
+    for chunk, res in map_paf_ranges(path, n_workers, "validate", fix_flag):
+        total, q_inv, q_list, r_inv, r_list = res
+        vd.total += total
+        vd.query_invalid += q_inv
+        vd.query_inv_list.extend(q_list)
+        vd.ref_invalid += r_inv
+        vd.ref_inv_list.extend(r_list)
+        if fix_writer is not None:
+            fix_writer.write(chunk)
+    writer.write((vd.format() + "\n").encode("ascii"))
+    if fix_writer is not None:
+        fix_writer.flush()
+    writer.flush()
+    return vd
+
+
+def parallel_filter_paf_align_pair(path, writer, n_workers,
+                                   min_align_size: int):
+    """All-to-all filter in two parallel passes (reference: filter.rs:108-160):
+    pass 1 sums target_align_size per (query, target) pair, pass 2 re-emits
+    records of pairs above the threshold."""
+    sums = {}
+    for _, partial in map_paf_ranges(path, n_workers, "pair_sums"):
+        for key, v in partial.items():
+            sums[key] = sums.get(key, 0) + v
+    keep = {k for k, v in sums.items() if v >= min_align_size}
+    for chunk, _ in map_paf_ranges(path, n_workers, "filter_pairs", keep):
+        writer.write(chunk)
+    writer.flush()
+
+
+# -- dotplot: MAF-record work functions for map_maf_records --
+
+
+def _work_dotplot_overview(rec, out, i, extra):
+    from ..tools.dotplot import _overview_row
+
+    no_identity, query_name = extra
+    if query_name is not None:
+        rec.set_query_idx_byname(query_name)
+    return _overview_row(rec, no_identity)
+
+
+def _work_dotplot_base(rec, out, i, extra):
+    from ..tools.dotplot import _maf_runs, base_plotdata_from_runs
+
+    skip_cutoff, query_name = extra
+    if query_name is not None:
+        rec.set_query_idx_byname(query_name)
+    return base_plotdata_from_runs(_maf_runs(rec), rec, skip_cutoff)
+
+
+_WORK["dotplot_overview"] = _work_dotplot_overview
+_WORK["dotplot_base"] = _work_dotplot_base
+
+
+def parallel_dotplot_rows(path, n_workers, format, mode, no_identity,
+                          skip_cutoff, query_name):
+    """Collect dotplot rows in parallel (reference: dotplot.rs:236,303-366).
+    Returns the row list in serial order; rendering stays in the parent."""
+    rows = []
+    if format == "maf":
+        key = "dotplot_overview" if mode == "overview" else "dotplot_base"
+        extra = (
+            (no_identity, query_name)
+            if mode == "overview"
+            else (skip_cutoff, query_name)
+        )
+        for _, results in map_maf_records(path, n_workers, key, extra):
+            for r in results:
+                if mode == "overview":
+                    rows.append(r)
+                else:
+                    rows.extend(r)
+    else:
+        key = "dotplot_overview" if mode == "overview" else "dotplot_base"
+        extra = no_identity if mode == "overview" else skip_cutoff
+        for _, results in map_paf_ranges(path, n_workers, key, extra):
+            rows.extend(results)
+    return rows
+
+
+# -- chain2paf: record-offset parallelism over chain blocks --
+
+
+def chain_record_offsets(path):
+    """Byte offsets of each `chain` header line (raw scan, no parsing)."""
+    offsets = []
+    with open(path, "rb", buffering=1 << 20) as fp:
+        while True:
+            off = fp.tell()
+            line = fp.readline()
+            if not line:
+                break
+            if line.startswith(b"chain"):
+                offsets.append(off)
+    return offsets
+
+
+def _chain2paf_worker(args):
+    path, lo_off, hi_off = args
+    from ..io.chain import ChainReader
+    from ..io.paf import PafWriter
+
+    with open(path, "rb") as fp:
+        fp.seek(lo_off)
+        blob = fp.read((hi_off - lo_off) if hi_off >= 0 else -1)
+    out = io.BytesIO()
+    paf_writer = PafWriter(out)
+    for record in ChainReader(io.BytesIO(blob)).records():
+        paf_writer.write_record(record.convert2paf())
+    return out.getvalue()
+
+
+def parallel_chain2paf(path, writer, n_workers):
+    """chain -> PAF with forked workers over whole-record byte ranges
+    (reference: converter.rs:391-416, rayon par_bridge)."""
+    offsets = chain_record_offsets(path)
+    if not offsets:
+        writer.flush()
+        return
+    ranges = _ranges(len(offsets), n_workers)
+    size = os.path.getsize(path)
+    args = [
+        (path, offsets[lo], offsets[hi] if hi < len(offsets) else size)
+        for lo, hi in ranges
+        if lo < hi
+    ]
+    for chunk in forked_map(_chain2paf_worker, args):
+        writer.write(chunk)
+    writer.flush()

@@ -294,43 +294,56 @@ def dotplot(
     skip_cutoff=50,
     query_name=None,
     color=None,
+    threads=1,
 ):
-    """reference: dotplot.rs:192-261."""
+    """reference: dotplot.rs:192-261.  threads > 1 collects rows with the
+    forked record pool (reference rayon sites dotplot.rs:236,303-366)."""
     from ..io.compression import open_input
 
+    if format not in ("maf", "paf"):
+        raise WGAError("Only support MAF and PAF format")
     spec = copy.deepcopy(DOTPLOT_SPEC)
-    reader_stream = open_input(input_path)
+
+    if threads > 1:
+        from ..parallel.host_pool import parallel_dotplot_rows
+
+        rows = parallel_dotplot_rows(
+            input_path, threads, format, mode, no_identity, skip_cutoff,
+            query_name,
+        )
+    else:
+        reader_stream = open_input(input_path)
+        rows = []
+        if mode == "overview":
+            if format == "maf":
+                for rec in MafReader(reader_stream).records():
+                    if query_name is not None:
+                        rec.set_query_idx_byname(query_name)
+                    rows.append(_overview_row(rec, no_identity))
+            else:
+                for rec in PafReader(reader_stream).records():
+                    rows.append(_overview_row(rec, no_identity))
+        else:
+            if format == "maf":
+                for rec in MafReader(reader_stream).records():
+                    if query_name is not None:
+                        rec.set_query_idx_byname(query_name)
+                    rows.extend(
+                        base_plotdata_from_runs(
+                            _maf_runs(rec), rec, skip_cutoff
+                        )
+                    )
+            else:
+                for rec in PafReader(reader_stream).records():
+                    rows.extend(
+                        base_plotdata_from_runs(
+                            _paf_runs(rec), rec, skip_cutoff
+                        )
+                    )
 
     if mode == "overview":
-        rows = []
-        if format == "maf":
-            for rec in MafReader(reader_stream).records():
-                if query_name is not None:
-                    rec.set_query_idx_byname(query_name)
-                rows.append(_overview_row(rec, no_identity))
-        elif format == "paf":
-            for rec in PafReader(reader_stream).records():
-                rows.append(_overview_row(rec, no_identity))
-        else:
-            raise WGAError("Only support MAF and PAF format")
         _render(rows, writer, out_format, spec, ALL_FIELDS)
     else:
-        rows = []
-        if format == "maf":
-            for rec in MafReader(reader_stream).records():
-                if query_name is not None:
-                    rec.set_query_idx_byname(query_name)
-                rows.extend(
-                    base_plotdata_from_runs(_maf_runs(rec), rec, skip_cutoff)
-                )
-        elif format == "paf":
-            for rec in PafReader(reader_stream).records():
-                rows.extend(
-                    base_plotdata_from_runs(_paf_runs(rec), rec, skip_cutoff)
-                )
-        else:
-            raise WGAError("Only support MAF and PAF format")
-
         # BaseLevel spec tweaks (dotplot.rs:240-255)
         spec["encoding"]["x"].setdefault("scale", {})["zero"] = False
         spec["encoding"]["y"].setdefault("scale", {})["zero"] = False

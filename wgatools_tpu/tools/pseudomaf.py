@@ -15,8 +15,14 @@ from ..errors import FileReWrite, NotDirError, StdoutNotAllowed
 from ..io.fasta import FastaReader
 
 
-def generate_pseudo_maf(reader, out_dir, fa_path, target, rewrite=False):
-    """reference: pseudomaf.rs:18-74 + wrapper utils.rs:602-641."""
+def generate_pseudo_maf(reader, out_dir, fa_path, target, rewrite=False,
+                        threads=1):
+    """reference: pseudomaf.rs:18-74 + wrapper utils.rs:602-641.
+
+    threads > 1 writes the per-target output files dir-parallel (the
+    reference's into_par_iter, pseudomaf.rs:62-72): records are parsed and
+    grouped once in the parent, forked children inherit the groups
+    copy-on-write and each writes its own <target>.maf."""
     if out_dir == "-":
         raise StdoutNotAllowed()
     if not os.path.exists(out_dir):
@@ -33,10 +39,21 @@ def generate_pseudo_maf(reader, out_dir, fa_path, target, rewrite=False):
             continue
         target_groups.setdefault(rec.target_name, []).append(rec)
 
-    for target_name, rec_vec in target_groups.items():
+    def write_one(target_name):
         out_path = os.path.join(out_dir, f"{target_name}.maf")
         with open(out_path, "wb") as writer:
-            write_pmaf(writer, rec_vec, target_name, fa_path)
+            write_pmaf(writer, target_groups[target_name], target_name, fa_path)
+
+    names = list(target_groups)
+    if threads > 1 and len(names) > 1:
+        from ..parallel.host_pool import forked_map
+
+        # file-level parallelism: children only return None; each output
+        # file is written exclusively by one child
+        forked_map(write_one, names)
+    else:
+        for name in names:
+            write_one(name)
 
 
 def _get_seq(fa: FastaReader | None, name, start, end, is_target):

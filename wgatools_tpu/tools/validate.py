@@ -69,6 +69,40 @@ def _batch_stats(records):
     return out
 
 
+def check_record(rec, rs, vd, fix_flag):
+    """Validate one record against its RecStat, updating vd and fixing the
+    record's ends in place (loop body of validate.rs:71-120)."""
+    vd.total += 1
+    exp_query_end = (
+        rec.query_start
+        + rs.matched
+        + rs.mismatched
+        + rs.ins_size
+        + rs.inv_ins_size
+    )
+    if exp_query_end != rec.query_end:
+        vd.query_invalid += 1
+        vd.query_inv_list.append(
+            f"{rec.query_name}:{rec.query_start}-{rec.query_end}"
+        )
+        rec.query_end = exp_query_end
+    exp_ref_end = (
+        rec.target_start
+        + rs.matched
+        + rs.mismatched
+        + rs.del_size
+        + rs.inv_del_size
+    )
+    if exp_ref_end != rec.target_end:
+        vd.ref_invalid += 1
+        vd.ref_inv_list.append(
+            f"{rec.target_name}:{rec.target_start}-{rec.target_end}"
+        )
+        rec.target_end = exp_ref_end
+    if fix_flag:
+        vd.fix_paf_recs.append(rec)
+
+
 def validate_paf(reader, writer, fix_writer=None, fix_flag=False, device=None):
     """reference: validate.rs:44-141."""
     from .stat import _device_requested
@@ -81,35 +115,7 @@ def validate_paf(reader, writer, fix_writer=None, fix_flag=False, device=None):
     else:
         stream = ((rec, rec.get_stat()) for rec in reader.records())
     for rec, rs in stream:
-        vd.total += 1
-        exp_query_end = (
-            rec.query_start
-            + rs.matched
-            + rs.mismatched
-            + rs.ins_size
-            + rs.inv_ins_size
-        )
-        if exp_query_end != rec.query_end:
-            vd.query_invalid += 1
-            vd.query_inv_list.append(
-                f"{rec.query_name}:{rec.query_start}-{rec.query_end}"
-            )
-            rec.query_end = exp_query_end
-        exp_ref_end = (
-            rec.target_start
-            + rs.matched
-            + rs.mismatched
-            + rs.del_size
-            + rs.inv_del_size
-        )
-        if exp_ref_end != rec.target_end:
-            vd.ref_invalid += 1
-            vd.ref_inv_list.append(
-                f"{rec.target_name}:{rec.target_start}-{rec.target_end}"
-            )
-            rec.target_end = exp_ref_end
-        if fix_flag:
-            vd.fix_paf_recs.append(rec)
+        check_record(rec, rs, vd, fix_flag)
     writer.write((vd.format() + "\n").encode("ascii"))
     if fix_writer is not None:
         paf_writer = PafWriter(fix_writer)
