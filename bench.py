@@ -62,6 +62,34 @@ def main():
     kernel = classify_stat_pallas if on_tpu else classify_stat_jnp
     reduce_all = jax.jit(lambda xs: jnp.sum(xs))
 
+    # correctness gate BEFORE timing: the Mosaic-lowered kernel must equal
+    # the fused-jnp implementation bit-for-bit on this backend.  A lowering
+    # bug would otherwise pass the (interpret-mode, forced-CPU) test suite
+    # and silently corrupt on-chip output.
+    if on_tpu:
+        gate_t, gate_q = bufs[0]
+        got = np.asarray(classify_stat_pallas(gate_t, gate_q, lens_d))
+        want = np.asarray(classify_stat_jnp(gate_t, gate_q, lens_d))
+        assert np.array_equal(got, want), (
+            "on-chip pallas/jnp mismatch:\n"
+            f"pallas:\n{got[:4]}\njnp:\n{want[:4]}"
+        )
+        print("on-chip pallas==jnp parity gate: OK", file=sys.stderr)
+        # same-chip shard_map∘pallas A/B: the multi-chip production path
+        # (parallel.mesh.sharded_column_stats) on a 1-device mesh must
+        # reproduce the direct kernel output
+        from wgatools_tpu.parallel.mesh import (
+            make_mesh,
+            sharded_column_stats,
+        )
+
+        mesh1 = make_mesh(1)
+        sharded = np.asarray(
+            sharded_column_stats(mesh1, gate_t, gate_q, lens_d)
+        )
+        assert np.array_equal(sharded, want), "shard_map path mismatch"
+        print("on-chip shard_map(pallas) 1-device A/B: OK", file=sys.stderr)
+
     def run_batch(iters: int) -> float:
         """Wall seconds for `iters` kernel executions with a forced
         host-fetched checksum."""

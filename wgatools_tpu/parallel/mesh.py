@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.classify import classify_stat_jnp
+from ..ops.classify import classify_stat_jnp, classify_stat_pallas
 
 RECORDS_AXIS = "records"
 
@@ -37,18 +37,38 @@ def make_mesh(n_devices=None):
     return Mesh(np.array(devices), (RECORDS_AXIS,))
 
 
-def sharded_column_stats(mesh: Mesh, t, q, lengths):
+def sharded_column_stats(mesh: Mesh, t, q, lengths, use_pallas=None):
     """Column stats with the batch sharded over the record axis.
 
     Pure data parallelism: each device reduces its record shard; output
     stays record-sharded ([B, 8], no cross-device traffic).
+
+    On TPU backends each shard runs the flagship Pallas kernel (shard_map
+    composes with pallas_call); elsewhere the kernel runs in interpret
+    mode or falls back to the fused-jnp implementation.  Both bodies are
+    bit-identical (tested), so multi-chip runs use the same production
+    kernel the single-chip path does.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        interpret = jax.default_backend() != "tpu"
+
+        def body(ts, qs, ls):
+            return classify_stat_pallas(ts, qs, ls, interpret=interpret)
+
+    else:
+        body = classify_stat_jnp
     spec = P(RECORDS_AXIS, None)
     fn = shard_map(
-        classify_stat_jnp,
+        body,
         mesh=mesh,
         in_specs=(spec, spec, P(RECORDS_AXIS)),
         out_specs=spec,
+        # pallas_call outputs carry no varying-mesh-axes annotation; the
+        # body is per-shard pure data parallelism, so vma checking adds
+        # nothing here
+        check_vma=not use_pallas,
     )
     return fn(t, q, lengths)
 
