@@ -1,9 +1,14 @@
-"""Benchmark: aligned columns/s through the fused classify+stat kernel.
+"""Benchmark: aligned columns/s through the device CIGAR engine
+(fused classify+stat kernel + liftover coordinate scan).
 
 The hot inner loop of every wgatools workload is the per-column CIGAR scan
-(reference: src/parser/cigar.rs:344-432).  This measures the device
-replacement -- the Pallas fused column-classify + statistics kernel -- on
-device-resident batches, in aligned Gbp/s per chip.
+plus the coordinate state machine that walks ops (reference:
+src/parser/cigar.rs:344-432, 251-295, 710-741).  Each timed iteration runs
+BOTH device replacements over the same column volume: the Pallas fused
+column-classify + statistics kernel on [B, L] byte tiles, and the
+liftover_scan prefix-sum kernel on the matching op table -- so the metric
+covers the full "CIGAR expand + liftover" loop BASELINE.md names, in
+aligned Gbp/s per chip.
 
 Methodology notes (important on the remote-attached TPU):
 - every timed batch ends with a device-side reduction of ALL outputs and a
@@ -40,6 +45,7 @@ def main():
         classify_stat_jnp,
         classify_stat_pallas,
     )
+    from wgatools_tpu.ops.liftover import liftover_scan
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
@@ -57,6 +63,18 @@ def main():
         q = alphabet[rng.integers(0, 5, size=(B, L))]
         bufs.append(
             (jax.device_put(jnp.asarray(t)), jax.device_put(jnp.asarray(q)))
+        )
+
+    # matching op tables for the liftover stage: each record's op lengths
+    # sum to L (same column volume as the byte tiles), mean run ~16
+    N_OPS = max(L // 16, 1)
+    op_bufs = []
+    op_chars = np.frombuffer(b"M=XID", dtype=np.uint8)
+    for _ in range(2):
+        o = op_chars[rng.integers(0, 5, size=(B, N_OPS))]
+        ln = np.full((B, N_OPS), 16, dtype=np.int32)
+        op_bufs.append(
+            (jax.device_put(jnp.asarray(o)), jax.device_put(jnp.asarray(ln)))
         )
 
     kernel = classify_stat_pallas if on_tpu else classify_stat_jnp
@@ -91,12 +109,18 @@ def main():
         print("on-chip shard_map(pallas) 1-device A/B: OK", file=sys.stderr)
 
     def run_batch(iters: int) -> float:
-        """Wall seconds for `iters` kernel executions with a forced
-        host-fetched checksum."""
+        """Wall seconds for `iters` executions of classify+stat AND
+        liftover over the same column volume, with a forced host-fetched
+        checksum covering both outputs."""
         start = time.perf_counter()
         outs = [kernel(*bufs[i % 2], lens_d) for i in range(iters)]
+        lift = [
+            reduce_all(jnp.stack(liftover_scan(*op_bufs[i % 2])))
+            for i in range(iters)
+        ]
         checksum = int(np.asarray(reduce_all(jnp.stack(outs))))
-        assert checksum != 0
+        checksum2 = int(np.asarray(reduce_all(jnp.stack(lift))))
+        assert checksum != 0 and checksum2 != 0
         return time.perf_counter() - start
 
     lo_iters, hi_iters = (4, 36) if on_tpu else (2, 6)
@@ -113,10 +137,12 @@ def main():
     )
     # whole-batch rate is a strict lower bound (includes dispatch/transfer)
     lower_bound = B * L * hi_iters / t_hi
-    # v5e HBM is ~819 GB/s; at 2 input bytes per column nothing real can
-    # stream faster than ~410 Gcol/s -- a marginal estimate beyond that is
-    # timing noise, so fall back to the lower bound
-    phys_bound = 420e9
+    # v5e HBM is ~819 GB/s; the combined loop moves ~2.9 bytes per column
+    # (2 input bytes for classify + ~0.3 op-table bytes + ~0.5 cumsum
+    # output bytes at mean run 16), so nothing real can stream faster than
+    # ~280 Gcol/s -- a marginal estimate beyond that is timing noise, so
+    # fall back to the lower bound
+    phys_bound = 290e9
     if 0 < marginal <= phys_bound:
         gbps = marginal / 1e9
     else:

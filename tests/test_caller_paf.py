@@ -153,3 +153,112 @@ def test_maf_caller_negative_strand_inv_per_chunk():
     assert [r.split("\t")[:8] for r in del2] == [
         r.split("\t")[:8] for r in del_rows
     ]
+
+
+def _naive_paf_rows(paf_line, t_fa_path, q_fa_path, if_snp, svlen_cutoff):
+    """Spec oracle: the reference's sequential CIGAR fold
+    (caller.rs:640-818), transcribed as plain per-op/per-base loops."""
+    import io as iolib
+
+    from wgatools_tpu.io.fasta import FastaReader
+
+    rows = []
+    for rec in PafReader(iolib.BytesIO(paf_line.encode())).records():
+        t_seq = FastaReader(t_fa_path).fetch(
+            rec.target_name, rec.target_start, rec.target_end
+        )
+        q_seq = FastaReader(q_fa_path).fetch(
+            rec.query_name, rec.query_start, rec.query_end
+        )
+        negative = rec.is_negative
+        sfx = "N" if negative else "P"
+        init_info = "INV_NEST=TRUE;" if negative else ""
+        if negative:
+            rows.append(
+                f"{rec.target_name}\t{rec.target_start + 1}\t"
+                f"{t_seq[0:1].decode().upper()}\t<INV>\t"
+                f"SVTYPE=INV;END={rec.target_end}\t"
+                f"1|1:{rec.query_name}@{rec.query_start}@{rec.query_end}@{sfx}"
+            )
+        ops, lens = rec.get_cigar_ops()
+        t_pos, q_pos = rec.target_start, rec.query_start
+        after_m = False
+        for op, ln in zip(ops.tolist(), lens.tolist()):
+            ch = chr(op)
+            if ch in ("M", "="):
+                t_pos += ln
+                q_pos += ln
+                after_m = True
+            elif ch == "X":
+                for _ in range(ln):
+                    if if_snp:
+                        ts = t_pos - rec.target_start
+                        qs = q_pos - rec.query_start
+                        rows.append(
+                            f"{rec.target_name}\t{t_pos + 1}\t"
+                            f"{t_seq[ts:ts + 1].decode().upper()}\t"
+                            f"{q_seq[qs:qs + 1].decode().upper()}\t.\t"
+                            f"1|1:{rec.query_name}@{q_pos}@{sfx}"
+                        )
+                    t_pos += 1
+                    q_pos += 1
+                after_m = True
+            elif ch == "I":
+                if ln > svlen_cutoff and after_m:
+                    ts = t_pos - rec.target_start - 1
+                    qs = q_pos - rec.query_start - 1
+                    rows.append(
+                        f"{rec.target_name}\t{t_pos}\t"
+                        f"{t_seq[ts:ts + 1].decode().upper()}\t"
+                        f"{q_seq[qs:qs + ln + 1].decode().upper()}\t"
+                        f"{init_info}SVTYPE=INS;SVLEN={ln};END={t_pos}\t"
+                        f"1|1:{rec.query_name}@{q_pos}@{q_pos + ln}@{sfx}"
+                    )
+                q_pos += ln
+                after_m = False
+            elif ch == "D":
+                if ln > svlen_cutoff and after_m:
+                    ts = t_pos - rec.target_start - 1
+                    qs = q_pos - rec.query_start - 1
+                    rows.append(
+                        f"{rec.target_name}\t{t_pos}\t"
+                        f"{t_seq[ts:ts + ln + 1].decode().upper()}\t"
+                        f"{q_seq[qs:qs + 1].decode().upper()}\t"
+                        f"{init_info}SVTYPE=DEL;SVLEN={ln};END={t_pos + ln}\t"
+                        f"1|1:{rec.query_name}@{q_pos}@{q_pos}@{sfx}"
+                    )
+                t_pos += ln
+                after_m = False
+    return rows
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("negative", [False, True])
+@pytest.mark.parametrize("svlen", [0, 4])
+def test_paf_caller_matches_naive_oracle(tmp_path, seed, negative, svlen):
+    """The vectorized run-table PAF caller must reproduce the sequential
+    per-op/per-base oracle field-for-field (r2 rewrite of the interpreted
+    loop, VERDICT #5)."""
+    paf_line, t_fa, q_fa = make_paf_case(seed, negative=negative)
+    t_path = tmp_path / "t.fa"
+    q_path = tmp_path / "q.fa"
+    t_path.write_text(t_fa)
+    q_path.write_text(q_fa)
+
+    out = io.BytesIO()
+    call_var_paf(
+        PafReader(io.BytesIO(paf_line.encode())),
+        str(t_path),
+        str(q_path),
+        out,
+        if_snp=True,
+        svlen_cutoff=svlen,
+    )
+    got = []
+    for line in _body(out.getvalue()):
+        f = line.split("\t")
+        got.append("\t".join([f[0], f[1], f[3], f[4], f[7], f[9]]))
+    want = _naive_paf_rows(paf_line, str(t_path), str(q_path), True, svlen)
+    assert got == want
+    if not negative:
+        assert any("\t" in r for r in want)

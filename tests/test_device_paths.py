@@ -250,3 +250,40 @@ def test_batched_pipeline_multi_flush_parity(monkeypatch):
         batch_columns=4096,
     )
     assert chain_host.getvalue() == chain_dev.getvalue()
+
+
+def test_stream_batch_stats_multi_flush_parity():
+    """Streaming device stats with tiny flush batches must equal the host
+    per-record path, including the int64-overflow fallback ordering."""
+    import io as iolib
+
+    import numpy as np
+
+    from wgatools_tpu.io.paf import PafReader
+    from wgatools_tpu.tools.validate import stream_batch_stats
+
+    rows = []
+    for i in range(17):
+        cg = f"{5 + i}M{i + 1}I{3}D{2}X{4}M"
+        q_span = 5 + i + i + 1 + 2 + 4
+        t_span = 5 + i + 3 + 2 + 4
+        strand = "-" if i % 3 == 0 else "+"
+        rows.append(
+            f"q{i}\t500\t0\t{q_span}\t{strand}\tt{i % 2}\t500\t0\t{t_span}"
+            f"\t{t_span}\t{t_span}\t255\tcg:Z:{cg}"
+        )
+    data = ("\n".join(rows) + "\n").encode()
+
+    host = [
+        (r.query_name, r.get_stat())
+        for r in PafReader(iolib.BytesIO(data)).records()
+    ]
+    dev = [
+        (rec.query_name, rs)
+        for rec, rs in stream_batch_stats(
+            PafReader(iolib.BytesIO(data)).records(), batch_ops=6
+        )
+    ]
+    assert [n for n, _ in host] == [n for n, _ in dev]
+    for (_, h), (_, d) in zip(host, dev):
+        assert h == d

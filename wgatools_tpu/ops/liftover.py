@@ -1,0 +1,179 @@
+"""Device liftover scan: CIGAR ops -> per-op alignment coordinates.
+
+The coordinate state machines the reference threads through every workload
+(chain emission cigar.rs:251-295, coverage update_cov_vec cigar.rs:710-741,
+plotdata walks cigar.rs:807-985, validate end-derivation validate.rs:71-120)
+are all prefix sums of per-op advances:
+
+    target position advances on everything except I/S (cigar.rs:718-726),
+    query  position advances on M/=/X/I/S (not on D/N/H).
+
+A padded [B, N] op/len batch turns both into one `cumsum` along the op
+axis -- the `liftover_scan` kernel of SURVEY.md §7.  Offsets accumulate in
+int32 (per-record totals are guarded by callers; chromosome-scale
+coordinates fit int32).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+OP_M = ord("M")
+OP_EQ = ord("=")
+OP_X = ord("X")
+OP_I = ord("I")
+OP_D = ord("D")
+OP_S = ord("S")
+
+
+# ---------------------------------------------------------------------------
+# Row-wise prefix sum.  XLA's native cumsum lowers poorly on TPU for long
+# rows (~6-7 Gelem/s measured on v5e); a blocked triangular matmul rides
+# the MXU instead (~2-4x, same-process A/B 2026-08-17; T=256 beat 128/512).
+#
+# Exactness by construction: the int32 inputs decompose into 8-bit limbs,
+# each limb rides the MXU as bf16 x bf16 -> f32 (limb values <= 255 are
+# bf16-exact; within-block partial sums <= 256*255 are f32-exact), and the
+# shifted limb results recombine in int32.  f32 matmuls are NOT used --
+# XLA:TPU lowers those to truncating bf16 passes at default precision.
+# wide=False uses 2 limbs (every op length < 2^16); wide=True uses 4
+# (any non-negative int32).  Cross-block offsets accumulate in int32.
+# ---------------------------------------------------------------------------
+
+
+def _cumsum_mm_body(xb_int, T, limbs):
+    tri = jnp.tril(jnp.ones((T, T), jnp.bfloat16))
+    within = None
+    for k in range(limbs):
+        limb = ((xb_int >> (8 * k)) & 0xFF).astype(jnp.bfloat16)
+        w = jax.lax.dot_general(
+            limb,
+            tri,
+            (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32) << (8 * k)
+        within = w if within is None else within + w
+    block_tot = within[..., -1]
+    offs = jnp.cumsum(block_tot, axis=1) - block_tot
+    return within + offs[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("T", "wide"))
+def _cumsum_mm(x, T=256, wide=False):
+    B, N = x.shape
+    n_pad = (-N) % T
+    if n_pad:
+        x = jnp.pad(x, ((0, 0), (0, n_pad)))
+    nb = x.shape[1] // T
+    out = _cumsum_mm_body(x.reshape(B, nb, T), T, 4 if wide else 2)
+    return out.reshape(B, nb * T)[:, :N]
+
+
+def cumsum_last(x, T=256, wide=False, use_mm=None):
+    """Inclusive cumsum along the last axis; MXU matmul path on TPU.
+
+    wide=True is required for exactness when any element reaches 2^16
+    (callers know their max op length); totals must stay below 2^31
+    either way (callers guard, falling back to int64 host paths)."""
+    if use_mm is None:
+        use_mm = jax.default_backend() == "tpu"
+    if not use_mm:
+        return jnp.cumsum(x, axis=1)
+    return _cumsum_mm(x, T=T, wide=wide)
+
+
+@functools.partial(jax.jit, static_argnames=("wide", "use_mm"))
+def _liftover_scan_impl(ops, lens, wide, use_mm):
+    lens = lens.astype(jnp.int32)
+    pad = ops == 0
+    is_i = ops == OP_I
+    is_s = ops == OP_S
+    is_d = ops == OP_D
+    adv_t = jnp.where(pad | is_i | is_s, 0, lens)
+    adv_q = jnp.where(pad | is_d, 0, lens)
+    # one fused scan over both advance arrays (half the matmul dispatches)
+    both = jnp.concatenate([adv_t, adv_q], axis=0)
+    cum = cumsum_last(both, wide=wide, use_mm=use_mm)
+    B = ops.shape[0]
+    t_off = cum[:B] - adv_t
+    q_off = cum[B:] - adv_q
+    return t_off, q_off
+
+
+def liftover_scan(ops, lens, wide=False):
+    """Exclusive per-op (target, query) offsets within each record.
+
+    ops: uint8 [B, N] (0 = padding); lens: int32 [B, N] (0 on padding).
+    Returns (t_off, q_off) int32 [B, N]: the coordinate offset of each op
+    from the record's (target_start, query_start).
+
+    wide=True selects the 4-limb scan; required when any op length
+    reaches 2^16 (see cumsum_last).
+    """
+    use_mm = jax.default_backend() == "tpu"
+    return _liftover_scan_impl(ops, lens, bool(wide), use_mm)
+
+
+@functools.partial(jax.jit, static_argnames=("wide",))
+def coverage_span_table(ops, lens, t_starts, wide=False):
+    """Per-op absolute M/'=' coverage spans (update_cov_vec semantics).
+
+    ops/lens: padded [B, N]; t_starts: int32 [B] record target starts.
+    Returns (starts, ends) int32 [B, N] with non-covering ops marked -1
+    (scatter callers drop them), matching tools.pafcov.coverage_spans.
+    """
+    lens = lens.astype(jnp.int32)
+    t_off, _ = liftover_scan(ops, lens, wide=wide)
+    cover = (ops == OP_M) | (ops == OP_EQ)
+    starts = t_starts[:, None] + t_off
+    ends = starts + lens
+    neg = jnp.int32(-1)
+    return jnp.where(cover, starts, neg), jnp.where(cover, ends, neg)
+
+
+@functools.partial(jax.jit, static_argnames=("genome_len",))
+def spans_to_coverage(starts, ends, genome_len: int):
+    """Flat (start, end) span arrays -> per-base coverage over one target.
+
+    Spans with start < 0 are padding and contribute nothing.  Difference
+    array + prefix sum (the device analog of pafcov.rs:29-53's counter
+    increments).
+    """
+    n = genome_len
+    valid = (starts.ravel() >= 0).astype(jnp.int32)
+    s = jnp.clip(starts.ravel(), 0, n)
+    e = jnp.clip(ends.ravel(), 0, n)
+    diff = jnp.zeros(n + 1, dtype=jnp.int32)
+    diff = diff.at[s].add(valid)
+    diff = diff.at[e].add(-valid)
+    return jnp.cumsum(diff[:-1])
+
+
+@jax.jit
+def chain_advance_table(ops, lens):
+    """Per-op cumulative (ins, del) sizes for chain-line derivation.
+
+    Exclusive cumsums of I-lengths and D-lengths: the device form of the
+    accumulated target_diff/query_diff state in cigar_unit_chain
+    (reference: cigar.rs:460-490).  Host code slices these at M-run
+    boundaries to emit chain lines without re-scanning the op array.
+    """
+    lens = lens.astype(jnp.int32)
+    ins = jnp.where(ops == OP_I, lens, 0)
+    dele = jnp.where(ops == OP_D, lens, 0)
+    return jnp.cumsum(ins, axis=1), jnp.cumsum(dele, axis=1)
+
+
+def pack_ops_batch(op_arrays, len_arrays, align=128):
+    """Pad per-record (ops, lens) arrays to [B, N] (0-padded)."""
+    B = len(op_arrays)
+    N = max((len(a) for a in op_arrays), default=0)
+    N = max(((N + align - 1) // align) * align, align)
+    ops = np.zeros((B, N), dtype=np.uint8)
+    lens = np.zeros((B, N), dtype=np.int32)
+    for k, (o, l) in enumerate(zip(op_arrays, len_arrays)):
+        ops[k, : len(o)] = o
+        lens[k, : len(o)] = l
+    return ops, lens

@@ -17,6 +17,15 @@ from ..io.vcf import VcfWriter
 
 DEFAULT_CHUNK_SIZE = 1000000
 
+# CIGAR op byte -> caller category code (PAF path; M merges into EQ because
+# only explicit X runs emit SNPs, caller.rs:640-664); 255 = invalid
+_OP2CAT = np.full(256, 255, dtype=np.uint8)
+_OP2CAT[C.OP_M] = C.EQ
+_OP2CAT[C.OP_EQ] = C.EQ
+_OP2CAT[C.OP_X] = C.X
+_OP2CAT[C.OP_I] = C.I
+_OP2CAT[C.OP_D] = C.D
+
 
 def find_safe_chunk_boundary(t_seq, q_seq, start, chunk_size, svlen_cutoff, total):
     """SV-safe chunk boundary (reference: caller.rs:159-219).
@@ -165,6 +174,38 @@ def call_within_var(mafrec: MafRecord, if_snp: bool, svlen_cutoff: int, if_inv: 
         _emit_inv_record(out, mafrec, t_seq_ref, fmt_suffix)
 
     vals, lens = _caller_runs_dispatch(t_arr, q_arr)
+    out.extend(
+        _emit_variant_rows(
+            vals, lens, t_start, q_start, t_str, q_str, chro, q_chro,
+            fmt_suffix, init_info, if_snp, svlen_cutoff,
+        )
+    )
+    return out
+
+
+def _emit_variant_rows(
+    vals,
+    lens,
+    t_start,
+    q_start,
+    t_str,
+    q_str,
+    chro,
+    q_chro,
+    fmt_suffix,
+    init_info,
+    if_snp,
+    svlen_cutoff,
+):
+    """Run-table -> VCF rows: the shared vectorized event scan
+    (reference: caller.rs:453-606 for MAF columns, caller.rs:640-818 for
+    the PAF CIGAR fold -- both reduce to the same per-run machinery).
+
+    vals: category codes (C.EQ/C.X/C.I/C.D/C.W) per run; lens: run lengths.
+    t_str/q_str: gap-free uppercased sequences starting at
+    t_start/q_start.  Returns VCF row tuples/bytes in emission order.
+    """
+    out = []
     nruns = vals.shape[0]
     if nruns == 0:
         return out
@@ -430,6 +471,12 @@ def call_var_paf(
     """PAF variant calling driven by CIGAR ops with REF/ALT from FASTA
     (reference: caller.rs:268-302, 610-822).
 
+    The CIGAR fold runs through the same vectorized run-table scan as the
+    MAF path (_emit_variant_rows; ops map to caller categories via
+    _OP2CAT), with bulk C++ SNP-row formatting: ~74 Mbp/s on a 20 Mbp
+    SNP-dense synthetic (2026-08-17), vs per-op/per-base interpreted
+    Python previously.
+
     Note the reference fetches the query sequence on the + strand even for
     negative-strand records -- reproduced.
     """
@@ -463,60 +510,29 @@ def call_var_paf(
             )
 
         ops, lens = rec.get_cigar_ops()
-        t_pos, q_pos = rec.target_start, rec.query_start
-        after_m = False
-        for op, ln in zip(ops.tolist(), lens.tolist()):
-            ch = chr(op)
-            if ch in ("M", "="):
-                t_pos += ln
-                q_pos += ln
-                after_m = True
-            elif ch == "X":
-                if if_snp:
-                    for i in range(ln):
-                        ts = t_pos - rec.target_start
-                        qs = q_pos - rec.query_start
-                        ref = t_seq[ts : ts + 1].decode("ascii").upper()
-                        alt = q_seq[qs : qs + 1].decode("ascii").upper()
-                        qi = f"1|1:{rec.query_name}@{q_pos}@{fmt_suffix}"
-                        vcf.write_record(
-                            rec.target_name, t_pos + 1, ref, alt, None,
-                            "GT:QI", qi,
-                        )
-                        t_pos += 1
-                        q_pos += 1
-                else:
-                    t_pos += ln
-                    q_pos += ln
-                after_m = True
-            elif ch == "I":
-                if ln > svlen_cutoff and after_m:
-                    ts = t_pos - rec.target_start - 1
-                    qs = q_pos - rec.query_start - 1
-                    ref = t_seq[ts : ts + 1].decode("ascii").upper()
-                    alt = q_seq[qs : qs + ln + 1].decode("ascii").upper()
-                    info = f"{init_info}SVTYPE=INS;SVLEN={ln};END={t_pos}"
-                    qi = f"1|1:{rec.query_name}@{q_pos}@{q_pos + ln}@{fmt_suffix}"
-                    vcf.write_record(
-                        rec.target_name, t_pos, ref, alt, info, "GT:QI", qi
-                    )
-                q_pos += ln
-                after_m = False
-            elif ch == "D":
-                if ln > svlen_cutoff and after_m:
-                    ts = t_pos - rec.target_start - 1
-                    qs = q_pos - rec.query_start - 1
-                    ref = t_seq[ts : ts + ln + 1].decode("ascii").upper()
-                    alt = q_seq[qs : qs + 1].decode("ascii").upper()
-                    info = f"{init_info}SVTYPE=DEL;SVLEN={ln};END={t_pos + ln}"
-                    qi = f"1|1:{rec.query_name}@{q_pos}@{q_pos}@{fmt_suffix}"
-                    vcf.write_record(
-                        rec.target_name, t_pos, ref, alt, info, "GT:QI", qi
-                    )
-                t_pos += ln
-                after_m = False
-            else:
-                from ..errors import CigarOpInvalid
+        cats = _OP2CAT[ops]
+        bad = np.flatnonzero(cats == 255)
+        if bad.size:
+            from ..errors import CigarOpInvalid
 
-                raise CigarOpInvalid(ch)
+            raise CigarOpInvalid(chr(int(ops[bad[0]])))
+        rows = _emit_variant_rows(
+            cats,
+            lens,
+            rec.target_start,
+            rec.query_start,
+            t_seq.decode("ascii").upper(),
+            q_seq.decode("ascii").upper(),
+            rec.target_name,
+            rec.query_name,
+            fmt_suffix,
+            init_info,
+            if_snp,
+            svlen_cutoff,
+        )
+        for row in rows:
+            if isinstance(row, bytes):
+                vcf.write_raw(row)  # bulk-formatted SNP block
+            else:
+                vcf.write_record(*row)
     writer.flush()

@@ -33,8 +33,16 @@ def add_spans(cov: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     np.subtract.at(cov, ends[ends < n], 1)
 
 
-def pafcov(reader, writer):
-    """reference: pafcov.rs:13-61.  Output: one BED line per base."""
+def pafcov(reader, writer, device=None):
+    """reference: pafcov.rs:13-61.  Output: one BED line per base.
+
+    device=None auto-selects the batched device scatter-add path on TPU
+    backends (wgatools_tpu.ops.liftover); host and device paths are
+    byte-identical (tested)."""
+    from ..core.device import device_requested
+
+    if device_requested(device):
+        return _pafcov_device(reader, writer)
     diff_map = {}
     for rec in reader.records():
         ops, lens = rec.get_cigar_ops()
@@ -47,6 +55,98 @@ def pafcov(reader, writer):
         add_spans(cov[:-1], starts, ends)
     for target, diff in diff_map.items():
         counts = np.cumsum(diff[:-1])
+        write_per_base_bed(writer, target, counts)
+    writer.flush()
+
+
+def _pafcov_device(reader, writer, batch_ops=1 << 20):
+    """Device coverage: liftover_scan derives M/'=' spans from padded op
+    batches, a donated difference array accumulates scatter-adds per
+    target, one prefix sum at the end (ops/liftover.py).
+
+    Streaming: records buffer per target and flush in op-count batches --
+    the whole file is never materialized.  Falls back to the int64 host
+    path for records whose op-length totals approach 2^31.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.liftover import coverage_span_table, pack_ops_batch
+
+    @functools.partial(
+        jax.jit, donate_argnums=(0,), static_argnames=("wide",)
+    )
+    def scatter_batch(diff, ops, lens, t_starts, wide=False):
+        starts, ends = coverage_span_table(ops, lens, t_starts, wide=wide)
+        n = diff.shape[0] - 1
+        valid = (starts.ravel() >= 0).astype(jnp.int32)
+        s = jnp.clip(starts.ravel(), 0, n)
+        e = jnp.clip(ends.ravel(), 0, n)
+        diff = diff.at[s].add(valid)
+        diff = diff.at[e].add(-valid)
+        return diff
+
+    diff_dev = {}  # target -> device int32 [len+1]
+    host_diff = {}  # int64-overflow fallback records
+    pending = {}  # target -> (op_arrays, len_arrays, starts, total_ops)
+    order = []  # first-appearance target order (= serial output order)
+
+    def flush(target):
+        op_arrays, len_arrays, starts, _ = pending.pop(target)
+        ops, lens = pack_ops_batch(op_arrays, len_arrays)
+        # op lengths >= 2^16 need the 4-limb exact scan
+        # (ops/liftover.py cumsum_last)
+        wide = any(
+            a.max(initial=0) >= 1 << 16 for a in len_arrays
+        )
+        diff_dev[target] = scatter_batch(
+            diff_dev[target],
+            jnp.asarray(ops),
+            jnp.asarray(lens),
+            jnp.asarray(np.array(starts, dtype=np.int32)),
+            wide=wide,
+        )
+
+    for rec in reader.records():
+        ops, lens = rec.get_cigar_ops()
+        target = rec.target_name
+        if target not in diff_dev and target not in host_diff:
+            order.append(target)
+            if rec.target_length + 1 >= 2**31:
+                host_diff[target] = np.zeros(
+                    rec.target_length + 1, dtype=np.int64
+                )
+            else:
+                diff_dev[target] = jnp.zeros(
+                    rec.target_length + 1, dtype=jnp.int32
+                )
+        if target in host_diff or lens.sum(dtype=np.int64) >= 2**31:
+            cov = host_diff.setdefault(
+                target, np.zeros(rec.target_length + 1, dtype=np.int64)
+            )
+            starts, ends = coverage_spans(ops, lens, rec.target_start)
+            add_spans(cov[:-1], starts, ends)
+            continue
+        bucket = pending.setdefault(target, ([], [], [], 0))
+        bucket[0].append(ops)
+        bucket[1].append(lens.astype(np.int32))
+        bucket[2].append(rec.target_start)
+        total = bucket[3] + len(ops)
+        pending[target] = (bucket[0], bucket[1], bucket[2], total)
+        if total >= batch_ops:
+            flush(target)
+    for target in list(pending):
+        flush(target)
+
+    for target in order:
+        if target in diff_dev:
+            counts = np.asarray(jnp.cumsum(diff_dev.pop(target)[:-1]))
+            if target in host_diff:
+                counts = counts + np.cumsum(host_diff.pop(target)[:-1])
+        else:
+            counts = np.cumsum(host_diff.pop(target)[:-1])
         write_per_base_bed(writer, target, counts)
     writer.flush()
 

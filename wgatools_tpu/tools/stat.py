@@ -299,10 +299,10 @@ def stat_paf(reader, writer, each: bool = False, device=None):
         write_style_result(pair_stats, writer, each)
         return
 
-    from ..tools.validate import _batch_stats
+    from ..tools.validate import stream_batch_stats
 
-    records = list(reader.records())
-    rec_stats = _batch_stats(records)
+    # streaming: records flow through flush-sized device batches; only the
+    # small per-pair stat rows accumulate (constant memory in file size)
     pair_stats = [
         PairStat(
             ref_name=rec.target_name,
@@ -313,6 +313,6 @@ def stat_paf(reader, writer, each: bool = False, device=None):
             query_start=rec.query_start,
             rec_stat=rs,
         )
-        for rec, rs in zip(records, rec_stats)
+        for rec, rs in stream_batch_stats(reader.records())
     ]
     write_style_result(pair_stats, writer, each)

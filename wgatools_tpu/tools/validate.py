@@ -34,39 +34,72 @@ class Validations:
         return "\n".join(lines) + "\n"
 
 
-def _batch_stats(records):
-    """Per-record stats on the device: tokenize (native), segment-sum
-    (wgatools_tpu.ops.segments), strand-route on host."""
+def _stat_from_row(rec, row):
+    """Device counter row -> RecStat with host strand routing."""
+    from ..core.cigar import Cigar, rec_stat_from_cigar
+
+    c = Cigar()
+    c.match_count = int(row[0])
+    c.mismatch_count = int(row[1])
+    if rec.is_negative:
+        c.inv_event = 1
+        c.inv_ins_count, c.inv_del_count = int(row[2]), int(row[3])
+        c.inv_ins_event, c.inv_del_event = int(row[4]), int(row[5])
+    else:
+        c.ins_count, c.del_count = int(row[2]), int(row[3])
+        c.ins_event, c.del_event = int(row[4]), int(row[5])
+    return rec_stat_from_cigar(c)
+
+
+def stream_batch_stats(records, batch_ops=1 << 20):
+    """Yield (record, RecStat) in input order, computing stats in batched
+    device segment sums (tokenize native, reduce on device, strand-route
+    on host).
+
+    Streaming: only one flush batch of records is held at a time -- the
+    input is never materialized (constant memory on arbitrarily large
+    PAFs).  Records whose op-length totals approach 2^31 take the int64
+    host path individually (device counters are int32).
+    """
     import numpy as np
 
-    from ..core.cigar import Cigar, rec_stat_from_cigar
     from ..ops.segments import cigar_batch_stats, pack_cigar_batch
 
-    op_arrays, len_arrays = [], []
+    pending = []  # (rec, ops, lens)
+    total = 0
+
+    def flush():
+        nonlocal total
+        if not pending:
+            return
+        ops, lens, row_ids = pack_cigar_batch(
+            [p[1] for p in pending], [p[2] for p in pending]
+        )
+        rows = np.asarray(
+            cigar_batch_stats(ops, lens, row_ids, len(pending))
+        )
+        for (rec, _, _), row in zip(pending, rows):
+            yield rec, _stat_from_row(rec, row)
+        pending.clear()
+        total = 0
+
     for rec in records:
         ops, lens = rec.get_cigar_ops()
-        op_arrays.append(ops)
-        len_arrays.append(lens)
-    # The device segment sums accumulate in int32; a record whose op-length
-    # total approaches 2^31 must take the int64 host path instead.
-    if any(a.sum(dtype=np.int64) >= 2**31 for a in len_arrays):
-        return [rec.get_stat() for rec in records]
-    ops, lens, row_ids = pack_cigar_batch(op_arrays, len_arrays)
-    rows = np.asarray(cigar_batch_stats(ops, lens, row_ids, len(records)))
-    out = []
-    for rec, row in zip(records, rows):
-        c = Cigar()
-        c.match_count = int(row[0])
-        c.mismatch_count = int(row[1])
-        if rec.is_negative:
-            c.inv_event = 1
-            c.inv_ins_count, c.inv_del_count = int(row[2]), int(row[3])
-            c.inv_ins_event, c.inv_del_event = int(row[4]), int(row[5])
-        else:
-            c.ins_count, c.del_count = int(row[2]), int(row[3])
-            c.ins_event, c.del_event = int(row[4]), int(row[5])
-        out.append(rec_stat_from_cigar(c))
-    return out
+        if lens.sum(dtype=np.int64) >= 2**31:
+            yield from flush()
+            yield rec, rec.get_stat()
+            continue
+        pending.append((rec, ops, lens.astype(np.int32)))
+        total += len(ops)
+        if total >= batch_ops:
+            yield from flush()
+    yield from flush()
+
+
+def _batch_stats(records):
+    """Per-record stats on the device (list-in, list-out wrapper around
+    stream_batch_stats; parity-tested against the host path)."""
+    return [rs for _, rs in stream_batch_stats(records)]
 
 
 def check_record(rec, rs, vd, fix_flag):
@@ -109,9 +142,7 @@ def validate_paf(reader, writer, fix_writer=None, fix_flag=False, device=None):
 
     vd = Validations()
     if _device_requested(device):
-        records = list(reader.records())
-        stats = _batch_stats(records)
-        stream = zip(records, stats)
+        stream = stream_batch_stats(reader.records())
     else:
         stream = ((rec, rec.get_stat()) for rec in reader.records())
     for rec, rs in stream:
