@@ -131,3 +131,140 @@ class TestDotplot:
             parse_color_config("M:red")
         with pytest.raises(WGAError):
             parse_color_config("M#FF0000")
+
+
+class TestNavigationPopup:
+    """Navigation popup core (reference: tview.rs:41-166, 594-633)."""
+
+    def _multi_maf(self, tmp_path):
+        from wgatools_tpu.io.maf import MafReader
+        from wgatools_tpu.tools.index import build_index
+
+        src = open(fixture_path("test.maf"), "rb").read()
+        header, _, body = src.partition(b"\n")
+        # second record with different names so the name list has entries
+        body2 = body.replace(b"ref.chr8", b"ref.chr9").replace(
+            b"query.chr8", b"query.chr9"
+        )
+        maf = tmp_path / "multi.maf"
+        maf.write_bytes(header + b"\n" + body + body2)
+        with open(str(maf) + ".index", "wb") as out:
+            build_index(MafReader.from_path(str(maf)), out)
+        return str(maf)
+
+    def test_popup_lists_and_selection(self, tmp_path):
+        from wgatools_tpu.tools.tview import MafViewApp
+
+        app = MafViewApp(self._multi_maf(tmp_path), step=10)
+        nav = app.navigation
+        nav.show = True
+        assert len(nav.names) == 4  # 2 refs + 2 queries
+        assert nav.regions  # region list for the first name
+        first_input = nav.input
+        assert first_input.startswith("Goto: ")
+        # down moves the name selection and refreshes the regions + input
+        nav.select_down()
+        assert nav.select_name_idx == 1
+        assert nav.input != first_input
+        # wrap-around
+        for _ in range(len(nav.names)):
+            nav.select_down()
+        assert nav.select_name_idx == 1
+        # tab switches to the region list
+        nav.toggle_list()
+        nav.select_down()
+        assert nav.select_region
+
+    def test_popup_validation_and_jump(self, tmp_path):
+        from wgatools_tpu.tools.tview import MafViewApp, NAV_PREFIX
+
+        app = MafViewApp(self._multi_maf(tmp_path), step=10)
+        nav = app.navigation
+        nav.show = True
+        # select the chr9 ref name and confirm -> app lands on record 2
+        idx = nav.names.index("ref.chr9")
+        while nav.select_name_idx != idx:
+            nav.select_down()
+        assert app.confirm_navigation()
+        assert not nav.show
+        assert app.record.slines[0].name == "ref.chr9"
+
+        # invalid: garbage input
+        nav.show = True
+        nav.input = NAV_PREFIX + "nope:123"
+        assert not app.confirm_navigation()
+        assert not nav.input_valid
+        # invalid: out-of-interval position
+        nav.input = NAV_PREFIX + "ref.chr9:1"
+        assert not app.confirm_navigation()
+        assert not nav.input_valid
+        # char editing round-trip
+        nav.update_input()
+        n0 = nav.input
+        nav.enter_char("9")
+        nav.delete_char()
+        assert nav.input == n0
+
+    def test_popup_pty_end_to_end(self, tmp_path):
+        """Drive the real curses TUI through a pty: open the popup with
+        `g`, pick the second name, Enter, then quit; the screen must have
+        shown the popup and the app must exit cleanly."""
+        import os
+        import pty
+        import select
+        import subprocess
+        import sys
+
+        maf = self._multi_maf(tmp_path)
+        script = (
+            "import sys;"
+            "from wgatools_tpu.tools.tview import tview;"
+            f"tview({maf!r}, 10)"
+        )
+        master, slave = pty.openpty()
+        env = dict(os.environ, TERM="xterm-256color", LINES="24", COLUMNS="100")
+        proc = subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdin=slave,
+            stdout=slave,
+            stderr=subprocess.PIPE,
+            env=env,
+        )
+        os.close(slave)
+        screen = b""
+
+        def pump(timeout=4.0):
+            nonlocal screen
+            import time
+
+            end = time.time() + timeout
+            while time.time() < end:
+                r, _, _ = select.select([master], [], [], 0.1)
+                if r:
+                    try:
+                        screen += os.read(master, 65536)
+                    except OSError:
+                        return
+                elif screen:
+                    return
+
+        pump()  # initial render
+        os.write(master, b"g")  # open popup
+        pump()
+        assert b"seq name" in screen and b"region" in screen
+        assert b"Goto: " in screen
+        os.write(master, b"\x1b[B")  # Down: second name
+        pump()
+        os.write(master, b"\r")  # Enter: jump
+        pump()
+        os.write(master, b"q")  # quit
+        try:
+            err = proc.communicate(timeout=10)[1]
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            raise AssertionError("tview did not exit after q")
+        finally:
+            os.close(master)
+        assert proc.returncode == 0, err.decode()
+        # the popup listed our sequence names
+        assert b"ref.chr9" in screen

@@ -9,11 +9,15 @@ Chunking with SV-safe boundaries (caller.rs:159-219) is the genome-axis
 tiling step and is computed on the gap bitmask with the same semantics.
 """
 
+import logging
+
 import numpy as np
 
 from ..core import cigar as C
 from ..io.maf import MafRecord, MafSLine
 from ..io.vcf import VcfWriter
+
+log = logging.getLogger("wgatools_tpu")
 
 DEFAULT_CHUNK_SIZE = 1000000
 
@@ -428,8 +432,18 @@ def call_record_part(
         return
     if plan[lo][0] > 0:
         view.skip_to(plan[lo][0])
-    for chunk_start, safe_end in plan[lo:hi]:
+    total_size = view.t_arr.shape[0]
+    for chunk_count, (chunk_start, safe_end) in enumerate(plan[lo:hi], 1):
         chunk_rec = view.chunk(chunk_start, safe_end)
+        # per-chunk progress on large records (reference: caller.rs:131-138)
+        log.info(
+            "Processed chunk %d: start=%d, end=%d, size=%d, progress=%.2f%%",
+            chunk_count,
+            chunk_start,
+            safe_end,
+            safe_end - chunk_start,
+            (safe_end / total_size) * 100.0 if total_size else 100.0,
+        )
         for row in call_within_var(chunk_rec, if_snp, svlen_cutoff, if_inv):
             if isinstance(row, bytes):
                 vcf.write_raw(row)  # pre-formatted SNP block

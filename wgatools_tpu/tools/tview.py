@@ -27,6 +27,147 @@ BASE_COLORS = {
 }
 
 
+NAV_PREFIX = "Goto: "
+_NAV_RE = None
+
+
+def _nav_regex():
+    global _NAV_RE
+    if _NAV_RE is None:
+        import re
+
+        # reference: tview.rs:595
+        _NAV_RE = re.compile(r"^[a-zA-Z0-9.\-@_#]+:[0-9]+$")
+    return _NAV_RE
+
+
+class Navigation:
+    """Navigation popup state: sequence-name list, per-name region list,
+    editable `name:pos` input, interval validation
+    (reference: tview.rs:41-166, 594-633).
+
+    Pure (no terminal I/O) so every interaction is unit-testable; the
+    curses shell renders `names`/`regions` lists with the current
+    selections and the input line.
+    """
+
+    def __init__(self, index):
+        self.show = False
+        self.input = NAV_PREFIX
+        self.cursor = len(NAV_PREFIX)
+        self.input_valid = True
+        self.names = list(index.keys())
+        self.all_regions = [
+            [(iv["start"], iv["end"], iv["offset"]) for iv in index[n]["ivls"]]
+            for n in self.names
+        ]
+        self.select_name_idx = 0
+        self.select_region_idx = 0
+        self.select_region = False  # focused list: False=names, True=regions
+        self.update_input()
+
+    @property
+    def regions(self):
+        """Region display strings for the selected name ("start-end",
+        the reference's ivvec2strvec)."""
+        return [
+            f"{s}-{e}" for s, e, _ in self.all_regions[self.select_name_idx]
+        ]
+
+    def _wrap(self, idx, delta, n):
+        if n == 0:
+            return 0
+        return (idx + delta) % n
+
+    def select_up(self):
+        if not self.show:
+            return
+        if not self.select_region:
+            self.select_name_idx = self._wrap(
+                self.select_name_idx, -1, len(self.names)
+            )
+            self.select_region_idx = 0
+        else:
+            self.select_region_idx = self._wrap(
+                self.select_region_idx, -1, len(self.regions)
+            )
+        self.update_input()
+
+    def select_down(self):
+        if not self.show:
+            return
+        if not self.select_region:
+            self.select_name_idx = self._wrap(
+                self.select_name_idx, 1, len(self.names)
+            )
+            self.select_region_idx = 0
+        else:
+            self.select_region_idx = self._wrap(
+                self.select_region_idx, 1, len(self.regions)
+            )
+        self.update_input()
+
+    def toggle_list(self):
+        """Tab: switch focus between the name and region lists."""
+        self.select_region = not self.select_region
+
+    def update_input(self):
+        """Fill the input from the selected name + region start
+        (tview.rs:98-104)."""
+        if not self.names:
+            return
+        name = self.names[self.select_name_idx]
+        regions = self.regions
+        start = (
+            regions[self.select_region_idx].split("-")[0] if regions else "0"
+        )
+        self.input = f"{NAV_PREFIX}{name}:{start}"
+        self.cursor = len(self.input)
+        self.input_valid = True
+
+    def move_cursor_left(self):
+        self.cursor = max(len(NAV_PREFIX), self.cursor - 1)
+
+    def move_cursor_right(self):
+        self.cursor = min(len(self.input), self.cursor + 1)
+
+    def enter_char(self, ch: str):
+        self.input = self.input[: self.cursor] + ch + self.input[self.cursor :]
+        self.cursor += 1
+
+    def delete_char(self):
+        if self.cursor > len(NAV_PREFIX):
+            self.input = (
+                self.input[: self.cursor - 1] + self.input[self.cursor :]
+            )
+            self.cursor -= 1
+
+    def validate(self):
+        """Validate the typed `name:pos` against the index intervals
+        (tview.rs:594-633).  Returns (name, pos, offset) on success, sets
+        input_valid False otherwise."""
+        body = self.input[len(NAV_PREFIX) :]
+        if not _nav_regex().match(body):
+            self.input_valid = False
+            return None
+        name, _, raw_start = body.partition(":")
+        if name not in self.names:
+            self.input_valid = False
+            return None
+        try:
+            pos = int(raw_start)
+        except ValueError:
+            self.input_valid = False
+            return None
+        for start, end, offset in self.all_regions[self.names.index(name)]:
+            # interval containment like lapper.find(pos, pos+1)
+            if start < pos + 1 and pos < end:
+                self.input_valid = True
+                return (name, pos, offset)
+        self.input_valid = False
+        return None
+
+
 class MafViewApp:
     """Viewer state: current record, scroll position, navigation."""
 
@@ -40,6 +181,7 @@ class MafViewApp:
         self.scroll = 0
         self.record = None
         self.names = sorted(self.index.keys())
+        self.navigation = Navigation(self.index)
         # start at the first record (smallest offset in the index)
         first = min(
             (iv["offset"] for item in self.index.values() for iv in item["ivls"]),
@@ -69,6 +211,20 @@ class MafViewApp:
         if item is None:
             return []
         return [(iv["start"], iv["end"], iv["offset"]) for iv in item["ivls"]]
+
+    def confirm_navigation(self) -> bool:
+        """Enter in the popup: validate and jump (tview.rs:425-429).
+        Closes the popup on success, keeps it open (input_valid=False
+        shown) otherwise."""
+        hit = self.navigation.validate()
+        if hit is None:
+            return False
+        name, pos, _offset = hit
+        if self.navigate(name, pos):
+            self.navigation.show = False
+            return True
+        self.navigation.input_valid = False
+        return False
 
     def navigate(self, name: str, pos: int) -> bool:
         """Jump to the record containing name:pos; True on success
@@ -161,12 +317,36 @@ def tview(input_path: str, step: int = 10):
             stdscr.addnstr(
                 h - 1,
                 0,
-                "←/→ scroll  g goto(name:pos)  q quit",
+                "←/→ scroll  g goto popup  q quit",
                 w - 1,
                 curses.A_REVERSE,
             )
+            nav = app.navigation
+            if nav.show:
+                _draw_nav_popup(stdscr, curses, nav, h, w)
             stdscr.refresh()
             key = stdscr.getch()
+            if nav.show:
+                # popup key routing (reference: tview.rs:381-430)
+                if key == 27:  # Esc closes
+                    nav.show = False
+                elif key == curses.KEY_UP:
+                    nav.select_up()
+                elif key == curses.KEY_DOWN:
+                    nav.select_down()
+                elif key == curses.KEY_LEFT:
+                    nav.move_cursor_left()
+                elif key == curses.KEY_RIGHT:
+                    nav.move_cursor_right()
+                elif key == ord("\t"):
+                    nav.toggle_list()
+                elif key in (curses.KEY_BACKSPACE, 127, 8):
+                    nav.delete_char()
+                elif key in (curses.KEY_ENTER, ord("\n"), ord("\r")):
+                    app.confirm_navigation()
+                elif 32 <= key < 127:
+                    nav.enter_char(chr(key))
+                continue
             if key in (ord("q"), 27):
                 break
             elif key == curses.KEY_LEFT:
@@ -174,21 +354,48 @@ def tview(input_path: str, step: int = 10):
             elif key == curses.KEY_RIGHT:
                 app.scroll_right()
             elif key == ord("g"):
-                curses.echo()
-                curses.curs_set(1)
-                stdscr.addnstr(h - 1, 0, "goto> " + " " * (w - 8), w - 1)
-                stdscr.move(h - 1, 6)
-                try:
-                    entry = stdscr.getstr(h - 1, 6, 64).decode("ascii")
-                except Exception:
-                    entry = ""
-                curses.noecho()
-                curses.curs_set(0)
-                if ":" in entry:
-                    name, _, pos = entry.rpartition(":")
-                    try:
-                        app.navigate(name, int(pos))
-                    except ValueError:
-                        pass
+                nav.show = True
+                nav.update_input()
 
     curses.wrapper(loop)
+
+
+def _draw_nav_popup(stdscr, curses, nav, h, w):
+    """Centered popup: name list + region list (selected rows
+    highlighted), input line, validity message
+    (reference layout: tview.rs:636-673)."""
+    ph = max(8, min(h - 2, 14))
+    pw = max(30, min(w - 4, 60))
+    top = (h - ph) // 2
+    left = (w - pw) // 2
+    for row in range(ph):
+        stdscr.addnstr(top + row, left, " " * pw, pw, curses.A_NORMAL)
+    list_h = ph - 4
+    half = pw // 2
+    stdscr.addnstr(top, left, " seq name ".center(half, "-"), half)
+    stdscr.addnstr(top, left + half, " region ".center(pw - half, "-"),
+                   pw - half)
+
+    def draw_list(items, sel, col, width, focused):
+        first = max(0, sel - list_h + 1)
+        for i, item in enumerate(items[first : first + list_h]):
+            attr = curses.A_NORMAL
+            if first + i == sel:
+                attr = curses.A_REVERSE if focused else curses.A_BOLD
+            prefix = ">> " if first + i == sel else "   "
+            stdscr.addnstr(top + 1 + i, col, (prefix + item)[:width], width,
+                           attr)
+
+    draw_list(nav.names, nav.select_name_idx, left, half - 1,
+              not nav.select_region)
+    draw_list(nav.regions, nav.select_region_idx, left + half, pw - half,
+              nav.select_region)
+    stdscr.addnstr(top + ph - 3, left, "-" * pw, pw)
+    stdscr.addnstr(top + ph - 2, left, nav.input[:pw], pw)
+    msg = (
+        "Tab: switch  Enter: go  Esc: close"
+        if nav.input_valid
+        else "invalid region!"
+    )
+    stdscr.addnstr(top + ph - 1, left, msg[:pw], pw,
+                   curses.A_NORMAL if nav.input_valid else curses.A_REVERSE)
