@@ -79,6 +79,7 @@ def main():
 
     kernel = classify_stat_pallas if on_tpu else classify_stat_jnp
     reduce_all = jax.jit(lambda xs: jnp.sum(xs))
+    reduce_pair = jax.jit(lambda a, b: jnp.sum(a) + jnp.sum(b))
 
     # correctness gate BEFORE timing: the Mosaic-lowered kernel must equal
     # the fused-jnp implementation bit-for-bit on this backend.  A lowering
@@ -115,7 +116,7 @@ def main():
         start = time.perf_counter()
         outs = [kernel(*bufs[i % 2], lens_d) for i in range(iters)]
         lift = [
-            reduce_all(jnp.stack(liftover_scan(*op_bufs[i % 2])))
+            reduce_pair(*liftover_scan(*op_bufs[i % 2]))
             for i in range(iters)
         ]
         checksum = int(np.asarray(reduce_all(jnp.stack(outs))))

@@ -67,14 +67,33 @@ def main():
         t_d = jax.device_put(jnp.asarray(t), sh)
         q_d = jax.device_put(jnp.asarray(q), sh)
         l_d = jax.device_put(jnp.asarray(lens), sh1)
-        out = sharded_column_stats(mesh, t_d, q_d, l_d)
-        out.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = sharded_column_stats(mesh, t_d, q_d, l_d)
-        out.block_until_ready()
-        dt = time.perf_counter() - t0
-        rate = B * args.cols * args.iters / dt
+
+        # jit once per mesh (re-tracing shard_map per call costs more than
+        # the kernel) and force a host-fetched checksum per timed batch
+        # (block_until_ready on remote axon buffers can resolve before
+        # execution -- bench.py methodology)
+        step = jax.jit(
+            lambda a, b, c: jnp.sum(sharded_column_stats(mesh, a, b, c))
+        )
+
+        def run(iters):
+            t0 = time.perf_counter()
+            outs = [step(t_d, q_d, l_d) for _ in range(iters)]
+            assert int(np.asarray(jnp.stack(outs).sum())) != 0
+            return time.perf_counter() - t0
+
+        run(1)
+        run(args.iters)
+        lo = min(run(1) for _ in range(2))
+        hi = min(run(args.iters) for _ in range(2))
+        # marginal rate with a physical-bound fallback (bench.py): ambient
+        # load on the shared chip can make hi-lo collapse to noise
+        marginal = (
+            B * args.cols * (args.iters - 1) / (hi - lo) if hi > lo else 0.0
+        )
+        lower_bound = B * args.cols * args.iters / hi
+        phys_bound = 420e9 * n_dev
+        rate = marginal if 0 < marginal <= phys_bound else lower_bound
         results[n_dev] = rate
         base = results[sizes[0]] * n_dev / sizes[0]
         eff = rate / base if base else 0.0

@@ -1,0 +1,152 @@
+"""Two-process jax.distributed rehearsal (VERDICT r1 #6).
+
+Launches 2 real OS processes with coordinator env vars, each exposing 2
+virtual CPU devices, so a single 4-device mesh spans both processes.  Each
+process claims its work units from a shared MAF-index manifest
+(claim_work_units), contributes only its own records' data to the global
+sharded arrays, and runs the production collectives
+(sharded_pair_reduce's segment-sum + psum, sharded_coverage's psum'd
+difference array).  The replicated outputs must equal a single-process
+numpy oracle in BOTH processes.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+
+from wgatools_tpu.parallel.distributed import (
+    claim_work_units,
+    maybe_initialize_distributed,
+)
+
+assert maybe_initialize_distributed(), "env vars missing"
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from wgatools_tpu.parallel.mesh import (
+    RECORDS_AXIS,
+    sharded_coverage,
+    sharded_pair_reduce,
+)
+from jax.sharding import Mesh
+
+pid = jax.process_index()
+nproc = jax.process_count()
+assert nproc == 2, nproc
+devices = jax.devices()
+assert len(devices) == 4, devices
+mesh = Mesh(np.array(devices), (RECORDS_AXIS,))
+
+# shared manifest: 8 units; both processes derive the same deterministic
+# assignment (claim_work_units round-robin by offset)
+index = {
+    "chr1": {
+        "isref": True,
+        "size": 1000,
+        "ivls": [
+            {"start": 10 * k, "end": 10 * k + 7, "strand": "+", "offset": k}
+            for k in range(8)
+        ],
+    }
+}
+mine = claim_work_units(index, pid, nproc)
+assert len(mine) == 4
+
+# global layout: process p's units occupy rows [4p, 4p+4) -- each process
+# fills ONLY its own half from its claimed units
+starts_g = np.zeros(8, dtype=np.int32)
+ends_g = np.zeros(8, dtype=np.int32)
+stats_g = np.zeros((8, 8), dtype=np.int32)
+ids_g = np.zeros(8, dtype=np.int32)
+for j, (name, s, e, off) in enumerate(mine):
+    starts_g[4 * pid + j] = s
+    ends_g[4 * pid + j] = e
+    stats_g[4 * pid + j] = off + 1
+    ids_g[4 * pid + j] = off % 3
+
+sh1 = NamedSharding(mesh, P(RECORDS_AXIS))
+sh2 = NamedSharding(mesh, P(RECORDS_AXIS, None))
+
+def mk(arr, sh):
+    return jax.make_array_from_callback(
+        arr.shape, sh, lambda idx: arr[idx]
+    )
+
+starts_d = mk(starts_g, sh1)
+ends_d = mk(ends_g, sh1)
+stats_d = mk(stats_g, sh2)
+ids_d = mk(ids_g, sh1)
+
+pair_table = sharded_pair_reduce(mesh, stats_d, ids_d, 3)
+coverage = sharded_coverage(mesh, starts_d, ends_d, 100)
+
+# oracle: the FULL manifest (all processes' units), derivable by anyone
+all_units = sorted(
+    ((iv["start"], iv["end"], iv["offset"]) for iv in index["chr1"]["ivls"]),
+    key=lambda u: u[2],
+)
+want_cov = np.zeros(100, dtype=np.int64)
+want_pairs = np.zeros((3, 8), dtype=np.int64)
+for s, e, off in all_units:
+    want_cov[s:e] += 1
+    want_pairs[off % 3] += off + 1
+
+got_pairs = np.asarray(jax.device_get(pair_table))
+got_cov = np.asarray(jax.device_get(coverage))
+assert np.array_equal(got_pairs, want_pairs), (pid, got_pairs, want_pairs)
+assert np.array_equal(got_cov, want_cov.astype(np.int32)), pid
+print(f"proc {pid}: merged tables OK", flush=True)
+"""
+
+
+def test_two_process_distributed_merge(tmp_path):
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            PYTHONPATH="",
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _WORKER],
+                env=env,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out.decode(), err.decode()))
+    for rc, out, err in outs:
+        assert rc == 0, err
+    assert "proc 0: merged tables OK" in outs[0][1]
+    assert "proc 1: merged tables OK" in outs[1][1]
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port

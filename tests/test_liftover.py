@@ -160,3 +160,26 @@ def test_liftover_scan_wide_parity():
     a = [np.asarray(v) for v in liftover_scan(ops, lens, wide=False)]
     b = [np.asarray(v) for v in liftover_scan(ops, lens, wide=True)]
     assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
+def test_liftover_pallas_kernel_parity():
+    """The fused Pallas scan (interpret mode on CPU) must equal the jnp
+    formulation on multi-tile shapes, including cross-tile carries and
+    row/column padding."""
+    from wgatools_tpu.ops.liftover import (
+        _liftover_scan_impl,
+        liftover_scan_pallas,
+        pack_ops_batch,
+    )
+
+    rng = random.Random(21)
+    op_arrays, len_arrays = [], []
+    for _ in range(11):  # 11 rows -> row padding to 16
+        o, l = _random_cigar(rng, rng.randint(1, 700))  # multi 256-col tiles
+        op_arrays.append(o)
+        len_arrays.append(np.minimum(l * 97, 60000))  # lens near 2^16
+    ops, lens = pack_ops_batch(op_arrays, len_arrays)
+    want_t, want_q = _liftover_scan_impl(ops, lens, False, False)
+    got_t, got_q = liftover_scan_pallas(ops, lens, interpret=True)
+    assert np.array_equal(np.asarray(got_t), np.asarray(want_t))
+    assert np.array_equal(np.asarray(got_q), np.asarray(want_q))

@@ -19,6 +19,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 OP_M = ord("M")
 OP_EQ = ord("=")
@@ -84,6 +86,127 @@ def cumsum_last(x, T=256, wide=False, use_mm=None):
     return _cumsum_mm(x, T=T, wide=wide)
 
 
+# ---------------------------------------------------------------------------
+# Fused Pallas liftover kernel: advance-select + exclusive prefix sum in one
+# VMEM pass.  The jnp formulation above moves every intermediate (advance
+# arrays, limb tensors, concatenated halves) through HBM; the kernel reads
+# ops/lens once, runs the per-tile triangular matmuls on the MXU from VMEM,
+# and carries cross-tile row offsets in a scratch accumulator across the
+# sequential column grid.  Mosaic v5e notes: byte comparisons via
+# xor-widen-compare, no i1 broadcasts (int32 where/select only), and the
+# 2-limb bf16 decomposition keeps the matmuls exact for op lengths < 2^16
+# (the `wide` path stays on the jnp/mm formulation).
+# ---------------------------------------------------------------------------
+
+
+def _liftover_kernel(ops_ref, lens_ref, tri_ref, t_ref, q_ref, carry_ref):
+    j = pl.program_id(1)
+    ops = ops_ref[:]
+    lens = lens_ref[:]
+    i32 = jnp.int32
+    pad = ops.astype(i32) == 0
+    is_i = (ops ^ jnp.uint8(OP_I)).astype(i32) == 0
+    is_s = (ops ^ jnp.uint8(OP_S)).astype(i32) == 0
+    is_d = (ops ^ jnp.uint8(OP_D)).astype(i32) == 0
+    adv_t = jnp.where(pad | is_i | is_s, 0, lens)
+    adv_q = jnp.where(pad | is_d, 0, lens)
+
+    # strictly-lower-triangular ones, passed in with a constant block
+    # index: it stays VMEM-resident across grid steps instead of being
+    # rebuilt per tile (rebuilding TLxTL iotas per tile dominated the
+    # tiny matmuls in the first formulation; same-process A/B)
+    tri_x = tri_ref[:]
+
+    TL = lens.shape[1]
+
+    def excl_scan(adv):
+        lo = (adv & 0xFF).astype(jnp.bfloat16)
+        hi = (adv >> 8).astype(jnp.bfloat16)
+        s_lo = jax.lax.dot_general(
+            lo, tri_x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(i32)
+        s_hi = jax.lax.dot_general(
+            hi, tri_x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(i32)
+        return s_lo + (s_hi << 8)
+
+    @pl.when(j == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    carry = carry_ref[:]
+    ex_t = excl_scan(adv_t) + carry[:, 0:1]
+    ex_q = excl_scan(adv_q) + carry[:, 1:2]
+    t_ref[:] = ex_t
+    q_ref[:] = ex_q
+    carry_ref[:] = jnp.concatenate(
+        [
+            ex_t[:, TL - 1 : TL] + adv_t[:, TL - 1 : TL],
+            ex_q[:, TL - 1 : TL] + adv_q[:, TL - 1 : TL],
+        ],
+        axis=1,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_b", "tile_l", "interpret")
+)
+def liftover_scan_pallas(ops, lens, tile_b=8, tile_l=256, interpret=False):
+    """Fused exclusive liftover scan (TPU Pallas).
+
+    ops: uint8 [B, N] (0 = padding); lens: int32 [B, N] with every length
+    < 2^16 (callers guard; the wide path uses the jnp/mm formulation).
+    Returns (t_off, q_off) int32 [B, N], identical to liftover_scan.
+    """
+    B, N = ops.shape
+    tile_b = min(tile_b, B)
+    tile_l = min(tile_l, max(N, 128))
+    if N % tile_l or N == 0:
+        N2 = max(((N + tile_l - 1) // tile_l) * tile_l, tile_l)
+        ops = jnp.pad(ops, ((0, 0), (0, N2 - N)))
+        lens = jnp.pad(lens, ((0, 0), (0, N2 - N)))
+    if B % tile_b:
+        B2 = ((B + tile_b - 1) // tile_b) * tile_b
+        ops = jnp.pad(ops, ((0, B2 - B), (0, 0)))
+        lens = jnp.pad(lens, ((0, B2 - B), (0, 0)))
+    Bp, Np = ops.shape
+    grid = (Bp // tile_b, Np // tile_l)
+    spec = pl.BlockSpec(
+        (tile_b, tile_l), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    ir = jax.lax.broadcasted_iota(jnp.int32, (tile_l, tile_l), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (tile_l, tile_l), 1)
+    tri = jnp.clip(ir - ic, 0, 1).astype(jnp.bfloat16)
+    t_off, q_off = pl.pallas_call(
+        _liftover_kernel,
+        grid=grid,
+        in_specs=[
+            spec,
+            spec,
+            pl.BlockSpec(
+                (tile_l, tile_l),
+                lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, Np), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, Np), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile_b, 2), jnp.int32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Bp * Np * tile_l,
+            bytes_accessed=13 * Bp * Np,
+            transcendentals=0,
+        ),
+    )(ops, lens.astype(jnp.int32), tri)
+    return t_off[:B, :N], q_off[:B, :N]
+
+
 @functools.partial(jax.jit, static_argnames=("wide", "use_mm"))
 def _liftover_scan_impl(ops, lens, wide, use_mm):
     lens = lens.astype(jnp.int32)
@@ -112,8 +235,10 @@ def liftover_scan(ops, lens, wide=False):
     wide=True selects the 4-limb scan; required when any op length
     reaches 2^16 (see cumsum_last).
     """
-    use_mm = jax.default_backend() == "tpu"
-    return _liftover_scan_impl(ops, lens, bool(wide), use_mm)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and not wide:
+        return liftover_scan_pallas(ops, lens)
+    return _liftover_scan_impl(ops, lens, bool(wide), on_tpu)
 
 
 @functools.partial(jax.jit, static_argnames=("wide",))
