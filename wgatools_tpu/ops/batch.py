@@ -78,3 +78,35 @@ def batch_rec_stats(pairs, negatives, batch_columns=DEFAULT_BATCH_COLUMNS):
         pending.append((i, pair))
     flush()
     return out
+
+
+def stream_seq_pair_stats(items, batch_columns=DEFAULT_BATCH_COLUMNS):
+    """Stream (t_bytes, q_bytes, negative, meta) items through the device
+    kernel; yields (meta, RecStat) in input order.
+
+    Only one flush batch is held at a time -- constant memory on
+    arbitrarily large inputs (the streaming analog of batch_rec_stats).
+    """
+    pending = []  # (t, q, negative, meta)
+    max_len = 0
+
+    def flush():
+        nonlocal max_len
+        if not pending:
+            return
+        t, q, lens = pack_pairs([(it[0], it[1]) for it in pending])
+        rows = np.asarray(column_stats(t, q, lens))
+        for it, row in zip(pending, rows):
+            yield it[3], rec_stat_from_cigar(stats_row_to_cigar(row, it[2]))
+        pending.clear()
+        max_len = 0
+
+    for item in items:
+        n = len(item[0])
+        new_max = max(max_len, n)
+        if pending and new_max * (len(pending) + 1) > batch_columns:
+            yield from flush()
+            new_max = n
+        max_len = new_max
+        pending.append(item)
+    yield from flush()

@@ -241,16 +241,13 @@ def stat_maf(reader, writer, each: bool = False, query_name=None, device=None):
         write_style_result(pair_stats, writer, each)
         return
 
-    from ..ops.batch import batch_rec_stats
+    from ..ops.batch import stream_seq_pair_stats
 
-    metas = []
-    pairs = []
-    negatives = []
-    for rec in reader.records():
-        if query_name is not None:
-            rec.set_query_idx_byname(query_name)
-        metas.append(
-            (
+    def items():
+        for rec in reader.records():
+            if query_name is not None:
+                rec.set_query_idx_byname(query_name)
+            meta = (
                 rec.target_name,
                 rec.target_length,
                 rec.query_name,
@@ -258,22 +255,32 @@ def stat_maf(reader, writer, each: bool = False, query_name=None, device=None):
                 rec.target_start,
                 rec.query_start,
             )
-        )
-        pairs.append((rec.target_seq, rec.query_seq))
-        negatives.append(rec.is_negative)
-    total_cols = sum(len(t) for t, _ in pairs)
-    if device is None and total_cols < DEVICE_MIN_COLUMNS:
-        # too small to amortize device dispatch; host engine instead
+            yield (rec.target_seq, rec.query_seq, rec.is_negative, meta)
+
+    # streaming with an auto-mode decision buffer: inputs that end below
+    # DEVICE_MIN_COLUMNS take the host engine (device dispatch does not
+    # amortize); larger inputs flow through flush-sized device batches
+    # without ever materializing the file
+    stream = items()
+    head = []
+    head_cols = 0
+    if device is None:
+        for item in stream:
+            head.append(item)
+            head_cols += len(item[0])
+            if head_cols >= DEVICE_MIN_COLUMNS:
+                break
+    if device is None and head_cols < DEVICE_MIN_COLUMNS:
         from ..core.cigar import cigar_from_seqs, rec_stat_from_cigar, seq_bytes
 
-        rec_stats = [
-            rec_stat_from_cigar(
-                cigar_from_seqs(seq_bytes(t), seq_bytes(q), neg)
-            )
-            for (t, q), neg in zip(pairs, negatives)
-        ]
+        results = (
+            (m, rec_stat_from_cigar(cigar_from_seqs(seq_bytes(t), seq_bytes(q), neg)))
+            for t, q, neg, m in head
+        )
     else:
-        rec_stats = batch_rec_stats(pairs, negatives)
+        import itertools
+
+        results = stream_seq_pair_stats(itertools.chain(head, stream))
     pair_stats = [
         PairStat(
             ref_name=m[0],
@@ -284,7 +291,7 @@ def stat_maf(reader, writer, each: bool = False, query_name=None, device=None):
             query_start=m[5],
             rec_stat=rs,
         )
-        for m, rs in zip(metas, rec_stats)
+        for m, rs in results
     ]
     write_style_result(pair_stats, writer, each)
 
