@@ -150,3 +150,71 @@ def _free_port():
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+def test_two_process_distributed_stat_cli(tmp_path):
+    """End-to-end distributed tool flow: `WGA_TPU_DIST=1 wgatools-tpu
+    stat` across 2 processes must write (from process 0) exactly the
+    serial tool's bytes."""
+    import shutil
+
+    from conftest import fixture_path
+
+    # multi-record MAF + index
+    src = open(fixture_path("test.maf"), "rb").read()
+    header, _, body = src.partition(b"\n")
+    body2 = body.replace(b"ref.chr8", b"ref.chr9").replace(
+        b"query.chr8", b"query.chr9"
+    )
+    maf = tmp_path / "m.maf"
+    maf.write_bytes(header + b"\n" + body + body2 + body)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, "-m", "wgatools_tpu", "maf-index", str(maf)],
+        check=True,
+        cwd=repo,
+        env=dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu"),
+    )
+    serial = subprocess.run(
+        [sys.executable, "-m", "wgatools_tpu", "stat", str(maf)],
+        check=True,
+        cwd=repo,
+        env=dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu"),
+        capture_output=True,
+    ).stdout
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            PYTHONPATH="",
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            WGA_TPU_DIST="1",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "wgatools_tpu", "stat", str(maf)],
+                env=env,
+                cwd=repo,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, _, err in outs:
+        assert rc == 0, err.decode()
+    assert outs[0][1] == serial  # process 0 writes the merged table
+    assert outs[1][1] == b""  # other processes write nothing

@@ -319,7 +319,23 @@ def dispatch(args):
         from .parallel.host_pool import is_plain_seekable, parallel_stat_maf
         from .tools.stat import stat_maf, stat_paf
 
-        if args.format == "maf":
+        from .parallel.dist_tools import dist_requested
+
+        if (
+            dist_requested()
+            and args.format == "maf"
+            and args.input not in (None, "-")
+        ):
+            # multi-process mode: WGA_TPU_DIST=1 + coordinator env vars;
+            # requires <input>.index (the shard manifest)
+            from .parallel.dist_tools import distributed_stat_maf
+            from .parallel.distributed import maybe_initialize_distributed
+
+            maybe_initialize_distributed()
+            distributed_stat_maf(
+                args.input, open_output(out, rw), args.each, args.query_name
+            )
+        elif args.format == "maf":
             if args.threads > 1 and is_plain_seekable(args.input):
                 parallel_stat_maf(
                     args.input,

@@ -1,0 +1,158 @@
+"""Distributed tool drivers: whole-tool flows across jax.distributed
+processes.
+
+The reference has no distributed mode at all (SURVEY.md §2.12); this is
+the TPU-native extension: each process claims record work units from the
+MAF-index manifest (claim_work_units -- deterministic, coordinator-free),
+computes its partial results locally, and the variable-length outputs are
+gathered with a length-padded byte allgather over the device mesh, then
+merged deterministically by the natural-sort rules the serial tools
+already apply.  Output is byte-identical to the single-process tool.
+
+Activation: run one process per host with JAX_COORDINATOR_ADDRESS /
+JAX_NUM_PROCESSES / JAX_PROCESS_ID set and WGA_TPU_DIST=1; `stat` then
+routes through distributed_stat_maf (cli.py).  The input must have a MAF
+index (`maf-index`).
+"""
+
+import io
+import logging
+import os
+import pickle
+from contextlib import contextmanager
+
+log = logging.getLogger("wgatools_tpu")
+
+
+def dist_requested() -> bool:
+    return os.environ.get("WGA_TPU_DIST", "") not in ("", "0", "false")
+
+
+@contextmanager
+def stdout_parked():
+    """Temporarily point fd 1 at stderr: C++ comm backends (gloo) print
+    connection banners straight to fd 1 at first collective, and tool
+    stdout must stay byte-clean for pipes."""
+    import sys
+
+    sys.stdout.flush()
+    saved = os.dup(1)
+    try:
+        os.dup2(2, 1)
+        yield
+    finally:
+        os.dup2(saved, 1)
+        os.close(saved)
+
+
+def _allgather_bytes(payload: bytes):
+    """All-gather variable-length byte strings across processes.
+
+    Pads to the max length (all processes learn it via a psum of lengths)
+    and runs one uint8 all_gather over a 1-axis device mesh; every
+    process receives every payload.  This is the DCN gather SURVEY.md §5
+    describes for variable-length outputs.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    nproc = jax.process_count()
+    if nproc == 1:
+        return [payload]
+    devices = jax.devices()
+    n_dev = len(devices)
+    dev_per_proc = n_dev // nproc
+    mesh = Mesh(np.array(devices), ("p",))
+
+    # 1) agree on the max payload length
+    lens_local = np.zeros(n_dev, dtype=np.int32)
+    for d in range(dev_per_proc):
+        lens_local[jax.process_index() * dev_per_proc + d] = len(payload)
+    sh = NamedSharding(mesh, P("p"))
+    lens_g = jax.make_array_from_callback(
+        (n_dev,), sh, lambda idx: lens_local[idx]
+    )
+    import functools
+
+    @functools.partial(
+        jax.jit,
+        out_shardings=NamedSharding(mesh, P()),
+    )
+    def gather_lens(x):
+        return x
+
+    all_lens = np.asarray(jax.device_get(gather_lens(lens_g)))
+    max_len = int(all_lens.max())
+
+    # 2) padded uint8 all-gather (each process contributes one row per
+    # local device; row content identical across a process's devices)
+    pad = np.zeros((n_dev, max(max_len, 1)), dtype=np.uint8)
+    row = np.frombuffer(payload.ljust(max(max_len, 1), b"\x00"), np.uint8)
+    for d in range(dev_per_proc):
+        pad[jax.process_index() * dev_per_proc + d] = row
+    sh2 = NamedSharding(mesh, P("p", None))
+    data_g = jax.make_array_from_callback(
+        pad.shape, sh2, lambda idx: pad[idx]
+    )
+
+    @functools.partial(
+        jax.jit,
+        out_shardings=NamedSharding(mesh, P()),
+    )
+    def gather_rows(x):
+        return x
+
+    all_rows = np.asarray(jax.device_get(gather_rows(data_g)))
+    out = []
+    for p in range(nproc):
+        n = int(all_lens[p * dev_per_proc])
+        out.append(all_rows[p * dev_per_proc, :n].tobytes())
+    return out
+
+
+def distributed_stat_maf(path, writer, each=False, query_name=None):
+    """Multi-process `stat`: claim -> local partials -> allgather -> merge.
+
+    Each process seeks to its claimed records (MAF index offsets), computes
+    PairStats locally (host or device engine as usual), and process 0
+    writes the merged table -- byte-identical to the serial tool because
+    write_style_result's merge/sort is order-insensitive at the pair level
+    and `--each` rows are re-ordered by the deterministic unit order.
+    """
+    import jax
+
+    from ..io.maf import MafReader
+    from ..tools.index import index_path_for, load_index
+    from ..tools.stat import _stat_from_rec, write_style_result
+    from .distributed import claim_work_units
+
+    mafindex = load_index(index_path_for(path))
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    units = claim_work_units(mafindex, pid, nproc)
+    # units are (name, start, end, offset) per s-line; dedupe offsets (a
+    # record's target s-line is the isref entry, one unit per record)
+    offsets = sorted({u[3] for u in units})
+
+    reader = MafReader.from_path(path)
+    local = []
+    for off in offsets:
+        reader.seek(off)
+        rec = reader.next_record()
+        if rec is None:
+            continue
+        if query_name is not None:
+            rec.set_query_idx_byname(query_name)
+        local.append((off, _stat_from_rec(rec)))
+
+    with stdout_parked():
+        payloads = _allgather_bytes(pickle.dumps(local, protocol=4))
+    if pid != 0:
+        return
+    merged = []
+    for blob in payloads:
+        merged.extend(pickle.loads(blob))
+    merged.sort(key=lambda t: t[0])  # deterministic record order
+    write_style_result([ps for _, ps in merged], writer, each)

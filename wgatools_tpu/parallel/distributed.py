@@ -27,11 +27,23 @@ def maybe_initialize_distributed():
         return False
     import jax
 
-    jax.distributed.initialize(
-        coordinator_address=addr,
-        num_processes=int(nproc),
-        process_id=int(pid),
-    )
+    # C++ backends (gloo) print banners straight to fd 1; tool output is
+    # piped, so keep stdout byte-clean by parking fd 1 on stderr during
+    # initialization
+    import sys
+
+    sys.stdout.flush()
+    saved = os.dup(1)
+    try:
+        os.dup2(2, 1)
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+    finally:
+        os.dup2(saved, 1)
+        os.close(saved)
     log.info(
         "jax.distributed initialized: process %s/%s via %s", pid, nproc, addr
     )
