@@ -79,7 +79,11 @@ def main():
 
     kernel = classify_stat_pallas if on_tpu else classify_stat_jnp
     reduce_all = jax.jit(lambda xs: jnp.sum(xs))
-    reduce_pair = jax.jit(lambda a, b: jnp.sum(a) + jnp.sum(b))
+    # strided checksum: depends on the full kernel outputs (forcing
+    # execution) without re-reading all 67 MB of offsets per iteration
+    reduce_pair = jax.jit(
+        lambda a, b: jnp.sum(a[:, ::1024]) + jnp.sum(b[:, ::1024])
+    )
 
     # correctness gate BEFORE timing: the Mosaic-lowered kernel must equal
     # the fused-jnp implementation bit-for-bit on this backend.  A lowering

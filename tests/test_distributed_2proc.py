@@ -218,3 +218,71 @@ def test_two_process_distributed_stat_cli(tmp_path):
         assert rc == 0, err.decode()
     assert outs[0][1] == serial  # process 0 writes the merged table
     assert outs[1][1] == b""  # other processes write nothing
+
+
+def test_two_process_distributed_pafcov_cli(tmp_path):
+    """Distributed pafcov: 2 processes, psum-merged per-target coverage;
+    process 0's stdout byte-identical to the serial tool."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(19):
+        ops, last = [], None
+        for _ in range(rng.randint(2, 9)):
+            op = rng.choice([o for o in "MID" if o != last])
+            last = op
+            ops.append((op, rng.randint(1, 30)))
+        q = sum(n for o, n in ops if o in "MI")
+        t = sum(n for o, n in ops if o in "MD")
+        cg = "".join(f"{n}{o}" for o, n in ops)
+        rows.append(
+            f"q{i}\t900\t0\t{q}\t+\tt{i % 3}\t900\t{i * 5}\t{i * 5 + t}"
+            f"\t{t}\t{t}\t255\tcg:Z:{cg}"
+        )
+    paf = tmp_path / "c.paf"
+    paf.write_text("\n".join(rows) + "\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base_env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    serial = subprocess.run(
+        [sys.executable, "-m", "wgatools_tpu", "pafcov", str(paf)],
+        check=True,
+        cwd=repo,
+        env=base_env,
+        capture_output=True,
+    ).stdout
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            base_env,
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            WGA_TPU_DIST="1",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "wgatools_tpu", "pafcov", str(paf)],
+                env=env,
+                cwd=repo,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, _, err in outs:
+        assert rc == 0, err.decode()
+    assert outs[0][1] == serial
+    assert outs[1][1] == b""
+    assert serial  # non-empty coverage

@@ -444,10 +444,17 @@ def dispatch(args):
             args.prefixs.split(","),
         )
     elif cmd in ("pafcov", "pc"):
+        from .parallel.dist_tools import dist_requested
         from .parallel.host_pool import is_plain_seekable, parallel_pafcov
         from .tools.pafcov import pafcov
 
-        if args.threads > 1 and is_plain_seekable(args.input):
+        if dist_requested() and args.input not in (None, "-"):
+            from .parallel.dist_tools import distributed_pafcov
+            from .parallel.distributed import maybe_initialize_distributed
+
+            maybe_initialize_distributed()
+            distributed_pafcov(args.input, open_output(out, rw))
+        elif args.threads > 1 and is_plain_seekable(args.input):
             parallel_pafcov(args.input, open_output(out, rw), args.threads)
         else:
             pafcov(PafReader(open_input(args.input)), open_output(out, rw))

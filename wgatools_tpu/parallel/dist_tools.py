@@ -156,3 +156,100 @@ def distributed_stat_maf(path, writer, each=False, query_name=None):
         merged.extend(pickle.loads(blob))
     merged.sort(key=lambda t: t[0])  # deterministic record order
     write_style_result([ps for _, ps in merged], writer, each)
+
+
+def _psum_row(local_row, contribute: bool):
+    """Sum one int32 row across processes: each process places its row on
+    its first local device (zeros elsewhere), and a replicated-output sum
+    over the device axis merges them -- pafcov.rs:42-53's elementwise
+    vector sum as a cross-host collective."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    mesh = Mesh(np.array(devices), ("p",))
+    nproc = jax.process_count()
+    dev_per_proc = n_dev // nproc
+    L = local_row.shape[0]
+    rows = np.zeros((n_dev, L), dtype=np.int32)
+    if contribute:
+        rows[jax.process_index() * dev_per_proc] = local_row
+    sh = NamedSharding(mesh, P("p", None))
+    g = jax.make_array_from_callback(rows.shape, sh, lambda idx: rows[idx])
+
+    @functools.partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def merge(x):
+        return jnp.sum(x, axis=0)
+
+    return np.asarray(jax.device_get(merge(g)))
+
+
+def distributed_pafcov(path, writer):
+    """Multi-process `pafcov`: line-ranges -> local difference arrays ->
+    per-target cross-process sum -> process 0 writes per-base BED.
+
+    Byte-identical to the serial tool: target output order is the global
+    first-appearance order (range order == file order), and the merged
+    difference arrays are exact int32 sums.
+    """
+    import jax
+
+    from ..io.paf import PafReader
+    from ..tools.pafcov import add_spans, coverage_spans, write_per_base_bed
+    from .host_pool import paf_line_ranges
+
+    import numpy as np
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    ranges = paf_line_ranges(path, nproc)
+
+    diff_map = {}
+    if pid < len(ranges):
+        lo, hi, _ = ranges[pid]
+        with open(path, "rb") as fp:
+            fp.seek(lo)
+            blob = fp.read(hi - lo)
+        for rec in PafReader(io.BytesIO(blob)).records():
+            ops, lens = rec.get_cigar_ops()
+            cov = diff_map.get(rec.target_name)
+            if cov is None:
+                cov = np.zeros(rec.target_length + 1, dtype=np.int32)
+                diff_map[rec.target_name] = cov
+            starts, ends = coverage_spans(ops, lens, rec.target_start)
+            add_spans(cov[:-1], starts, ends)
+
+    with stdout_parked():
+        # agree on the global target list (first-appearance order across
+        # ranges in file order) and sizes
+        metas = _allgather_bytes(
+            pickle.dumps(
+                [(t, d.shape[0]) for t, d in diff_map.items()], protocol=4
+            )
+        )
+        order = []
+        sizes = {}
+        for blob in metas:
+            for t, n in pickle.loads(blob):
+                if t not in sizes:
+                    order.append(t)
+                    sizes[t] = n
+        merged = {}
+        for t in order:
+            local = diff_map.get(t)
+            contribute = local is not None
+            if local is None:
+                local = np.zeros(sizes[t], dtype=np.int32)
+            merged[t] = _psum_row(local, contribute)
+
+    if pid != 0:
+        return
+    for t in order:
+        counts = np.cumsum(merged[t][:-1])
+        write_per_base_bed(writer, t, counts)
+    writer.flush()
