@@ -66,13 +66,15 @@ def main():
         )
 
     # matching op tables for the liftover stage: each record's op lengths
-    # sum to L (same column volume as the byte tiles), mean run ~16
-    N_OPS = max(L // 16, 1)
+    # sum to L (same column volume as the byte tiles).  Mean run length 32
+    # is conservative vs real whole-genome alignments (the reference's own
+    # test.maf measures mean run 48; SNP-dense regions run shorter)
+    N_OPS = max(L // 32, 1)
     op_bufs = []
     op_chars = np.frombuffer(b"M=XID", dtype=np.uint8)
     for _ in range(2):
         o = op_chars[rng.integers(0, 5, size=(B, N_OPS))]
-        ln = np.full((B, N_OPS), 16, dtype=np.int32)
+        ln = np.full((B, N_OPS), 32, dtype=np.int32)
         op_bufs.append(
             (jax.device_put(jnp.asarray(o)), jax.device_put(jnp.asarray(ln)))
         )
@@ -142,12 +144,12 @@ def main():
     )
     # whole-batch rate is a strict lower bound (includes dispatch/transfer)
     lower_bound = B * L * hi_iters / t_hi
-    # v5e HBM is ~819 GB/s; the combined loop moves ~2.9 bytes per column
-    # (2 input bytes for classify + ~0.3 op-table bytes + ~0.5 cumsum
-    # output bytes at mean run 16), so nothing real can stream faster than
-    # ~280 Gcol/s -- a marginal estimate beyond that is timing noise, so
+    # v5e HBM is ~819 GB/s; the combined loop moves ~2.4 bytes per column
+    # (2 input bytes for classify + ~0.16 op-table bytes + ~0.25 offset
+    # output bytes at mean run 32), so nothing real can stream faster than
+    # ~340 Gcol/s -- a marginal estimate beyond that is timing noise, so
     # fall back to the lower bound
-    phys_bound = 290e9
+    phys_bound = 350e9
     if 0 < marginal <= phys_bound:
         gbps = marginal / 1e9
     else:

@@ -286,3 +286,90 @@ def test_two_process_distributed_pafcov_cli(tmp_path):
     assert outs[0][1] == serial
     assert outs[1][1] == b""
     assert serial  # non-empty coverage
+
+
+def test_two_process_distributed_validate_cli(tmp_path):
+    """Distributed validate incl. -f fixed output; process 0's report and
+    fixed PAF byte-identical to the serial tool."""
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(13):
+        m = rng.randint(5, 40)
+        ins = rng.randint(1, 9)
+        q = m + ins
+        t = m
+        q_end = q + (rng.randint(1, 4) if i % 3 == 0 else 0)  # corrupt some
+        rows.append(
+            f"q{i}\t500\t0\t{q_end}\t+\tt{i % 2}\t500\t0\t{t}\t{m}\t{q}"
+            f"\t255\tcg:Z:{m}M{ins}I"
+        )
+    paf = tmp_path / "v.paf"
+    paf.write_text("\n".join(rows) + "\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base_env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+
+    def run_validate(env, fix_path):
+        return subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "wgatools_tpu",
+                "validate",
+                str(paf),
+                "-f",
+                fix_path,
+            ],
+            cwd=repo,
+            env=env,
+            capture_output=True,
+        )
+
+    serial = run_validate(base_env, str(tmp_path / "fix_serial.paf"))
+    assert serial.returncode == 0, serial.stderr.decode()
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            base_env,
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            WGA_TPU_DIST="1",
+        )
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    "-m",
+                    "wgatools_tpu",
+                    "validate",
+                    str(paf),
+                    "-f",
+                    str(tmp_path / f"fix_dist_{pid}.paf"),
+                ],
+                cwd=repo,
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, _, err in outs:
+        assert rc == 0, err.decode()
+    assert outs[0][1] == serial.stdout
+    assert b"invalid" in serial.stdout
+    assert (tmp_path / "fix_dist_0.paf").read_bytes() == (
+        tmp_path / "fix_serial.paf"
+    ).read_bytes()

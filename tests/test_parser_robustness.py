@@ -133,3 +133,26 @@ def test_chain_score_fmt_positional():
     assert fmt_f64(255.0) == "255"
     assert fmt_f64(3.5) == "3.5"
     assert fmt_f64(-0.25) == "-0.25"
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_chain_fuzz_mutations(seed):
+    """Random byte mutations in a chain file either parse or raise
+    WGAError; whatever parses must survive convert2paf."""
+    rng = random.Random(seed)
+    base = bytearray(
+        b"chain\t255\tt\t100\t+\t0\t50\tq\t100\t+\t0\t48\t1\n"
+        b"10\t2\t0\n20\t0\t2\n16\n\n"
+        b"chain\t10\tt2\t60\t+\t5\t35\tq2\t60\t-\t10\t40\t2\n"
+        b"30\n\n"
+    )
+    for _ in range(rng.randint(1, 6)):
+        pos = rng.randrange(len(base))
+        base[pos] = rng.randrange(256)
+    try:
+        for rec in ChainReader(io.BytesIO(bytes(base))).records():
+            rec.convert2paf().to_row()
+    except WGAError:
+        pass
+    except UnicodeDecodeError:
+        pass

@@ -485,9 +485,21 @@ def dispatch(args):
                     "fixed file should not be the same as output file"
                 )
             fix_writer = open_output(args.fix, True)
+        from .parallel.dist_tools import dist_requested
         from .parallel.host_pool import is_plain_seekable, parallel_validate_paf
 
-        if args.threads > 1 and is_plain_seekable(args.input):
+        if dist_requested() and args.input not in (None, "-"):
+            from .parallel.dist_tools import distributed_validate_paf
+            from .parallel.distributed import maybe_initialize_distributed
+
+            maybe_initialize_distributed()
+            distributed_validate_paf(
+                args.input,
+                open_output(out, rw),
+                fix_writer,
+                args.fix is not None,
+            )
+        elif args.threads > 1 and is_plain_seekable(args.input):
             parallel_validate_paf(
                 args.input,
                 open_output(out, rw),

@@ -280,8 +280,14 @@ def _parse_header_line(rest: str) -> ChainHeader:
     )
     if len(fields) < 12:
         raise ParseChainError(f"Chain Line Field `{names[len(fields)]}` Missing")
+    try:
+        score = float(fields[0])
+    except ValueError:
+        # the reference's nom double() parser surfaces this as a chain
+        # parse error, not a panic (chain.rs:211-218)
+        raise ParseChainError(f"invalid score `{fields[0]}`") from None
     return ChainHeader(
-        score=float(fields[0]),
+        score=score,
         target=SeqInfo(
             name=fields[1],
             size=_parse_u64(fields[2], "target_size"),

@@ -253,3 +253,63 @@ def distributed_pafcov(path, writer):
         counts = np.cumsum(merged[t][:-1])
         write_per_base_bed(writer, t, counts)
     writer.flush()
+
+
+def distributed_validate_paf(path, writer, fix_writer=None, fix_flag=False):
+    """Multi-process `validate`: line-ranges -> local Validations ->
+    allgather -> process 0 merges counters/lists/fixed rows in range
+    (= file) order.  Byte-identical to the serial tool."""
+    import jax
+
+    from ..io.paf import PafReader, PafWriter
+    from ..tools.validate import Validations, check_record
+    from .host_pool import paf_line_ranges
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    ranges = paf_line_ranges(path, nproc)
+
+    vd_local = Validations()
+    fixed = io.BytesIO()
+    if pid < len(ranges):
+        lo, hi, _ = ranges[pid]
+        with open(path, "rb") as fp:
+            fp.seek(lo)
+            blob = fp.read(hi - lo)
+        for rec in PafReader(io.BytesIO(blob)).records():
+            check_record(rec, rec.get_stat(), vd_local, fix_flag)
+        if fix_flag:
+            paf_writer = PafWriter(fixed)
+            for rec in vd_local.fix_paf_recs:
+                paf_writer.write_record(rec)
+            vd_local.fix_paf_recs = []
+
+    part = (
+        vd_local.total,
+        vd_local.query_invalid,
+        vd_local.query_inv_list,
+        vd_local.ref_invalid,
+        vd_local.ref_inv_list,
+        fixed.getvalue(),
+    )
+    with stdout_parked():
+        payloads = _allgather_bytes(pickle.dumps(part, protocol=4))
+    if pid != 0:
+        return
+    vd = Validations()
+    fix_chunks = []
+    for blob in payloads:
+        total, q_inv, q_list, r_inv, r_list, fix_bytes = pickle.loads(blob)
+        vd.total += total
+        vd.query_invalid += q_inv
+        vd.query_inv_list.extend(q_list)
+        vd.ref_invalid += r_inv
+        vd.ref_inv_list.extend(r_list)
+        fix_chunks.append(fix_bytes)
+    writer.write((vd.format() + "\n").encode("ascii"))
+    writer.flush()
+    if fix_writer is not None:
+        for chunk in fix_chunks:
+            fix_writer.write(chunk)
+        fix_writer.flush()
+    return vd
