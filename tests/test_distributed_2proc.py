@@ -373,3 +373,75 @@ def test_two_process_distributed_validate_cli(tmp_path):
     assert (tmp_path / "fix_dist_0.paf").read_bytes() == (
         tmp_path / "fix_serial.paf"
     ).read_bytes()
+
+
+def test_two_process_distributed_call_cli(tmp_path):
+    """Distributed call: claimed records' VCF rows allgathered and merged
+    in record order; process 0's output byte-identical to serial call."""
+    from conftest import fixture_path
+
+    src = open(fixture_path("test.maf"), "rb").read()
+    header, _, body = src.partition(b"\n")
+    body2 = body.replace(b"ref.chr8", b"ref.chr9").replace(
+        b"query.chr8", b"query.chr9"
+    )
+    maf = tmp_path / "c.maf"
+    maf.write_bytes(header + b"\n" + body + body2 + body)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base_env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    subprocess.run(
+        [sys.executable, "-m", "wgatools_tpu", "maf-index", str(maf)],
+        check=True,
+        cwd=repo,
+        env=base_env,
+    )
+    serial = subprocess.run(
+        [sys.executable, "-m", "wgatools_tpu", "call", str(maf), "-s", "-l0"],
+        check=True,
+        cwd=repo,
+        env=base_env,
+        capture_output=True,
+    ).stdout
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            base_env,
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            WGA_TPU_DIST="1",
+        )
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    "-m",
+                    "wgatools_tpu",
+                    "call",
+                    str(maf),
+                    "-s",
+                    "-l0",
+                ],
+                cwd=repo,
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, _, err in outs:
+        assert rc == 0, err.decode()
+    assert outs[0][1] == serial
+    assert outs[1][1] == b""
+    assert b"##contig" in serial and serial.count(b"\n") > 20

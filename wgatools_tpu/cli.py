@@ -545,9 +545,26 @@ def _dispatch_call(args, out, rw):
             if args.query_regex
             else None
         )
+        from .parallel.dist_tools import dist_requested
         from .parallel.host_pool import is_plain_seekable, parallel_call_maf
 
-        if args.threads > 1 and is_plain_seekable(args.input):
+        if dist_requested() and args.input not in (None, "-") and mafindex:
+            from .parallel.dist_tools import distributed_call_maf
+            from .parallel.distributed import maybe_initialize_distributed
+
+            maybe_initialize_distributed()
+            distributed_call_maf(
+                args.input,
+                open_output(out, rw),
+                args.snp,
+                args.inv,
+                args.svlen,
+                args.sample,
+                args.query_name,
+                regex,
+                args.chunk_size,
+            )
+        elif args.threads > 1 and is_plain_seekable(args.input):
             parallel_call_maf(
                 args.input,
                 open_output(out, rw),

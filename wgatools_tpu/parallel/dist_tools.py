@@ -313,3 +313,68 @@ def distributed_validate_paf(path, writer, fix_writer=None, fix_flag=False):
             fix_writer.write(chunk)
         fix_writer.flush()
     return vd
+
+
+def distributed_call_maf(
+    path,
+    writer,
+    if_snp,
+    if_inv,
+    svlen_cutoff,
+    sample=None,
+    query_name=None,
+    query_regex=None,
+    chunk_size=None,
+):
+    """Multi-process `call`: claim records from the index manifest, emit
+    VCF body rows locally, allgather, merge in record-offset order.
+
+    Process 0 writes header + merged body -- byte-identical to the serial
+    tool (body rows are emitted per record and records are re-ordered by
+    offset; within-record order is preserved by each worker)."""
+    import jax
+
+    from ..io.maf import MafReader
+    from ..io.vcf import VcfWriter
+    from ..tools.caller import call_one_record
+    from ..tools.index import index_path_for, load_index
+    from .distributed import claim_work_units
+
+    mafindex = load_index(index_path_for(path))
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    units = claim_work_units(mafindex, pid, nproc)
+    offsets = sorted({u[3] for u in units})
+
+    reader = MafReader.from_path(path)
+    local = []
+    for off in offsets:
+        reader.seek(off)
+        rec = reader.next_record()
+        if rec is None:
+            continue
+        body = io.BytesIO()
+        call_one_record(
+            rec, body, if_snp, if_inv, svlen_cutoff, chunk_size,
+            query_name, query_regex,
+        )
+        local.append((off, body.getvalue()))
+
+    with stdout_parked():
+        payloads = _allgather_bytes(pickle.dumps(local, protocol=4))
+    if pid != 0:
+        return
+    merged = []
+    for blob in payloads:
+        merged.extend(pickle.loads(blob))
+    merged.sort(key=lambda t: t[0])
+    vcf = VcfWriter(writer, sample or "sample")
+    contigs = [
+        (name, item["size"])
+        for name, item in mafindex.items()
+        if item["isref"]
+    ]
+    vcf.write_header(contigs)
+    for _, body in merged:
+        writer.write(body)
+    writer.flush()
