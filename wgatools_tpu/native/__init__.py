@@ -65,6 +65,8 @@ def load():
         lib.classify_caller.argtypes = [_u8p, _u8p, _i64, _u8p]
         lib.rle_encode.argtypes = [_u8p, _i64, _u8p, _i64p]
         lib.rle_encode.restype = _i64
+        lib.classify_rle.argtypes = [_u8p, _u8p, _i64, ctypes.c_int, _u8p, _i64p]
+        lib.classify_rle.restype = _i64
         lib.tokenize_cigar.argtypes = [_charp, _i64, _u8p, _i64p]
         lib.tokenize_cigar.restype = _i64
         lib.format_runs.argtypes = [_u8p, _i64p, _i64, _charp, _charp, _i64]
@@ -138,16 +140,12 @@ def classify_and_rle(t: np.ndarray, q: np.ndarray, caller: bool = False):
     if lib is None:
         return None
     n = t.shape[0]
-    cat = _scratch("cat", n, np.uint8)
     t = np.ascontiguousarray(t)
     q = np.ascontiguousarray(q)
-    if caller:
-        lib.classify_caller(t, q, n, cat)
-    else:
-        lib.classify_ext(t, q, n, cat)
     vals = _scratch("vals", n, np.uint8)
     lens = _scratch("lens", n, np.int64)
-    n_runs = lib.rle_encode(cat, n, vals, lens)
+    # fused single pass (no intermediate cat array)
+    n_runs = lib.classify_rle(t, q, n, 1 if caller else 0, vals, lens)
     return vals[:n_runs].copy(), lens[:n_runs].copy()
 
 

@@ -63,6 +63,73 @@ int64_t rle_encode(const uint8_t* cat, int64_t n, uint8_t* vals,
     return runs + 1;
 }
 
+// fused classify + RLE in one pass over the raw byte pair (no cat array:
+// saves 2n bytes of memory traffic vs classify-then-rle).  '=' runs --
+// ~97% of real alignment columns -- gallop 8 bytes at a time with word
+// tricks; other categories are short and walk scalar.  caller != 0 uses
+// the caller table (gap/gap -> 4 'W', reference cigar.rs:314-328), where
+// an '=' run also stops at gap/gap columns.
+static inline uint8_t cat_ext_one(uint8_t a, uint8_t b) {
+    return (a == b) ? 0 : ((a == '-') ? 2 : ((b == '-') ? 3 : 1));
+}
+
+static inline uint8_t cat_caller_one(uint8_t a, uint8_t b) {
+    if (a == '-') return (b == '-') ? 4 : 2;
+    if (b == '-') return 3;
+    return (a == b) ? 0 : 1;
+}
+
+static inline uint64_t nonzero_bytes_hi(uint64_t x) {
+    // high bit set in every byte of x that is nonzero
+    uint64_t y = (x & 0x7f7f7f7f7f7f7f7full) + 0x7f7f7f7f7f7f7f7full;
+    return (y | x) & 0x8080808080808080ull;
+}
+
+int64_t classify_rle(const uint8_t* t, const uint8_t* q, int64_t n,
+                     int caller, uint8_t* vals, int64_t* lens) {
+    const uint64_t GAPS = 0x2d2d2d2d2d2d2d2dull;
+    int64_t runs = 0;
+    int64_t i = 0;
+    while (i < n) {
+        uint8_t cur = caller ? cat_caller_one(t[i], q[i])
+                             : cat_ext_one(t[i], q[i]);
+        int64_t j = i + 1;
+        if (cur == 0) {
+            while (j + 8 <= n) {
+                uint64_t a, b;
+                memcpy(&a, t + j, 8);
+                memcpy(&b, q + j, 8);
+                uint64_t stop = nonzero_bytes_hi(a ^ b);
+                if (caller) {
+                    // '-'-bytes of a end the run too (gap/gap -> W)
+                    stop |= 0x8080808080808080ull & ~nonzero_bytes_hi(a ^ GAPS);
+                }
+                if (stop) {
+                    j += (int64_t)(__builtin_ctzll(stop) >> 3);
+                    break;
+                }
+                j += 8;
+            }
+            if (caller) {
+                while (j < n && t[j] == q[j] && t[j] != '-') ++j;
+            } else {
+                while (j < n && t[j] == q[j]) ++j;
+            }
+        } else {
+            if (caller) {
+                while (j < n && cat_caller_one(t[j], q[j]) == cur) ++j;
+            } else {
+                while (j < n && cat_ext_one(t[j], q[j]) == cur) ++j;
+            }
+        }
+        vals[runs] = cur;
+        lens[runs] = j - i;
+        ++runs;
+        i = j;
+    }
+    return runs;
+}
+
 // CIGAR string tokenizer (nom tokenizer analog, reference cigar.rs:59-75).
 // Returns op count, or -(pos+1) on malformed input at byte pos.
 int64_t tokenize_cigar(const char* s, int64_t n, uint8_t* ops,
