@@ -69,7 +69,7 @@ def load():
         lib.classify_rle.restype = _i64
         lib.tokenize_cigar.argtypes = [_charp, _i64, _u8p, _i64p]
         lib.tokenize_cigar.restype = _i64
-        lib.format_runs.argtypes = [_u8p, _i64p, _i64, _charp, _charp, _i64]
+        lib.format_runs.argtypes = [_u8p, _i64p, _i64, _charp, _u8p, _i64]
         lib.format_runs.restype = _i64
         lib.reverse_complement.argtypes = [_u8p, _i64, _u8p]
         lib.reverse_complement.restype = _i64
@@ -171,7 +171,8 @@ def format_runs(vals: np.ndarray, lens: np.ndarray, chars: bytes):
         return None
     n_runs = len(vals)
     cap = 24 * max(n_runs, 1)
-    out = ctypes.create_string_buffer(cap)
+    # scratch avoids ctypes' zero-fill of the whole capacity per call
+    out = _scratch("fmtbuf", cap, np.uint8)
     w = lib.format_runs(
         np.ascontiguousarray(vals, dtype=np.uint8),
         np.ascontiguousarray(lens, dtype=np.int64),
@@ -182,7 +183,7 @@ def format_runs(vals: np.ndarray, lens: np.ndarray, chars: bytes):
     )
     if w < 0:
         return None
-    return out.raw[: int(w)].decode("ascii")
+    return out[: int(w)].tobytes().decode("ascii")
 
 
 def format_bed_lines(prefix: bytes, start: int, counts: np.ndarray):
