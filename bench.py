@@ -137,8 +137,8 @@ def main():
 
     # min over repeats is the least-interference estimate of each batch
     # size; the marginal rate between sizes cancels fixed overhead
-    t_lo = min(run_batch(lo_iters) for _ in range(4))
-    t_hi = min(run_batch(hi_iters) for _ in range(4))
+    t_lo = min(run_batch(lo_iters) for _ in range(6))
+    t_hi = min(run_batch(hi_iters) for _ in range(6))
     marginal = (
         B * L * (hi_iters - lo_iters) / (t_hi - t_lo) if t_hi > t_lo else 0.0
     )

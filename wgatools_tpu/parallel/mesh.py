@@ -129,3 +129,36 @@ def pad_to_multiple(arr, multiple, axis=0, fill=0):
     widths = [(0, 0)] * arr.ndim
     widths[axis] = (0, target - n)
     return np.pad(arr, widths, constant_values=fill)
+
+
+def sharded_liftover(mesh: Mesh, ops, lens, wide=False, use_pallas=None):
+    """Liftover coordinate scan with records sharded over the mesh.
+
+    Record-axis data parallelism like sharded_column_stats: each device
+    scans its shard's op rows (the Pallas kernel on TPU, the jnp/mm
+    formulation elsewhere); outputs stay record-sharded.
+    """
+    from ..ops.liftover import _liftover_scan_impl, liftover_scan_pallas
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and not wide:
+        interpret = jax.default_backend() != "tpu"
+
+        def body(o, l):
+            return liftover_scan_pallas(o, l, interpret=interpret)
+
+    else:
+
+        def body(o, l):
+            return _liftover_scan_impl(o, l, wide, use_pallas)
+
+    spec = P(RECORDS_AXIS, None)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )
+    return fn(ops, lens)
