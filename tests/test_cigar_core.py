@@ -155,9 +155,11 @@ def test_rle_empty_and_single():
     assert vals.tolist() == [3] and lens.tolist() == [1]
 
 
-def test_fmt_f32_matches_rust_display():
-    """Lock f32 formatting to Rust Display/ryu semantics: shortest
-    round-trip, positional notation, NaN spelling (stat.rs f32 fields)."""
+def test_fmt_f32_matches_ryu():
+    """Lock f32 formatting to ryu pretty semantics (csv 1.2.2 serializes
+    floats through ryu::Buffer::format -- stat.rs:117-122): shortest
+    round-trip digits, positional iff -5 < kk <= 13, else d.ddde<exp>
+    with unpadded exponent, NaN/inf spellings."""
     from wgatools_tpu.core.fmt import fmt_f32
 
     cases = [
@@ -165,12 +167,44 @@ def test_fmt_f32_matches_rust_display():
         (0.999, "0.999"),
         (1.0, "1.0"),
         (0.0, "0.0"),
+        (-0.0, "-0.0"),
         (50.0, "50.0"),
         (1 / 3, "0.33333334"),
         (0.1, "0.1"),
         (123456.78, "123456.78"),
-        (1e-9, "0.000000001"),
+        (1e-5, "0.00001"),
+        (1e-9, "1e-9"),        # kk=-8 <= -5: exponential, no zero-pad
+        (1e13, "1e13"),        # kk=14 > 13: exponential, no '+'
+        (9.9e12, "9900000000000.0"),
+        (3.25e-7, "3.25e-7"),
         (float("nan"), "NaN"),
+        (float("inf"), "inf"),
+        (float("-inf"), "-inf"),
     ]
     for value, want in cases:
         assert fmt_f32(value) == want, (value, fmt_f32(value), want)
+
+
+def test_fmt_f64_ryu_and_serde_dump():
+    """f64 ryu pretty (dotplot CSV cells, dotplot.rs:284-292) and the
+    serde_json-compatible dumper (dotplot JSON/HTML specs)."""
+    from wgatools_tpu.core.fmt import dumps_serde, fmt_f64_ryu
+
+    cases = [
+        (5e-05, "0.00005"),    # Python repr would say 5e-05
+        (5e-06, "5e-6"),
+        (1e16, "1e16"),
+        (1e15, "1000000000000000.0"),
+        (1.234e33, "1.234e33"),
+        (-2.5e-7, "-2.5e-7"),
+        (0.9973, "0.9973"),
+        (12340000000.0, "12340000000.0"),
+        (1.2345678901234568e16, "1.2345678901234568e16"),
+    ]
+    for value, want in cases:
+        assert fmt_f64_ryu(value) == want, (value, fmt_f64_ryu(value), want)
+
+    obj = {"b": [1, 2.5, 5e-6, True, None], "a": "naïve\n"}
+    # sorted keys (serde_json BTreeMap), ryu floats, raw UTF-8
+    assert dumps_serde(obj) == '{"a":"naïve\\n","b":[1,2.5,5e-6,true,null]}'
+    assert dumps_serde(float("nan")) == "null"  # serde_json write_f64

@@ -7,9 +7,9 @@ below the cutoff merged into neighboring match segments
 """
 
 import copy
-import json
 
 from ..core import cigar as C
+from ..core.fmt import dumps_serde, fmt_f64_ryu
 from ..core.strand import Strand
 from ..errors import WGAError
 from ..io.maf import MafReader
@@ -257,13 +257,11 @@ def _render(data, writer, out_format, spec, fields):
     if out_format == "json":
         spec = copy.deepcopy(spec)
         spec["data"]["values"] = data
-        writer.write(
-            (json.dumps(spec, sort_keys=True, separators=(",", ":")) + "\n").encode()
-        )
+        writer.write((dumps_serde(spec) + "\n").encode())
     elif out_format == "html":
         spec = copy.deepcopy(spec)
         spec["data"]["values"] = data
-        vl_json = json.dumps(spec, sort_keys=True, separators=(",", ":"))
+        vl_json = dumps_serde(spec)
         writer.write(HTML_TEMPLATE.format(vl_json=vl_json).encode() + b"\n")
     else:  # csv
         lines = [",".join(fields)]
@@ -277,7 +275,8 @@ def _render(data, writer, out_format, spec, fields):
 
 def _csv_cell(v):
     if isinstance(v, float):
-        return repr(v)
+        # csv crate serializes f64 via ryu pretty (dotplot.rs:284-292)
+        return fmt_f64_ryu(v)
     s = str(v)
     if any(c in s for c in ",\"\n"):
         s = '"' + s.replace('"', '""') + '"'
