@@ -70,6 +70,48 @@ def test_classify_stat_pallas_vs_host(seed):
     np.testing.assert_array_equal(got, _host_expected(pairs))
 
 
+def _host_expected_caller(pairs):
+    """Caller-mode oracle: classify_caller categories, W runs separate."""
+    rows = []
+    for t, q in pairs:
+        ta, qa = C.seq_bytes(t), C.seq_bytes(q)
+        cat = C.classify_caller(ta, qa)
+        vals, lens = C.rle(cat)
+        rows.append(
+            [
+                int(lens[vals == 0].sum()),  # EQ (excludes gap/gap)
+                int(lens[vals == 1].sum()),  # X
+                int(lens[vals == 2].sum()),  # I
+                int(lens[vals == 3].sum()),  # D
+                int((vals == 2).sum()),
+                int((vals == 3).sum()),
+                int(lens[vals == 4].sum()),  # W columns
+                len(vals),
+            ]
+        )
+    return np.array(rows, dtype=np.int32)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_classify_stat_caller_mode_vs_host(seed):
+    """Caller-mode (gap/gap -> W) stats: jnp and Pallas-interpret must both
+    match the host classify_caller + RLE oracle, including padded rows and
+    tile-crossing W runs."""
+    pairs = _random_pairs(6, 800, seed)
+    # force gap/gap density so W runs actually occur, including trailing
+    pairs.append((b"AC--G" + b"-" * 300, b"AC--G" + b"-" * 300))
+    t, q, lens = pack_pairs(pairs, align=256)
+    want = _host_expected_caller(pairs)
+    got_jnp = np.array(classify_stat_jnp(t, q, lens, caller=True))
+    np.testing.assert_array_equal(got_jnp, want)
+    got_pl = np.array(
+        classify_stat_pallas(
+            t, q, lens, tile_b=2, tile_l=256, interpret=True, caller=True
+        )
+    )
+    np.testing.assert_array_equal(got_pl, want)
+
+
 def test_pallas_tile_boundary_runs():
     """A run spanning an L-tile boundary must count as one event."""
     t = b"A" * 100 + b"-" * 120 + b"A" * 100

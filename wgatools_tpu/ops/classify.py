@@ -124,16 +124,19 @@ def _stats_from_cat(cat, prev_cat, gapgap_mask, mask=None):
     )
 
 
-@jax.jit
-def classify_stat_jnp(t, q, lengths):
+@functools.partial(jax.jit, static_argnames=("caller",))
+def classify_stat_jnp(t, q, lengths, caller=False):
     """Reference jnp implementation.  t, q: uint8 [B, L]; lengths: int32 [B].
 
-    Returns int32 [B, 8].
+    caller=True classifies with the caller table (gap/gap -> W,
+    cigar_cat_ext_caller, cigar.rs:310-320): matched then excludes
+    gap/gap columns and STAT_RUNS is the caller-mode run count (a
+    gap/gap run is its own W run).  Returns int32 [B, 8].
     """
     B, L = t.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     mask = col < lengths[:, None]
-    cat = _classify(t, q)
+    cat = _classify(t, q, caller)
     prev_cat = jnp.concatenate(
         [jnp.full((B, 1), _NO_CAT, dtype=jnp.int32), cat[:, :-1].astype(jnp.int32)],
         axis=1,
@@ -141,7 +144,7 @@ def classify_stat_jnp(t, q, lengths):
     return _stats_from_cat(cat, prev_cat, _gapgap(t, q), mask)
 
 
-def _kernel(t_ref, q_ref, out_ref):
+def _kernel(t_ref, q_ref, out_ref, *, caller=False):
     """Pallas kernel body: one (TB, TL) tile; accumulates into [TB, 8].
 
     The kernel is completely unmasked and tile-local: every comparison is
@@ -159,7 +162,7 @@ def _kernel(t_ref, q_ref, out_ref):
 
     t = t_ref[:]
     q = q_ref[:]
-    cat = _classify(t, q).astype(jnp.int32)
+    cat = _classify(t, q, caller).astype(jnp.int32)
     prev_cat = pltpu.roll(cat, 1, axis=1)
     first_col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == 0
     is_i = cat == I
@@ -186,14 +189,19 @@ def _kernel(t_ref, q_ref, out_ref):
     out_ref[:] += stats
 
 
-@functools.partial(jax.jit, static_argnames=("tile_b", "tile_l", "interpret"))
-def classify_stat_pallas(t, q, lengths, tile_b=8, tile_l=32768, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("tile_b", "tile_l", "interpret", "caller")
+)
+def classify_stat_pallas(
+    t, q, lengths, tile_b=8, tile_l=32768, interpret=False, caller=False
+):
     """Pallas TPU kernel.  t, q: uint8 [B, L]; lengths: int32 [B].
 
     CONTRACT: padding bytes (columns >= lengths[b]) must be '-' in both t
     and q (pack_pairs guarantees this).  Padding columns classify as '='
-    and form at most one trailing run; their contribution is subtracted
-    exactly below, so the result equals the masked jnp implementation.
+    (ext mode) or W (caller mode) and form at most one trailing run; their
+    contribution is subtracted exactly below, so the result equals the
+    masked jnp implementation in either mode.
     """
     B, L = t.shape
     tile_b = min(tile_b, B)
@@ -221,7 +229,7 @@ def classify_stat_pallas(t, q, lengths, tile_b=8, tile_l=32768, interpret=False)
 
     grid = (nb, nl)
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, caller=caller),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -249,8 +257,10 @@ def classify_stat_pallas(t, q, lengths, tile_b=8, tile_l=32768, interpret=False)
         # boundary columns are a [B, nl-1] strided gather -- O(B * nl)
         # work vs the kernel's O(B * L).
         edge = jnp.arange(1, nl) * tile_l
-        last_cat = _classify(t[:, edge - 1], q[:, edge - 1]).astype(jnp.int32)
-        first_cat = _classify(t[:, edge], q[:, edge]).astype(jnp.int32)
+        last_cat = _classify(t[:, edge - 1], q[:, edge - 1], caller).astype(
+            jnp.int32
+        )
+        first_cat = _classify(t[:, edge], q[:, edge], caller).astype(jnp.int32)
         cont = last_cat == first_cat
         corr = corr.at[:, STAT_RUNS].add(
             jnp.sum(cont, axis=1, dtype=jnp.int32)
@@ -262,19 +272,23 @@ def classify_stat_pallas(t, q, lengths, tile_b=8, tile_l=32768, interpret=False)
             jnp.sum(cont & (first_cat == D), axis=1, dtype=jnp.int32)
         )
 
-    # padding corrections: columns >= len are '-'/'-' => '=' and gap/gap
+    # padding corrections: columns >= len are '-'/'-' => gap/gap, which
+    # classifies '=' in ext mode (also counted in matched) and W in
+    # caller mode (gapgap only)
     pad = (L - lengths).astype(jnp.int32)
-    corr = corr.at[:, STAT_MATCHED].add(pad)
+    if not caller:
+        corr = corr.at[:, STAT_MATCHED].add(pad)
     corr = corr.at[:, STAT_GAPGAP].add(pad)
     # the padding run is one extra run unless it merged with a trailing
-    # real '=' run (or the row has no padding)
+    # real run of the padding's category (or the row has no padding)
     last_idx = jnp.maximum(lengths - 1, 0)
     last_real_cat = _classify(
         jnp.take_along_axis(t, last_idx[:, None], axis=1),
         jnp.take_along_axis(q, last_idx[:, None], axis=1),
+        caller,
     )[:, 0].astype(jnp.int32)
     has_pad = lengths < L
-    merged = (lengths > 0) & (last_real_cat == EQ)
+    merged = (lengths > 0) & (last_real_cat == (W if caller else EQ))
     corr = corr.at[:, STAT_RUNS].add(
         jnp.where(has_pad & ~merged, 1, 0).astype(jnp.int32)
     )
@@ -288,7 +302,7 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def column_stats(t, q, lengths, use_pallas=None):
+def column_stats(t, q, lengths, use_pallas=None, caller=False):
     """Dispatch: Pallas on TPU, jnp elsewhere.  Arrays may be numpy."""
     t = jnp.asarray(t, dtype=jnp.uint8)
     q = jnp.asarray(q, dtype=jnp.uint8)
@@ -296,8 +310,8 @@ def column_stats(t, q, lengths, use_pallas=None):
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        return classify_stat_pallas(t, q, lengths)
-    return classify_stat_jnp(t, q, lengths)
+        return classify_stat_pallas(t, q, lengths, caller=caller)
+    return classify_stat_jnp(t, q, lengths, caller=caller)
 
 
 def pack_pairs(pairs, align=128):

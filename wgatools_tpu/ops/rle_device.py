@@ -57,14 +57,8 @@ def batch_runs(t, q, lengths, caller=False):
     t = jnp.asarray(t, dtype=jnp.uint8)
     q = jnp.asarray(q, dtype=jnp.uint8)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
-    stats = np.asarray(column_stats(t, q, lengths))
+    stats = np.asarray(column_stats(t, q, lengths, caller=caller))
     total = int(stats[:, STAT_RUNS].sum())
-    if caller:
-        # the run count comes from the ext-mode stats where gap/gap columns
-        # fold into EQ runs; in caller mode each gap/gap run becomes its
-        # own W run and can split an EQ run in two -- bound by +2 per
-        # gap/gap column
-        total += 2 * int(stats[:, 6].sum()) + 1
     if total == 0:
         z = np.zeros(0, dtype=np.int32)
         return z, z, z
