@@ -156,3 +156,67 @@ def test_chain_fuzz_mutations(seed):
         pass
     except UnicodeDecodeError:
         pass
+
+
+# -- fused native chain-cigar paths ----------------------------------------
+
+
+def _random_chain_block(rng):
+    lines = []
+    for _ in range(rng.randint(0, 8)):
+        size = rng.choice([0, 1, 7, 123, 10**12])
+        dq = rng.choice([0, 0, 3, 50])
+        dt = rng.choice([0, 0, 2, 99])
+        fields = [str(size)]
+        if rng.random() < 0.8:
+            fields.append(str(dq))
+            if rng.random() < 0.9:
+                fields.append(str(dt))
+        sep = rng.choice(["\t", " ", "  "])
+        lines.append(sep.join(fields))
+        if rng.random() < 0.2:
+            lines.append("")  # blank line
+    return ("\n".join(lines) + rng.choice(["", "\n"])).encode()
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_chain_to_cigar_fused_vs_eager(seed):
+    """ChainRecord.to_cigar must be identical through all three paths:
+    fused text (native), fused arrays (native), and the pure-python
+    fallback over eagerly parsed arrays."""
+    from wgatools_tpu import native
+    from wgatools_tpu.io.chain import ChainRecord, _parse_block
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = random.Random(seed)
+    block = _random_chain_block(rng)
+    cols = _parse_block(block)
+    lazy = ChainRecord(block=block)
+    eager = ChainRecord(**cols)
+    a, b = lazy.to_cigar(), eager.to_cigar()
+    assert a.cigar_string == b.cigar_string
+    for f in ("match_count", "ins_event", "ins_count", "del_event",
+              "del_count"):
+        assert getattr(a, f) == getattr(b, f), f
+    # wrapper-level agreement too
+    fused = native.chain_text_to_cg(block)
+    arrays = native.chain_arrays_to_cg(cols["sizes"], cols["dqs"],
+                                       cols["dts"])
+    assert fused == arrays
+    assert native.validate_chain_lines(block) == len(cols["sizes"])
+
+
+def test_validate_chain_lines_error_position():
+    from wgatools_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    bad = b"10\t2\t3\n4\tx\n"
+    with pytest.raises(ValueError) as e1:
+        native.validate_chain_lines(bad)
+    with pytest.raises(ValueError) as e2:
+        native.parse_chain_lines(bad)
+    with pytest.raises(ValueError) as e3:
+        native.chain_text_to_cg(bad)
+    assert e1.value.args[0] == e2.value.args[0] == e3.value.args[0] == 9

@@ -112,13 +112,49 @@ def chain_header_from_record(rec, head_ins, head_del, tail_ins, tail_del):
     return header
 
 
-@dataclass
 class ChainRecord:
-    header: ChainHeader = field(default_factory=ChainHeader)
-    # columnar data lines (the final line parses with diffs 0)
-    sizes: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
-    dqs: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
-    dts: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    """One chain record: header + columnar data lines (the final line
+    parses with diffs 0).
+
+    The data-line block parses LAZILY: `records()` hands the raw bytes in
+    via `block` and the sizes/dqs/dts arrays materialize on first access.
+    `to_cigar` on an unparsed record takes a fused one-pass native path
+    (text -> cg string directly), which is the chain2paf hot loop."""
+
+    __slots__ = ("header", "_sizes", "_dqs", "_dts", "_block")
+
+    def __init__(self, header=None, sizes=None, dqs=None, dts=None,
+                 block=None):
+        self.header = header if header is not None else ChainHeader()
+        if sizes is None and block is None:
+            sizes = dqs = dts = np.zeros(0, np.int64)
+        self._sizes, self._dqs, self._dts = sizes, dqs, dts
+        self._block = block
+
+    def _parse_lines(self):
+        cols = _parse_block(self._block)
+        self._sizes = cols["sizes"]
+        self._dqs = cols["dqs"]
+        self._dts = cols["dts"]
+        self._block = None
+
+    @property
+    def sizes(self):
+        if self._sizes is None:
+            self._parse_lines()
+        return self._sizes
+
+    @property
+    def dqs(self):
+        if self._dqs is None:
+            self._parse_lines()
+        return self._dqs
+
+    @property
+    def dts(self):
+        if self._dts is None:
+            self._parse_lines()
+        return self._dts
 
     @property
     def lines(self):
@@ -199,34 +235,44 @@ class ChainRecord:
         interleaved op arrays + bulk string formatting."""
         from ..core.cigar import OP_D, OP_I
 
+        from .. import native
+
         c = Cigar()
         inv = self.is_negative
         if inv:
             c.inv_event = 1
-        c.match_count = int(self.sizes.sum())
-        ins_ev = int((self.dts > 0).sum())
-        ins_ct = int(self.dts.sum())
-        del_ev = int((self.dqs > 0).sum())
-        del_ct = int(self.dqs.sum())
+        if self._block is not None:
+            # unparsed record: fused one-pass text -> cg (no arrays)
+            try:
+                fused = native.chain_text_to_cg(bytes(self._block))
+            except ValueError as e:
+                raise ParseChainError(
+                    f"bad chain data line near byte {e.args[0]}"
+                ) from None
+        else:
+            fused = native.chain_arrays_to_cg(self.sizes, self.dqs, self.dts)
+        if fused is not None:
+            cg, match, ins_ev, ins_ct, del_ev, del_ct = fused
+        else:
+            match = int(self.sizes.sum())
+            ins_ev = int((self.dts > 0).sum())
+            ins_ct = int(self.dts.sum())
+            del_ev = int((self.dqs > 0).sum())
+            del_ct = int(self.dqs.sum())
+            ops, lens = self.op_arrays()
+            # map op byte -> index into the char table "MID"
+            cat = np.where(ops == OP_I, 1, np.where(ops == OP_D, 2, 0))
+            chars = "MID"
+            cg = "".join(
+                f"{l}{chars[v]}" for v, l in zip(cat.tolist(), lens.tolist())
+            )
+        c.match_count = match
         if inv:
             c.inv_ins_event, c.inv_ins_count = ins_ev, ins_ct
             c.inv_del_event, c.inv_del_count = del_ev, del_ct
         else:
             c.ins_event, c.ins_count = ins_ev, ins_ct
             c.del_event, c.del_count = del_ev, del_ct
-        ops, lens = self.op_arrays()
-        # map op byte -> index into the char table "MID"
-        cat = np.where(ops == OP_I, 1, np.where(ops == OP_D, 2, 0)).astype(
-            np.uint8
-        )
-        from .. import native
-
-        cg = native.format_runs(cat, lens.astype(np.int64), b"MID")
-        if cg is None:
-            chars = "MID"
-            cg = "".join(
-                f"{l}{chars[v]}" for v, l in zip(cat.tolist(), lens.tolist())
-            )
         c.cigar_string = cg
         return c
 
@@ -353,8 +399,13 @@ class ChainReader:
 
     def records(self):
         """Parse all chain records (the reference also slurps the whole
-        input, chain.rs:33-38).  Data-line blocks parse natively (C++) in
-        bulk; headers parse in Python (one per record)."""
+        input, chain.rs:33-38).  Headers parse in Python (one per record);
+        data-line blocks are grammar-checked here in one native pass --
+        malformed lines error at read time exactly like the reference's
+        eager parse -- but the columnar arrays materialize lazily
+        (ChainRecord), so to_cigar can take the fused text path."""
+        from .. import native
+
         data = self.inner.read()
         pos = 0
         n = len(data)
@@ -376,7 +427,18 @@ class ChainReader:
             )
             nxt = data.find(b"chain", eol)
             block = data[eol + 1 : nxt if nxt >= 0 else n]
-            yield ChainRecord(header=header, **_parse_block(block))
+            try:
+                ok = native.validate_chain_lines(bytes(block))
+            except ValueError as e:
+                raise ParseChainError(
+                    f"bad chain data line near byte {e.args[0]}"
+                ) from None
+            if ok is not None:
+                rec = ChainRecord(header=header, block=block)
+            else:
+                # no native library: parse eagerly (also validates)
+                rec = ChainRecord(header=header, **_parse_block(block))
+            yield rec
             if nxt < 0:
                 return
             pos = nxt

@@ -24,8 +24,12 @@ _lib = None
 _tried = False
 
 _i64 = ctypes.c_int64
-_u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
-_i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+# Array parameters are declared c_void_p and the wrappers pass
+# `arr.ctypes.data` directly: np.ctypeslib.ndpointer's from_param validation
+# costs ~15us per argument, which dominates per-record native calls on
+# many-small-record inputs (every wrapper below guarantees dtype and
+# C-contiguity itself before taking the pointer).
+_ptr = ctypes.c_void_p
 _charp = ctypes.c_char_p
 
 
@@ -61,52 +65,35 @@ def load():
         except Exception as e:  # missing toolchain, sandboxed fs, ...
             log.debug("native library unavailable: %s", e)
             return None
-        lib.classify_ext.argtypes = [_u8p, _u8p, _i64, _u8p]
-        lib.classify_caller.argtypes = [_u8p, _u8p, _i64, _u8p]
-        lib.rle_encode.argtypes = [_u8p, _i64, _u8p, _i64p]
-        lib.rle_encode.restype = _i64
-        lib.classify_rle.argtypes = [_u8p, _u8p, _i64, ctypes.c_int, _u8p, _i64p]
+        lib.classify_rle.argtypes = [_ptr, _ptr, _i64, ctypes.c_int, _ptr, _ptr]
         lib.classify_rle.restype = _i64
-        lib.tokenize_cigar.argtypes = [_charp, _i64, _u8p, _i64p]
+        lib.tokenize_cigar.argtypes = [_charp, _i64, _ptr, _ptr]
         lib.tokenize_cigar.restype = _i64
-        lib.format_runs.argtypes = [_u8p, _i64p, _i64, _charp, _u8p, _i64]
+        lib.format_runs.argtypes = [_ptr, _ptr, _i64, _charp, _ptr, _i64]
         lib.format_runs.restype = _i64
-        lib.reverse_complement.argtypes = [_u8p, _i64, _u8p]
+        lib.reverse_complement.argtypes = [_ptr, _i64, _ptr]
         lib.reverse_complement.restype = _i64
-        lib.count_non_gap.argtypes = [_u8p, _i64]
-        lib.count_non_gap.restype = _i64
-        lib.coverage_diff.argtypes = [_i64p, _i64p, _i64, _i64p, _i64]
         lib.format_bed_lines.argtypes = [
-            ctypes.c_char_p,
-            _i64,
-            _i64,
-            _i64p,
-            _i64,
-            _u8p,
-            _i64,
+            _charp, _i64, _i64, _ptr, _i64, _ptr, _i64,
         ]
         lib.format_bed_lines.restype = _i64
         lib.format_snp_rows.argtypes = [
-            ctypes.c_char_p,
-            _i64,
-            ctypes.c_char_p,
-            _i64,
-            ctypes.c_char,
-            _i64p,
-            _i64p,
-            _u8p,
-            _u8p,
-            _i64,
-            _u8p,
-            _i64,
+            _charp, _i64, _charp, _i64, ctypes.c_char,
+            _ptr, _ptr, _ptr, _ptr, _i64, _ptr, _i64,
         ]
         lib.format_snp_rows.restype = _i64
-        lib.format_chain_lines.argtypes = [_i64p, _i64p, _i64p, _i64, _u8p, _i64]
+        lib.format_chain_lines.argtypes = [_ptr, _ptr, _ptr, _i64, _ptr, _i64]
         lib.format_chain_lines.restype = _i64
-        lib.parse_chain_lines.argtypes = [
-            ctypes.c_char_p, _i64, _i64p, _i64p, _i64p,
-        ]
+        lib.parse_chain_lines.argtypes = [_charp, _i64, _ptr, _ptr, _ptr]
         lib.parse_chain_lines.restype = _i64
+        lib.chain_arrays_to_cg.argtypes = [
+            _ptr, _ptr, _ptr, _i64, _ptr, _ptr, _i64,
+        ]
+        lib.chain_arrays_to_cg.restype = _i64
+        lib.chain_text_to_cg.argtypes = [_charp, _i64, _ptr, _ptr, _i64]
+        lib.chain_text_to_cg.restype = _i64
+        lib.validate_chain_lines.argtypes = [_charp, _i64]
+        lib.validate_chain_lines.restype = _i64
         _lib = lib
         return _lib
 
@@ -145,7 +132,14 @@ def classify_and_rle(t: np.ndarray, q: np.ndarray, caller: bool = False):
     vals = _scratch("vals", n, np.uint8)
     lens = _scratch("lens", n, np.int64)
     # fused single pass (no intermediate cat array)
-    n_runs = lib.classify_rle(t, q, n, 1 if caller else 0, vals, lens)
+    n_runs = lib.classify_rle(
+        t.ctypes.data,
+        q.ctypes.data,
+        n,
+        1 if caller else 0,
+        vals.ctypes.data,
+        lens.ctypes.data,
+    )
     return vals[:n_runs].copy(), lens[:n_runs].copy()
 
 
@@ -159,7 +153,7 @@ def tokenize_cigar(cigar: bytes):
     cap = max(n // 2 + 1, 1)
     ops = np.empty(cap, dtype=np.uint8)
     lens = np.empty(cap, dtype=np.int64)
-    res = lib.tokenize_cigar(cigar, n, ops, lens)
+    res = lib.tokenize_cigar(cigar, n, ops.ctypes.data, lens.ctypes.data)
     if res < 0:
         raise ValueError(-res - 1)
     return ops[: int(res)], lens[: int(res)]
@@ -173,13 +167,12 @@ def format_runs(vals: np.ndarray, lens: np.ndarray, chars: bytes):
     cap = 24 * max(n_runs, 1)
     # scratch avoids ctypes' zero-fill of the whole capacity per call
     out = _scratch("fmtbuf", cap, np.uint8)
+    # bind contiguous copies to locals: a bare `.ctypes.data` of a temporary
+    # would free the buffer before the foreign call runs
+    vals = np.ascontiguousarray(vals, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
     w = lib.format_runs(
-        np.ascontiguousarray(vals, dtype=np.uint8),
-        np.ascontiguousarray(lens, dtype=np.int64),
-        n_runs,
-        chars,
-        out,
-        cap,
+        vals.ctypes.data, lens.ctypes.data, n_runs, chars, out.ctypes.data, cap
     )
     if w < 0:
         return None
@@ -196,7 +189,9 @@ def format_bed_lines(prefix: bytes, start: int, counts: np.ndarray):
     # worst case per line: prefix + 3 tabs + newline + 3x 20-digit ints
     cap = (len(prefix) + 84) * max(n, 1)
     out = np.empty(cap, dtype=np.uint8)
-    w = lib.format_bed_lines(prefix, len(prefix), start, counts, n, out, cap)
+    w = lib.format_bed_lines(
+        prefix, len(prefix), start, counts.ctypes.data, n, out.ctypes.data, cap
+    )
     if w < 0:
         return None
     return out[: int(w)].tobytes()
@@ -214,7 +209,9 @@ def parse_chain_lines(text: bytes):
     sizes = np.empty(max_lines, dtype=np.int64)
     dqs = np.empty(max_lines, dtype=np.int64)
     dts = np.empty(max_lines, dtype=np.int64)
-    res = lib.parse_chain_lines(text, n, sizes, dqs, dts)
+    res = lib.parse_chain_lines(
+        text, n, sizes.ctypes.data, dqs.ctypes.data, dts.ctypes.data
+    )
     if res < 0:
         raise ValueError(-res - 1)
     k = int(res)
@@ -232,10 +229,76 @@ def format_chain_lines(sizes, dqs, dts):
     n = sizes.shape[0]
     cap = 66 * max(n, 1)
     out = np.empty(cap, dtype=np.uint8)
-    w = lib.format_chain_lines(sizes, dqs, dts, n, out, cap)
+    w = lib.format_chain_lines(
+        sizes.ctypes.data, dqs.ctypes.data, dts.ctypes.data, n,
+        out.ctypes.data, cap,
+    )
     if w < 0:
         return None
     return out[: int(w)].tobytes()
+
+
+def chain_arrays_to_cg(sizes, dqs, dts):
+    """Fused chain data-lines -> (cg string, match, ins_ev, ins_ct, del_ev,
+    del_ct); one native call replacing interleave + format + 5 reductions.
+    Returns None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    dqs = np.ascontiguousarray(dqs, dtype=np.int64)
+    dts = np.ascontiguousarray(dts, dtype=np.int64)
+    n = sizes.shape[0]
+    cap = 66 * max(n, 1)
+    out = _scratch("cgbuf", cap, np.uint8)
+    stats = _scratch("cgstats", 5, np.int64)
+    w = lib.chain_arrays_to_cg(
+        sizes.ctypes.data, dqs.ctypes.data, dts.ctypes.data, n,
+        stats.ctypes.data, out.ctypes.data, cap,
+    )
+    if w < 0:
+        return None
+    cg = out[: int(w)].tobytes().decode("ascii")
+    return (cg, int(stats[0]), int(stats[1]), int(stats[2]), int(stats[3]),
+            int(stats[4]))
+
+
+_I64_MIN = -(1 << 63)
+
+
+def validate_chain_lines(text: bytes):
+    """Grammar-check chain data lines without building arrays; returns the
+    line count, None when the native library is unavailable, and raises
+    ValueError(byte_pos) on malformed input."""
+    lib = load()
+    if lib is None:
+        return None
+    res = lib.validate_chain_lines(text, len(text))
+    if res < 0:
+        raise ValueError(-res - 1)
+    return int(res)
+
+
+def chain_text_to_cg(text: bytes):
+    """One-pass chain data-line text -> (cg string, match, ins_ev, ins_ct,
+    del_ev, del_ct): parse + emit fused, no intermediate arrays (the
+    chain2paf hot body).  Returns None when the native library is
+    unavailable; raises ValueError(byte_pos) on malformed input."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(text)
+    cap = 70 * (text.count(b"\n") + 2)
+    out = _scratch("cgbuf", cap, np.uint8)
+    stats = _scratch("cgstats", 5, np.int64)
+    w = lib.chain_text_to_cg(text, n, stats.ctypes.data, out.ctypes.data, cap)
+    if w == _I64_MIN:
+        return None
+    if w < 0:
+        raise ValueError(-w - 1)
+    cg = out[: int(w)].tobytes().decode("ascii")
+    return (cg, int(stats[0]), int(stats[1]), int(stats[2]), int(stats[3]),
+            int(stats[4]))
 
 
 def format_snp_rows(chrom: bytes, qchro: bytes, suffix: bytes, pos, qpos,
@@ -252,8 +315,9 @@ def format_snp_rows(chrom: bytes, qchro: bytes, suffix: bytes, pos, qpos,
     cap = (len(chrom) + len(qchro) + 100) * max(n, 1)
     out = np.empty(cap, dtype=np.uint8)
     w = lib.format_snp_rows(
-        chrom, len(chrom), qchro, len(qchro), suffix, pos, qpos, ref, alt,
-        n, out, cap,
+        chrom, len(chrom), qchro, len(qchro), suffix,
+        pos.ctypes.data, qpos.ctypes.data, ref.ctypes.data, alt.ctypes.data,
+        n, out.ctypes.data, cap,
     )
     if w < 0:
         return None
@@ -267,7 +331,7 @@ def reverse_complement(seq: np.ndarray):
         return None
     seq = np.ascontiguousarray(seq, dtype=np.uint8)
     out = np.empty_like(seq)
-    res = lib.reverse_complement(seq, seq.shape[0], out)
+    res = lib.reverse_complement(seq.ctypes.data, seq.shape[0], out.ctypes.data)
     if res != 0:
         raise ValueError(int(res) - 1)
     return out.tobytes()

@@ -309,6 +309,113 @@ int64_t format_chain_lines(const int64_t* sizes, const int64_t* dqs,
     return w;
 }
 
+// fused chain data-lines -> PAF cg CIGAR + stats (the hot chain2paf body,
+// reference cigar.rs:554-626 + chain.rs:430-452).  Per line: "{size}M"
+// (always emitted, even size 0 -- cigar.rs:580-582), then "{dt}I" if
+// dt>0, then "{dq}D" if dq>0.  stats[0..4] = {match_sum, ins_event,
+// ins_count, del_event, del_count}.  Returns bytes written or -1 if cap
+// is too small.
+int64_t chain_arrays_to_cg(const int64_t* sizes, const int64_t* dqs,
+                           const int64_t* dts, int64_t n, int64_t* stats,
+                           char* out, int64_t cap) {
+    int64_t w = 0;
+    int64_t match = 0, ins_ev = 0, ins_ct = 0, del_ev = 0, del_ct = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (w + 66 > cap) return -1;
+        int64_t sz = sizes[i], dt = dts[i], dq = dqs[i];
+        match += sz;
+        w += write_i64(out + w, sz);
+        out[w++] = 'M';
+        if (dt > 0) {
+            ++ins_ev; ins_ct += dt;
+            w += write_i64(out + w, dt);
+            out[w++] = 'I';
+        }
+        if (dq > 0) {
+            ++del_ev; del_ct += dq;
+            w += write_i64(out + w, dq);
+            out[w++] = 'D';
+        }
+    }
+    stats[0] = match; stats[1] = ins_ev; stats[2] = ins_ct;
+    stats[3] = del_ev; stats[4] = del_ct;
+    return w;
+}
+
+// validate chain data-line text without materializing arrays: same
+// grammar as parse_chain_lines.  Returns the line count, or -(pos+1) at
+// the first malformed token.
+int64_t validate_chain_lines(const char* s, int64_t n) {
+    int64_t count = 0;
+    int64_t i = 0;
+    while (i < n) {
+        while (i < n && (s[i] == ' ' || s[i] == '\t' || s[i] == '\r')) ++i;
+        if (i < n && s[i] == '\n') { ++i; continue; }
+        if (i >= n) break;
+        while (i < n && s[i] != '\n') {
+            while (i < n && (s[i] == ' ' || s[i] == '\t' || s[i] == '\r'))
+                ++i;
+            if (i >= n || s[i] == '\n') break;
+            if (s[i] < '0' || s[i] > '9') return -(i + 1);
+            while (i < n && s[i] >= '0' && s[i] <= '9') ++i;
+        }
+        ++count;
+        if (i < n) ++i;  // consume newline
+    }
+    return count;
+}
+
+// streaming chain data-line text -> PAF cg CIGAR + stats in ONE pass (no
+// intermediate arrays): parse_chain_lines' grammar fused with
+// chain_arrays_to_cg's emission.  stats as in chain_arrays_to_cg.
+// Returns bytes written, -(pos+1) at the first malformed token, or
+// INT64_MIN if cap is too small.
+int64_t chain_text_to_cg(const char* s, int64_t n, int64_t* stats, char* out,
+                         int64_t cap) {
+    int64_t w = 0;
+    int64_t match = 0, ins_ev = 0, ins_ct = 0, del_ev = 0, del_ct = 0;
+    int64_t i = 0;
+    while (i < n) {
+        while (i < n && (s[i] == ' ' || s[i] == '\t' || s[i] == '\r')) ++i;
+        if (i < n && s[i] == '\n') { ++i; continue; }
+        if (i >= n) break;
+        int64_t vals[3] = {0, 0, 0};
+        int field = 0;
+        while (i < n && s[i] != '\n') {
+            while (i < n && (s[i] == ' ' || s[i] == '\t' || s[i] == '\r'))
+                ++i;
+            if (i >= n || s[i] == '\n') break;
+            if (s[i] < '0' || s[i] > '9') return -(i + 1);
+            int64_t v = 0;
+            while (i < n && s[i] >= '0' && s[i] <= '9') {
+                v = v * 10 + (s[i] - '0');
+                ++i;
+            }
+            if (field < 3) vals[field] = v;
+            ++field;
+        }
+        if (i < n) ++i;  // consume newline
+        int64_t sz = vals[0], dq = vals[1], dt = vals[2];
+        if (w + 66 > cap) return INT64_MIN;
+        match += sz;
+        w += write_i64(out + w, sz);
+        out[w++] = 'M';
+        if (dt > 0) {
+            ++ins_ev; ins_ct += dt;
+            w += write_i64(out + w, dt);
+            out[w++] = 'I';
+        }
+        if (dq > 0) {
+            ++del_ev; del_ct += dq;
+            w += write_i64(out + w, dq);
+            out[w++] = 'D';
+        }
+    }
+    stats[0] = match; stats[1] = ins_ev; stats[2] = ins_ct;
+    stats[3] = del_ev; stats[4] = del_ct;
+    return w;
+}
+
 // bulk-format SNP VCF rows:
 //   "<chrom>\t<pos+1>\t.\t<ref>\t<alt>\t.\t.\t.\tGT:QI\t1|1:<qchro>@<qpos>@<sfx>\n"
 // ref/alt are single uppercase bases given as parallel byte arrays.
