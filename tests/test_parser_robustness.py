@@ -220,3 +220,63 @@ def test_validate_chain_lines_error_position():
     with pytest.raises(ValueError) as e3:
         native.chain_text_to_cg(bad)
     assert e1.value.args[0] == e2.value.args[0] == e3.value.args[0] == 9
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_ops_to_chain_block_vs_numpy(seed):
+    """Fused native ops->chain-block must equal trims_from_ops +
+    chain_line_arrays_from_ops + format_chain_lines, including no-M,
+    leading/trailing indel, and zero-length-M edge cases."""
+    import numpy as np
+
+    from wgatools_tpu import native
+    from wgatools_tpu.core import cigar as C
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = random.Random(seed)
+    cases = {
+        0: b"",            # empty
+        1: b"IDID",        # no M at all
+        2: b"I" * 3,       # no M, one op type
+        3: b"MIM",         # simple
+        4: b"IIMMDDMII",   # head + tail trims, zero-gap merge
+    }
+    if seed in cases:
+        ops = np.frombuffer(cases[seed], dtype=np.uint8)
+        lens = np.array(
+            [rng.choice([0, 1, 5, 10**11]) for _ in range(len(ops))],
+            dtype=np.int64,
+        )
+    else:
+        n = rng.randint(1, 40)
+        ops = np.frombuffer(
+            bytes(rng.choice(b"M=XID") for _ in range(n)), dtype=np.uint8
+        )
+        lens = np.array(
+            [rng.choice([0, 1, 2, 7, 500]) for _ in range(n)],
+            dtype=np.int64,
+        )
+    got = native.ops_to_chain_block(ops, lens)
+    assert got is not None
+    text, hi, hd, ti, td, final = got
+    want_trims = C.trims_from_ops(ops, lens)
+    assert (hi, hd, ti, td) == want_trims
+    sizes, dqs, dts, want_final = C.chain_line_arrays_from_ops(ops, lens)
+    assert final == want_final
+    want_text = native.format_chain_lines(sizes, dqs, dts)
+    assert text == want_text
+
+
+def test_ops_to_chain_block_invalid_op():
+    import numpy as np
+
+    from wgatools_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    ops = np.frombuffer(b"MSM", dtype=np.uint8)
+    lens = np.ones(3, dtype=np.int64)
+    with pytest.raises(ValueError) as e:
+        native.ops_to_chain_block(ops, lens)
+    assert e.value.args[0] == "S"

@@ -94,6 +94,8 @@ def load():
         lib.chain_text_to_cg.restype = _i64
         lib.validate_chain_lines.argtypes = [_charp, _i64]
         lib.validate_chain_lines.restype = _i64
+        lib.ops_to_chain_block.argtypes = [_ptr, _ptr, _i64, _ptr, _ptr, _i64]
+        lib.ops_to_chain_block.restype = _i64
         _lib = lib
         return _lib
 
@@ -299,6 +301,33 @@ def chain_text_to_cg(text: bytes):
     cg = out[: int(w)].tobytes().decode("ascii")
     return (cg, int(stats[0]), int(stats[1]), int(stats[2]), int(stats[3]),
             int(stats[4]))
+
+
+def ops_to_chain_block(ops, lens):
+    """Fused CIGAR ops -> (data-line text bytes, head_ins, head_del,
+    tail_ins, tail_del, final_size): the whole chain-conversion body in one
+    native pass.  Returns None when the native library is unavailable;
+    raises a ValueError carrying the invalid op char on a non-M/=/X/I/D op
+    (matching trims_from_ops, cigar.rs:155-199)."""
+    lib = load()
+    if lib is None:
+        return None
+    ops = np.ascontiguousarray(ops, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    n = ops.shape[0]
+    cap = 66 * max(n, 1)
+    out = _scratch("chainblk", cap, np.uint8)
+    meta = _scratch("chainmeta", 6, np.int64)
+    w = lib.ops_to_chain_block(
+        ops.ctypes.data, lens.ctypes.data, n, meta.ctypes.data,
+        out.ctypes.data, cap,
+    )
+    if w == -1:
+        return None
+    if w == -2:
+        raise ValueError(chr(int(meta[5])))
+    return (out[: int(w)].tobytes(), int(meta[0]), int(meta[1]),
+            int(meta[2]), int(meta[3]), int(meta[4]))
 
 
 def format_snp_rows(chrom: bytes, qchro: bytes, suffix: bytes, pos, qpos,

@@ -416,6 +416,61 @@ int64_t chain_text_to_cg(const char* s, int64_t n, int64_t* stats, char* out,
     return w;
 }
 
+// fused CIGAR ops -> chain data-line text + header meta in ONE pass: the
+// paf2chain/maf2chain hot body (reference cigar.rs:155-245 trims,
+// cigar.rs:460-490 cigar_unit_chain state machine, converter.rs:148-173
+// emission).  M/=/X accumulate size (zero-diff runs merge); I accumulates
+// target_diff, D query_diff; a line "\n<size>\t<dq>\t<dt>" is emitted when
+// a new M run starts with pending diffs.  Leading I/D sum into the head
+// trims; I/D after the last M set (overwrite) the tail trims.
+// meta[0..5] = {head_ins, head_del, tail_ins, tail_del, final_size,
+// bad_op_byte}.  Returns bytes written; -1 if cap is too small; -2 on an
+// invalid op (meta[5] = the op byte).
+int64_t ops_to_chain_block(const uint8_t* ops, const int64_t* lens,
+                           int64_t n_ops, int64_t* meta, char* out,
+                           int64_t cap) {
+    int64_t head_ins = 0, head_del = 0, tail_ins = 0, tail_del = 0;
+    int64_t cur = 0, dq = 0, dt = 0;
+    bool seen_m = false;
+    int64_t w = 0;
+    for (int64_t k = 0; k < n_ops; ++k) {
+        uint8_t op = ops[k];
+        int64_t L = lens[k];
+        if (op == 'M' || op == '=' || op == 'X') {
+            if (!seen_m) {
+                seen_m = true;
+                cur = L;
+            } else if (dq != 0 || dt != 0) {
+                if (w + 66 > cap) return -1;
+                out[w++] = '\n';
+                w += write_i64(out + w, cur);
+                out[w++] = '\t';
+                w += write_i64(out + w, dq);
+                out[w++] = '\t';
+                w += write_i64(out + w, dt);
+                cur = L;
+                dq = dt = 0;
+            } else {
+                cur += L;
+            }
+            tail_ins = tail_del = 0;
+        } else if (op == 'I') {
+            if (!seen_m) head_ins += L; else dt += L;
+            tail_ins = L;
+        } else if (op == 'D') {
+            if (!seen_m) head_del += L; else dq += L;
+            tail_del = L;
+        } else {
+            meta[5] = (int64_t)op;
+            return -2;
+        }
+    }
+    meta[0] = head_ins; meta[1] = head_del;
+    meta[2] = tail_ins; meta[3] = tail_del;
+    meta[4] = cur;
+    return w;
+}
+
 // bulk-format SNP VCF rows:
 //   "<chrom>\t<pos+1>\t.\t<ref>\t<alt>\t.\t.\t.\tGT:QI\t1|1:<qchro>@<qpos>@<sfx>\n"
 // ref/alt are single uppercase bases given as parallel byte arrays.

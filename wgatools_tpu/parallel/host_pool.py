@@ -180,22 +180,14 @@ def _work_call(rec, out, i, extra):
 
 
 def _work_maf2chain(rec, out, i, extra):
-    from ..core import cigar as CC
-    from ..io.chain import chain_header_from_record, write_chain_record
-    from ..tools.convert import _EXT2OP, _maf_ext_runs, _merge_m_runs
+    from ..tools.convert import _emit_chain, _maf_ext_runs
 
     query_name = extra
     if query_name is not None:
         rec.set_query_idx_byname(query_name)
     vals, lens = _maf_ext_runs(rec)
-    trims = CC.trims_from_ops(_EXT2OP[vals], lens)
-    header = chain_header_from_record(rec, *trims)
-    header.chain_id = i  # record index preserves the serial numbering
-    m_vals, m_lens = _merge_m_runs(vals, lens)
-    sizes, dqs, dts, final_size = CC.chain_line_arrays_from_cat_runs(
-        m_vals, m_lens
-    )
-    write_chain_record(out, header, (sizes, dqs, dts), final_size)
+    # record index as chain_id preserves the serial numbering
+    _emit_chain(out, rec, i, vals, lens)
     return None
 
 
@@ -255,9 +247,9 @@ def _paf2chain_worker(args):
     path, lo, hi, start_index = args
     import io as iolib
 
-    from ..core import cigar as CC
-    from ..io.chain import chain_header_from_record, write_chain_record
+    from .. import native
     from ..io.paf import PafReader
+    from ..tools.convert import _write_chain_from_ops
 
     with open(path, "rb") as fp:
         fp.seek(lo)
@@ -265,11 +257,7 @@ def _paf2chain_worker(args):
     out = iolib.BytesIO()
     for k, record in enumerate(PafReader(iolib.BytesIO(blob)).records()):
         ops, lens = record.get_cigar_ops()
-        trims = CC.trims_from_ops(ops, lens)
-        header = chain_header_from_record(record, *trims)
-        header.chain_id = start_index + k
-        sizes, dqs, dts, final = CC.chain_line_arrays_from_ops(ops, lens)
-        write_chain_record(out, header, (sizes, dqs, dts), final)
+        _write_chain_from_ops(out, native, record, start_index + k, ops, lens)
     return out.getvalue()
 
 

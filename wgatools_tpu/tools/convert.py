@@ -94,17 +94,6 @@ _EXT2OP[C.I] = C.OP_I
 _EXT2OP[C.D] = C.OP_D
 
 
-def _merge_m_runs(vals: np.ndarray, lens: np.ndarray):
-    """Derive cigar_cat (M-mode) runs from ext runs: EQ and X merge to M."""
-    m_vals = np.where(vals == C.X, C.EQ, vals)
-    if m_vals.size == 0:
-        return m_vals, lens
-    boundaries = np.flatnonzero(m_vals[1:] != m_vals[:-1])
-    starts = np.concatenate(([0], boundaries + 1))
-    merged_lens = np.add.reduceat(lens, starts)
-    return m_vals[starts], merged_lens
-
-
 def maf2chain(mafreader: MafReader, writer, query_name=None, device=None):
     """MAF -> chain (reference: converter.rs:57-92): header via the ext-mode
     trim rule, data lines via M-merged runs, auto-increment chain ids.
@@ -133,14 +122,10 @@ def maf2chain(mafreader: MafReader, writer, query_name=None, device=None):
 
 
 def _emit_chain(writer, record, chain_id, vals, lens):
-    trims = C.trims_from_ops(_EXT2OP[vals], lens)
-    header = chain_header_from_record(record, *trims)
-    header.chain_id = chain_id
-    m_vals, m_lens = _merge_m_runs(vals, lens)
-    sizes, dqs, dts, final_size = C.chain_line_arrays_from_cat_runs(
-        m_vals, m_lens
-    )
-    write_chain_record(writer, header, (sizes, dqs, dts), final_size)
+    from .. import native
+
+    _write_chain_from_ops(writer, native, record, chain_id, _EXT2OP[vals],
+                          lens)
 
 
 def _batched_ext_runs(mafreader, query_name, emit, batch_columns=64 << 20):
@@ -200,15 +185,40 @@ def _batched_ext_runs(mafreader, query_name, emit, batch_columns=64 << 20):
 
 
 def paf2chain(pafreader: PafReader, writer):
-    """PAF -> chain (reference: converter.rs:148-173)."""
+    """PAF -> chain (reference: converter.rs:148-173).
+
+    The per-record body (trims + cigar_unit_chain state machine + data-line
+    emission) runs as ONE fused native pass when available."""
+    from .. import native
+
     for chain_id, record in enumerate(pafreader.records()):
         ops, lens = record.get_cigar_ops()
-        trims = C.trims_from_ops(ops, lens)
-        header = chain_header_from_record(record, *trims)
-        header.chain_id = chain_id
-        sizes, dqs, dts, final_size = C.chain_line_arrays_from_ops(ops, lens)
-        write_chain_record(writer, header, (sizes, dqs, dts), final_size)
+        _write_chain_from_ops(writer, native, record, chain_id, ops, lens)
     writer.flush()
+
+
+def _write_chain_from_ops(writer, native, record, chain_id, ops, lens):
+    """Emit one chain record from CIGAR op arrays: fused native path with
+    a vectorized-numpy fallback."""
+    try:
+        blk = native.ops_to_chain_block(ops, lens)
+    except ValueError as e:
+        raise C.CigarOpInvalid(e.args[0]) from None
+    if blk is not None:
+        text, head_ins, head_del, tail_ins, tail_del, final_size = blk
+        header = chain_header_from_record(
+            record, head_ins, head_del, tail_ins, tail_del
+        )
+        header.chain_id = chain_id
+        writer.write(header.format().encode("ascii"))
+        writer.write(text)
+        writer.write(f"\n{final_size}\n\n".encode("ascii"))
+        return
+    trims = C.trims_from_ops(ops, lens)
+    header = chain_header_from_record(record, *trims)
+    header.chain_id = chain_id
+    sizes, dqs, dts, final_size = C.chain_line_arrays_from_ops(ops, lens)
+    write_chain_record(writer, header, (sizes, dqs, dts), final_size)
 
 
 def chain2paf(chainreader: ChainReader, writer):
