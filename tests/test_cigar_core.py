@@ -208,3 +208,34 @@ def test_fmt_f64_ryu_and_serde_dump():
     # sorted keys (serde_json BTreeMap), ryu floats, raw UTF-8
     assert dumps_serde(obj) == '{"a":"naïve\\n","b":[1,2.5,5e-6,true,null]}'
     assert dumps_serde(float("nan")) == "null"  # serde_json write_f64
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_classify_rle_format_vs_runs(seed):
+    """Fused native classify+RLE+format+stats must equal the two-step
+    ext_runs/caller_runs + cigar_from_runs path on random gapped pairs."""
+    from wgatools_tpu import native
+    from wgatools_tpu.core import cigar as C
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(0, 600))
+    alpha = np.frombuffer(b"ACGT-", dtype=np.uint8)
+    t = alpha[rng.integers(0, 5, size=n)]
+    q = np.where(rng.random(n) < 0.7, t, alpha[rng.integers(0, 5, size=n)])
+    for caller in (False, True):
+        res = native.classify_rle_format(t, q, caller=caller)
+        assert res is not None
+        body, stats = res
+        vals, lens = (C.caller_runs if caller else C.ext_runs)(t, q)
+        assert body == C.runs_to_cigar_string(vals, lens)
+        for cat in range(5):
+            assert stats[2 * cat] == int((vals == cat).sum()), (caller, cat)
+            assert stats[2 * cat + 1] == int(lens[vals == cat].sum())
+    # and the Cigar object end-to-end for both strands
+    for neg in (False, True):
+        a = C.cigar_from_seqs(t, q, neg, True, 3, 9)
+        vals, lens = C.ext_runs(t, q)
+        b = C.cigar_from_runs(vals, lens, neg, True, 3, 9)
+        assert a == b

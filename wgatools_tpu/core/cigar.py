@@ -241,8 +241,28 @@ def cigar_from_seqs(
     h_end: int = 0,
 ) -> Cigar:
     """parse_maf_seq_to_cigar over byte arrays (reference: cigar.rs:344-432)."""
-    vals, lens = ext_runs(t_seq, q_seq)
-    return cigar_from_runs(vals, lens, negative, with_h, h_begin, h_end)
+    from .. import native
+
+    res = native.classify_rle_format(t_seq, q_seq, caller=False)
+    if res is None:
+        vals, lens = ext_runs(t_seq, q_seq)
+        return cigar_from_runs(vals, lens, negative, with_h, h_begin, h_end)
+    body, stats = res
+    c = Cigar()
+    c.match_count = stats[2 * EQ + 1]
+    c.mismatch_count = stats[2 * X + 1]
+    if negative:
+        c.inv_event = 1
+        c.inv_ins_event, c.inv_ins_count = stats[2 * I], stats[2 * I + 1]
+        c.inv_del_event, c.inv_del_count = stats[2 * D], stats[2 * D + 1]
+    else:
+        c.ins_event, c.ins_count = stats[2 * I], stats[2 * I + 1]
+        c.del_event, c.del_count = stats[2 * D], stats[2 * D + 1]
+    if with_h:
+        c.cigar_string = f"{h_begin}H{body}{h_end}H"
+    else:
+        c.cigar_string = body
+    return c
 
 
 # ---------------------------------------------------------------------------

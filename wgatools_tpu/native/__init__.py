@@ -96,6 +96,10 @@ def load():
         lib.validate_chain_lines.restype = _i64
         lib.ops_to_chain_block.argtypes = [_ptr, _ptr, _i64, _ptr, _ptr, _i64]
         lib.ops_to_chain_block.restype = _i64
+        lib.classify_rle_format.argtypes = [
+            _ptr, _ptr, _i64, ctypes.c_int, _charp, _ptr, _ptr, _i64,
+        ]
+        lib.classify_rle_format.restype = _i64
         _lib = lib
         return _lib
 
@@ -143,6 +147,32 @@ def classify_and_rle(t: np.ndarray, q: np.ndarray, caller: bool = False):
         lens.ctypes.data,
     )
     return vals[:n_runs].copy(), lens[:n_runs].copy()
+
+
+def classify_rle_format(t: np.ndarray, q: np.ndarray, caller: bool = False,
+                        chars: bytes = b"=XIDW"):
+    """Classify + RLE + CIGAR formatting + per-category stats in one
+    streaming native pass.  Returns (cigar_body str, stats) where
+    stats[2c] / stats[2c+1] are the run events / total columns of category
+    c in 0..4, or None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = t.shape[0]
+    t = np.ascontiguousarray(t)
+    q = np.ascontiguousarray(q)
+    # each run of length L formats to digits(L)+1 <= 2L bytes (L>=1), so
+    # 2n+24 bounds the whole string without over-allocating on Mbp records
+    cap = 2 * max(n, 1) + 24
+    out = _scratch("crfbuf", cap, np.uint8)
+    stats = _scratch("crfstats", 10, np.int64)
+    w = lib.classify_rle_format(
+        t.ctypes.data, q.ctypes.data, n, 1 if caller else 0, chars,
+        stats.ctypes.data, out.ctypes.data, cap,
+    )
+    if w < 0:
+        return None
+    return out[: int(w)].tobytes().decode("ascii"), stats[:10].tolist()
 
 
 def tokenize_cigar(cigar: bytes):

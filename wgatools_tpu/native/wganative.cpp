@@ -130,6 +130,64 @@ int64_t classify_rle(const uint8_t* t, const uint8_t* q, int64_t n,
     return runs;
 }
 
+static inline int64_t write_i64(char* out, int64_t v);  // defined below
+
+// classify + RLE + CIGAR-string formatting + per-category stats in ONE
+// streaming pass over the column pair (parse_maf_seq_to_cigar's whole hot
+// body, reference cigar.rs:344-432): no intermediate run arrays.
+// chars maps cat code -> op char (ext "=XID", caller "=XIDW").
+// stats[2c] = run events of cat c, stats[2c+1] = total columns of cat c,
+// for c in 0..4 (10 slots).  Returns bytes written to out, or -1 if cap
+// is too small.
+int64_t classify_rle_format(const uint8_t* t, const uint8_t* q, int64_t n,
+                            int caller, const char* chars, int64_t* stats,
+                            char* out, int64_t cap) {
+    const uint64_t GAPS = 0x2d2d2d2d2d2d2d2dull;
+    for (int c = 0; c < 10; ++c) stats[c] = 0;
+    int64_t w = 0;
+    int64_t i = 0;
+    while (i < n) {
+        uint8_t cur = caller ? cat_caller_one(t[i], q[i])
+                             : cat_ext_one(t[i], q[i]);
+        int64_t j = i + 1;
+        if (cur == 0) {
+            while (j + 8 <= n) {
+                uint64_t a, b;
+                memcpy(&a, t + j, 8);
+                memcpy(&b, q + j, 8);
+                uint64_t stop = nonzero_bytes_hi(a ^ b);
+                if (caller) {
+                    stop |= 0x8080808080808080ull & ~nonzero_bytes_hi(a ^ GAPS);
+                }
+                if (stop) {
+                    j += (int64_t)(__builtin_ctzll(stop) >> 3);
+                    break;
+                }
+                j += 8;
+            }
+            if (caller) {
+                while (j < n && t[j] == q[j] && t[j] != '-') ++j;
+            } else {
+                while (j < n && t[j] == q[j]) ++j;
+            }
+        } else {
+            if (caller) {
+                while (j < n && cat_caller_one(t[j], q[j]) == cur) ++j;
+            } else {
+                while (j < n && cat_ext_one(t[j], q[j]) == cur) ++j;
+            }
+        }
+        int64_t len = j - i;
+        stats[2 * cur] += 1;
+        stats[2 * cur + 1] += len;
+        if (w + 21 > cap) return -1;
+        w += write_i64(out + w, len);
+        out[w++] = chars[cur];
+        i = j;
+    }
+    return w;
+}
+
 // CIGAR string tokenizer (nom tokenizer analog, reference cigar.rs:59-75).
 // Returns op count, or -(pos+1) on malformed input at byte pos.
 int64_t tokenize_cigar(const char* s, int64_t n, uint8_t* ops,
