@@ -262,3 +262,95 @@ def test_paf_caller_matches_naive_oracle(tmp_path, seed, negative, svlen):
     assert got == want
     if not negative:
         assert any("\t" in r for r in want)
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("if_snp", [True, False])
+def test_emit_variant_rows_scalar_vs_vectorized(seed, if_snp):
+    """The small-chunk sequential walk and the vectorized run-table scan
+    must produce identical row sequences (same interleaving, same bytes
+    once flattened) on random run tables, including leading/trailing
+    indels, W runs, and sub-cutoff events."""
+    import numpy as np
+
+    from wgatools_tpu.core import cigar as C
+    from wgatools_tpu.tools.caller import (
+        _emit_variant_rows_scalar,
+        _emit_variant_rows_vec,
+    )
+
+    rng = np.random.default_rng(seed)
+    nruns = int(rng.integers(1, 40))
+    vals = rng.choice(
+        np.array([C.EQ, C.X, C.I, C.D, C.W]), size=nruns,
+        p=[0.4, 0.2, 0.15, 0.15, 0.1],
+    ).astype(np.uint8)
+    lens = rng.integers(1, 12, size=nruns).astype(np.int64)
+    svlen = int(rng.integers(0, 4))
+    t_len = int(lens[(vals == C.EQ) | (vals == C.X) | (vals == C.D)].sum())
+    q_len = int(lens[(vals == C.EQ) | (vals == C.X) | (vals == C.I)].sum())
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    t_str = bases[rng.integers(0, 4, t_len + 2)].tobytes().decode()
+    q_str = bases[rng.integers(0, 4, q_len + 2)].tobytes().decode()
+    args = (100, 200, t_str, q_str, "chrT", "chrQ", "P", "", if_snp, svlen)
+
+    def flatten(rows):
+        blob = b""
+        for r in rows:
+            if isinstance(r, bytes):
+                blob += r
+            else:
+                blob += repr(r).encode() + b"\n"
+        return blob
+
+    got = _emit_variant_rows_scalar(vals.tolist(), lens.tolist(), *args)
+    want = _emit_variant_rows_vec(vals, lens, *args)
+    assert flatten(got) == flatten(want)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_safe_chunk_boundary_native_vs_numpy(seed):
+    """The C++ boundary scan must equal the numpy RLE formulation for all
+    window/cutoff combinations, including windows ending inside gap runs
+    and gap runs reaching EOF."""
+    import numpy as np
+
+    from wgatools_tpu import native
+    from wgatools_tpu.tools.caller import find_safe_chunk_boundary
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 300))
+    alpha = np.frombuffer(b"A-", dtype=np.uint8)
+    t = alpha[(rng.random(n) < 0.3).astype(int)]
+    q = alpha[(rng.random(n) < 0.3).astype(int)]
+    if seed == 0:
+        # gap run reaching EOF
+        t = np.frombuffer(b"AAAA" + b"-" * 20, dtype=np.uint8).copy()
+        q = t.copy()
+        n = t.shape[0]
+    for cutoff in (0, 1, 3, 10):
+        for chunk_size in (1, 5, n // 2 + 1, n, n + 50):
+            start = 0
+            while start < n:
+                got = find_safe_chunk_boundary(
+                    t, q, start, chunk_size, cutoff, n
+                )
+                # numpy reference formulation: non-contiguous views force
+                # the fallback branch
+                t_nc = np.repeat(t, 2)[::2]
+                q_nc = np.repeat(q, 2)[::2]
+                assert not t_nc.flags.c_contiguous
+                want = find_safe_chunk_boundary(
+                    t_nc, q_nc, start, chunk_size, cutoff, n
+                )
+                nat = native.safe_chunk_boundary(
+                    t, q, start, min(start + chunk_size, n), cutoff
+                )
+                assert got == want == (nat, nat), (
+                    seed, cutoff, chunk_size, start,
+                )
+                if got[1] <= start:
+                    break
+                start = got[1]

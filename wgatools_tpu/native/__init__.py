@@ -100,6 +100,10 @@ def load():
             _ptr, _ptr, _i64, ctypes.c_int, _charp, _ptr, _ptr, _i64,
         ]
         lib.classify_rle_format.restype = _i64
+        lib.safe_chunk_boundary.argtypes = [
+            _ptr, _ptr, _i64, _i64, _i64, _i64,
+        ]
+        lib.safe_chunk_boundary.restype = _i64
         _lib = lib
         return _lib
 
@@ -268,6 +272,20 @@ def format_chain_lines(sizes, dqs, dts):
     if w < 0:
         return None
     return out[: int(w)].tobytes()
+
+
+def safe_chunk_boundary(t: np.ndarray, q: np.ndarray, start: int,
+                        proposed_end: int, cutoff: int):
+    """SV-safe chunk boundary scan; returns safe_end or None when the
+    native library is unavailable.  t/q must be C-contiguous uint8 of the
+    same length."""
+    lib = load()
+    if lib is None:
+        return None
+    return int(lib.safe_chunk_boundary(
+        t.ctypes.data, q.ctypes.data, t.shape[0], start, proposed_end,
+        cutoff,
+    ))
 
 
 def chain_arrays_to_cg(sizes, dqs, dts):

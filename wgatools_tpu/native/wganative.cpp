@@ -188,6 +188,36 @@ int64_t classify_rle_format(const uint8_t* t, const uint8_t* q, int64_t n,
     return w;
 }
 
+// SV-safe chunk boundary (reference caller.rs:159-219): scan the window
+// [start, proposed_end) of the gap mask (t or q is '-'); the window is
+// truncated to the end of the LAST gap run of length >= cutoff that
+// completes inside it; when the window ends inside such a run, extend to
+// the first column past proposed_end where both sequences are non-gap
+// (or keep proposed_end if that never happens before `total`).
+int64_t safe_chunk_boundary(const uint8_t* t, const uint8_t* q,
+                            int64_t total, int64_t start,
+                            int64_t proposed_end, int64_t cutoff) {
+    int64_t safe_end = proposed_end;
+    int64_t last_end = -1;
+    int64_t run_len = 0;
+    for (int64_t i = start; i < proposed_end; ++i) {
+        bool g = (t[i] == '-') || (q[i] == '-');
+        if (g) {
+            ++run_len;
+        } else {
+            if (run_len > 0 && run_len >= cutoff) last_end = i;
+            run_len = 0;
+        }
+    }
+    if (last_end >= 0) safe_end = last_end;
+    if (run_len > 0 && run_len >= cutoff) {
+        int64_t j = proposed_end;
+        while (j < total && ((t[j] == '-') || (q[j] == '-'))) ++j;
+        safe_end = (j < total) ? j : proposed_end;
+    }
+    return safe_end;
+}
+
 // CIGAR string tokenizer (nom tokenizer analog, reference cigar.rs:59-75).
 // Returns op count, or -(pos+1) on malformed input at byte pos.
 int64_t tokenize_cigar(const char* s, int64_t n, uint8_t* ops,
