@@ -79,7 +79,7 @@ def load():
         lib.format_bed_lines.restype = _i64
         lib.format_snp_rows.argtypes = [
             _charp, _i64, _charp, _i64, ctypes.c_char,
-            _ptr, _ptr, _ptr, _ptr, _i64, _ptr, _i64,
+            _ptr, _ptr, _ptr, _ptr, _i64, _ptr, _i64, _ptr,
         ]
         lib.format_snp_rows.restype = _i64
         lib.format_chain_lines.argtypes = [_ptr, _ptr, _ptr, _i64, _ptr, _i64]
@@ -379,8 +379,11 @@ def ops_to_chain_block(ops, lens):
 
 
 def format_snp_rows(chrom: bytes, qchro: bytes, suffix: bytes, pos, qpos,
-                    ref, alt):
-    """Bulk VCF SNP row formatting; returns bytes or None."""
+                    ref, alt, want_offsets=False):
+    """Bulk VCF SNP row formatting; returns bytes (or (bytes, row_end int64
+    array) with want_offsets) or None.  One call formats a whole chunk;
+    row_end offsets let the caller slice the blob at indel-event
+    boundaries without further native calls."""
     lib = load()
     if lib is None:
         return None
@@ -391,14 +394,17 @@ def format_snp_rows(chrom: bytes, qchro: bytes, suffix: bytes, pos, qpos,
     n = pos.shape[0]
     cap = (len(chrom) + len(qchro) + 100) * max(n, 1)
     out = np.empty(cap, dtype=np.uint8)
+    row_end = np.empty(n if want_offsets else 0, dtype=np.int64)
     w = lib.format_snp_rows(
         chrom, len(chrom), qchro, len(qchro), suffix,
         pos.ctypes.data, qpos.ctypes.data, ref.ctypes.data, alt.ctypes.data,
         n, out.ctypes.data, cap,
+        row_end.ctypes.data if want_offsets else None,
     )
     if w < 0:
         return None
-    return out[: int(w)].tobytes()
+    blob = out[: int(w)].tobytes()
+    return (blob, row_end) if want_offsets else blob
 
 
 def reverse_complement(seq: np.ndarray):

@@ -562,12 +562,16 @@ int64_t ops_to_chain_block(const uint8_t* ops, const int64_t* lens,
 // bulk-format SNP VCF rows:
 //   "<chrom>\t<pos+1>\t.\t<ref>\t<alt>\t.\t.\t.\tGT:QI\t1|1:<qchro>@<qpos>@<sfx>\n"
 // ref/alt are single uppercase bases given as parallel byte arrays.
+// row_end (nullable) receives the end byte offset of each row, letting the
+// caller make ONE call for a whole chunk and slice the blob at indel-event
+// boundaries (the caller interleaves SNP blocks with indel rows in run
+// order, caller.rs:575-605).
 // Returns bytes written or -1 if cap too small.
 int64_t format_snp_rows(const char* chrom, int64_t chrom_len,
                         const char* qchro, int64_t qchro_len, char suffix,
                         const int64_t* pos, const int64_t* qpos,
                         const uint8_t* ref, const uint8_t* alt, int64_t n,
-                        char* out, int64_t cap) {
+                        char* out, int64_t cap, int64_t* row_end) {
     static const char mid[] = "\t.\t";
     int64_t w = 0;
     for (int64_t i = 0; i < n; ++i) {
@@ -587,6 +591,7 @@ int64_t format_snp_rows(const char* chrom, int64_t chrom_len,
         out[w++] = '@';
         out[w++] = suffix;
         out[w++] = '\n';
+        if (row_end) row_end[i] = w;
     }
     return w;
 }

@@ -323,47 +323,56 @@ def _emit_variant_rows_vec(
     ref_flat = t_ref_np[pos_flat - t_start]
     alt_flat = q_ref_np[qpos_flat - q_start]
 
-    def snp_block(lo, hi):
-        if lo >= hi:
-            return None
-        from .. import native
+    # ONE native call formats every SNP row of the chunk; row_end offsets
+    # let the interleave below slice the blob at indel-event boundaries
+    # (previously one native call per event: 20us wrapper cost x ~100k
+    # events dominated SNP-dense calls)
+    from .. import native
 
-        blob = native.format_snp_rows(
-            chro.encode("ascii"),
-            q_chro.encode("ascii"),
-            fmt_suffix.encode("ascii"),
-            pos_flat[lo:hi],
-            qpos_flat[lo:hi],
-            ref_flat[lo:hi],
-            alt_flat[lo:hi],
-        )
-        if blob is not None:
-            return blob
-        rows = []
-        for p, qp, rb, ab in zip(
-            pos_flat[lo:hi].tolist(),
-            qpos_flat[lo:hi].tolist(),
-            ref_flat[lo:hi].tolist(),
-            alt_flat[lo:hi].tolist(),
-        ):
-            rows.append(
-                f"{chro}\t{p + 1}\t.\t{chr(rb)}\t{chr(ab)}\t.\t.\t.\t"
-                f"GT:QI\t1|1:{q_chro}@{qp}@{fmt_suffix}\n"
+    res = native.format_snp_rows(
+        chro.encode("ascii"),
+        q_chro.encode("ascii"),
+        fmt_suffix.encode("ascii"),
+        pos_flat,
+        qpos_flat,
+        ref_flat,
+        alt_flat,
+        want_offsets=True,
+    )
+    if res is not None:
+        blob, row_end = res
+    else:
+        rows = [
+            f"{chro}\t{p + 1}\t.\t{chr(rb)}\t{chr(ab)}\t.\t.\t.\t"
+            f"GT:QI\t1|1:{q_chro}@{qp}@{fmt_suffix}\n"
+            for p, qp, rb, ab in zip(
+                pos_flat.tolist(),
+                qpos_flat.tolist(),
+                ref_flat.tolist(),
+                alt_flat.tolist(),
             )
-        return "".join(rows).encode("ascii")
+        ]
+        blob = "".join(rows).encode("ascii")
+        row_end = np.cumsum(
+            np.fromiter((len(r) for r in rows), np.int64, len(rows))
+        )
 
+    # byte boundary before SNP-row i
+    bnd = np.concatenate(([0], row_end))
     # interleave indel rows with SNP blocks in run order
+    if events:
+        ks = np.fromiter((e[0] for e in events), np.int64, len(events))
+        cuts = np.searchsorted(run_ids, ks).tolist()
+    else:
+        cuts = []
     cursor = 0
-    for k, _, row in events:
-        cut = int(np.searchsorted(run_ids, k))
-        blob = snp_block(cursor, cut)
-        if blob:
-            out.append(blob)
+    for (k, _, row), cut in zip(events, cuts):
+        if cut > cursor:
+            out.append(blob[bnd[cursor] : bnd[cut]])
         cursor = cut
         out.append(row)
-    blob = snp_block(cursor, total_snps)
-    if blob:
-        out.append(blob)
+    if total_snps > cursor:
+        out.append(blob[bnd[cursor] : bnd[total_snps]])
     return out
 
 
