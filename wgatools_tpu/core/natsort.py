@@ -55,3 +55,14 @@ def natural_cmp(a: str, b: str) -> int:
 
 
 natural_key = cmp_to_key(natural_cmp)
+
+
+def rank_by_natural(names):
+    """Dense-rank dict {name: i} under natord order.
+
+    Output-row sorts compare the same few names hundreds of thousands of
+    times; sorting the unique names once with the comparator and then
+    sorting rows by integer rank yields the exact same total order (stable
+    sort + equal names compare 0) at a fraction of the cost."""
+    order = sorted(set(names), key=natural_key)
+    return {n: i for i, n in enumerate(order)}

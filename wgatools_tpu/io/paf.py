@@ -9,6 +9,7 @@ import re
 from dataclasses import dataclass, field
 
 from ..core.cigar import (
+    Cigar,
     RecStat,
     cigar_stats_from_ops,
     rec_stat_from_cigar,
@@ -16,7 +17,12 @@ from ..core.cigar import (
     tokenize_cigar,
 )
 from ..core.strand import Strand
-from ..errors import CigarTagNotFound, ParsePafError
+from ..errors import (
+    CigarOpInvalid,
+    CigarTagNotFound,
+    ParseIntError,
+    ParsePafError,
+)
 
 
 def _parse_u64(s: str, what: str) -> int:
@@ -77,8 +83,36 @@ class PafRecord:
         return tokenize_cigar(strip_cg_prefix(self.get_cigar_string()))
 
     def get_stat(self) -> RecStat:
-        ops, lens = self.get_cigar_ops()
-        cigar = cigar_stats_from_ops(ops, lens, self.is_negative)
+        """parse_paf_to_cigar stats (reference cigar.rs:629-707).
+
+        Hot path: one fused native scan over the CIGAR text (tokenize +
+        stat accumulation); numpy ops path when the library is missing."""
+        from .. import native
+
+        raw = strip_cg_prefix(self.get_cigar_string()).encode("ascii")
+        try:
+            st = native.cigar_text_stats(raw)
+        except ValueError as e:
+            kind, val = e.args[0]
+            if kind == "op":
+                raise CigarOpInvalid(val) from None
+            frag = raw[val : val + 2].decode("ascii", "replace")
+            if val < len(raw) and not raw[val : val + 1].isdigit():
+                raise CigarOpInvalid(frag) from None
+            raise ParseIntError(frag) from None
+        if st is None:
+            ops, lens = self.get_cigar_ops()
+            cigar = cigar_stats_from_ops(ops, lens, self.is_negative)
+            return rec_stat_from_cigar(cigar)
+        cigar = Cigar()
+        cigar.match_count, cigar.mismatch_count = st[0], st[1]
+        if self.is_negative:
+            cigar.inv_event = 1
+            cigar.inv_ins_event, cigar.inv_ins_count = st[2], st[3]
+            cigar.inv_del_event, cigar.inv_del_count = st[4], st[5]
+        else:
+            cigar.ins_event, cigar.ins_count = st[2], st[3]
+            cigar.del_event, cigar.del_count = st[4], st[5]
         return rec_stat_from_cigar(cigar)
 
     def to_row(self) -> bytes:

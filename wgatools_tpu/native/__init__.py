@@ -104,6 +104,8 @@ def load():
             _ptr, _ptr, _i64, _i64, _i64, _i64,
         ]
         lib.safe_chunk_boundary.restype = _i64
+        lib.cigar_text_stats.argtypes = [_charp, _i64, _ptr]
+        lib.cigar_text_stats.restype = _i64
         _lib = lib
         return _lib
 
@@ -272,6 +274,24 @@ def format_chain_lines(sizes, dqs, dts):
     if w < 0:
         return None
     return out[: int(w)].tobytes()
+
+
+def cigar_text_stats(cg: bytes):
+    """Fused tokenize + PAF-stat scan over CIGAR text.  Returns the
+    6-tuple (match, mismatch, ins_event, ins_count, del_event, del_count)
+    or None when the native library is unavailable.  Raises
+    ValueError(("pos", byte_pos)) on a malformed numeric token and
+    ValueError(("op", op_char)) on an op outside {M,=,X,I,D}."""
+    lib = load()
+    if lib is None:
+        return None
+    out = np.empty(6, dtype=np.int64)  # ctypes releases the GIL: no shared scratch
+    r = int(lib.cigar_text_stats(cg, len(cg), out.ctypes.data))
+    if r == 0:
+        return tuple(out.tolist())
+    if r < 0:
+        raise ValueError(("pos", -r - 1))
+    raise ValueError(("op", chr(0 if r == 256 else r)))
 
 
 def safe_chunk_boundary(t: np.ndarray, q: np.ndarray, start: int,

@@ -245,6 +245,40 @@ int64_t tokenize_cigar(const char* s, int64_t n, uint8_t* ops,
     return count;
 }
 
+// fused CIGAR text -> PAF stat counters (tokenize + parse_paf_to_cigar
+// accumulation in one pass, reference cigar.rs:59-75 + 629-707):
+// out[0..5] = match, mismatch, ins_event, ins_count, del_event, del_count.
+// Returns 0 on success; -(pos+1) on a malformed numeric token at byte pos
+// (same contract as tokenize_cigar); the invalid op byte (1..255, or 256
+// for NUL) when an op is outside {M,=,X,I,D} -- first in scan order like
+// the reference's match arm.
+int64_t cigar_text_stats(const char* s, int64_t n, int64_t* out) {
+    int64_t match = 0, mism = 0, ie = 0, ic = 0, de = 0, dc = 0;
+    int64_t i = 0;
+    while (i < n) {
+        int64_t start = i, v = 0;
+        while (i < n && s[i] >= '0' && s[i] <= '9') {
+            int64_t d = s[i] - '0';
+            if (v > (INT64_MAX - d) / 10) return -(start + 1);
+            v = v * 10 + d;
+            ++i;
+        }
+        if (i == start) return -(i + 1);  // no digits before op
+        if (i >= n) return -(i + 1);      // digits with no op
+        char op = s[i++];
+        switch (op) {
+            case 'M': case '=': match += v; break;
+            case 'X': mism += v; break;
+            case 'I': ++ie; ic += v; break;
+            case 'D': ++de; dc += v; break;
+            default: return op ? (int64_t)(uint8_t)op : 256;
+        }
+    }
+    out[0] = match; out[1] = mism; out[2] = ie;
+    out[3] = ic; out[4] = de; out[5] = dc;
+    return 0;
+}
+
 // format runs back into a CIGAR string; returns bytes written or -1 if the
 // buffer (cap) is too small.  chars maps cat code -> op char.
 int64_t format_runs(const uint8_t* vals, const int64_t* lens, int64_t n_runs,

@@ -12,7 +12,7 @@ import numpy as np
 
 from ..core.cigar import RecStat
 from ..core.fmt import fmt_f32
-from ..core.natsort import natural_key
+from ..core.natsort import rank_by_natural
 
 STAT_COLUMNS = (
     "ref_name",
@@ -213,7 +213,8 @@ def merge_final(pair_stats) -> list:
 
 def write_style_result(pair_stats, writer, each: bool):
     final = split_final(pair_stats) if each else merge_final(pair_stats)
-    final.sort(key=lambda s: natural_key(s.ref_name))
+    rank = rank_by_natural(s.ref_name for s in final)
+    final.sort(key=lambda s: rank[s.ref_name])
     writer.write(("\t".join(STAT_COLUMNS) + "\n").encode("ascii"))
     for stat in final:
         writer.write((stat.to_row() + "\n").encode("ascii"))
