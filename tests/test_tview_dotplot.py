@@ -233,26 +233,35 @@ class TestNavigationPopup:
         os.close(slave)
         screen = b""
 
-        def pump(timeout=4.0):
+        def pump(pattern=None, timeout=30.0):
+            """Read pty output until `pattern` appears in the accumulated
+            screen (or, with no pattern, until output goes quiet).  A
+            fixed quiet-gap heuristic alone is flaky under load -- the
+            subprocess may take seconds to import and render."""
             nonlocal screen
             import time
 
             end = time.time() + timeout
             while time.time() < end:
+                if pattern is not None and pattern in screen:
+                    return True
                 r, _, _ = select.select([master], [], [], 0.1)
                 if r:
                     try:
-                        screen += os.read(master, 65536)
+                        data = os.read(master, 65536)
                     except OSError:
-                        return
-                elif screen:
-                    return
+                        break
+                    if not data:
+                        break
+                    screen += data
+                elif pattern is None and screen:
+                    return True
+            return pattern is None or pattern in screen
 
-        pump()  # initial render
+        pump(b"ref.chr8")  # initial render shows the first target name
         os.write(master, b"g")  # open popup
-        pump()
+        assert pump(b"Goto: "), screen[-2000:]
         assert b"seq name" in screen and b"region" in screen
-        assert b"Goto: " in screen
         os.write(master, b"\x1b[B")  # Down: second name
         pump()
         os.write(master, b"\r")  # Enter: jump
