@@ -274,6 +274,16 @@ for _d in b"0123456789":
     _DIGIT_MASK[_d] = True
 
 
+def raise_tokenize_error(raw: bytes, pos: int):
+    """Translate a native tokenizer byte position into the reference's
+    error types (cst2cu, cigar.rs:43-56): non-digit at pos -> invalid op,
+    otherwise a numeric parse failure."""
+    frag = raw[pos : pos + 2].decode("ascii", "replace")
+    if pos < len(raw) and not raw[pos : pos + 1].isdigit():
+        raise CigarOpInvalid(frag) from None
+    raise ParseIntError(frag) from None
+
+
 def tokenize_cigar(cigar: str):
     """Tokenize a CIGAR string into (ops uint8, lens int64) arrays.
 
@@ -290,11 +300,7 @@ def tokenize_cigar(cigar: str):
         try:
             return native.tokenize_cigar(raw)
         except ValueError as e:
-            pos = e.args[0]
-            frag = raw[pos : pos + 2].decode("ascii", "replace")
-            if pos < len(raw) and not raw[pos : pos + 1].isdigit():
-                raise CigarOpInvalid(frag) from None
-            raise ParseIntError(frag) from None
+            raise_tokenize_error(raw, e.args[0])
     b = seq_bytes(cigar)
     isdig = _DIGIT_MASK[b]
     # op positions: non-digit bytes

@@ -60,6 +60,16 @@ def fmt_f64_ryu(v) -> str:
     return _ryu_pretty(np.float64(v), 16)
 
 
+class RawJson:
+    """Pre-serialized JSON fragment spliced verbatim by dumps_serde (lets
+    native row formatters feed the dotplot spec without re-parsing)."""
+
+    __slots__ = ("text",)
+
+    def __init__(self, text: str):
+        self.text = text
+
+
 def dumps_serde(obj) -> str:
     """Compact serde_json-compatible dump: sorted keys (serde_json's
     default BTreeMap ordering for `json!` maps), ryu pretty floats
@@ -71,7 +81,9 @@ def dumps_serde(obj) -> str:
 
 
 def _dump(o, out):
-    if o is True:
+    if isinstance(o, RawJson):
+        out.append(o.text)
+    elif o is True:
         out.append("true")
     elif o is False:
         out.append("false")

@@ -106,6 +106,27 @@ def load():
         lib.safe_chunk_boundary.restype = _i64
         lib.cigar_text_stats.argtypes = [_charp, _i64, _ptr]
         lib.cigar_text_stats.restype = _i64
+        lib.plot_segments.argtypes = [
+            _ptr, _ptr, _i64, _i64, _i64, ctypes.c_int, _i64,
+            _ptr, _ptr, _ptr, _ptr, _ptr,
+        ]
+        lib.plot_segments.restype = _i64
+        lib.format_plotdata_json.argtypes = [
+            _ptr, _ptr, _ptr, _ptr, _ptr, _i64,
+            _charp, _i64, _charp, _i64, ctypes.c_int, _ptr, _i64,
+        ]
+        lib.format_plotdata_json.restype = _i64
+        lib.format_plotdata_csv.argtypes = [
+            _ptr, _ptr, _ptr, _ptr, _ptr, _i64,
+            _charp, _i64, _charp, _i64, _ptr, _i64,
+        ]
+        lib.format_plotdata_csv.restype = _i64
+        lib.cigar_text_to_plotdata.argtypes = [
+            _charp, _i64, _i64, _i64, ctypes.c_int, _i64,
+            _charp, _i64, _charp, _i64, ctypes.c_int, ctypes.c_int,
+            _ptr, _i64,
+        ]
+        lib.cigar_text_to_plotdata.restype = _i64
         _lib = lib
         return _lib
 
@@ -270,6 +291,95 @@ def format_chain_lines(sizes, dqs, dts):
     w = lib.format_chain_lines(
         sizes.ctypes.data, dqs.ctypes.data, dts.ctypes.data, n,
         out.ctypes.data, cap,
+    )
+    if w < 0:
+        return None
+    return out[: int(w)].tobytes()
+
+
+def plot_segments(ops: np.ndarray, lens: np.ndarray, ref_off: int,
+                  q_off: int, negative: bool, cutoff: int):
+    """Dotplot base-level segments (state machine in C++).  Returns
+    (rs, re, qs, qe, cg) int64/uint8 arrays or None."""
+    lib = load()
+    if lib is None:
+        return None
+    ops = np.ascontiguousarray(ops, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    n = ops.shape[0]
+    rs = np.empty(n, dtype=np.int64)
+    re_ = np.empty(n, dtype=np.int64)
+    qs = np.empty(n, dtype=np.int64)
+    qe = np.empty(n, dtype=np.int64)
+    cg = np.empty(n, dtype=np.uint8)
+    m = int(lib.plot_segments(
+        ops.ctypes.data, lens.ctypes.data, n, ref_off, q_off,
+        1 if negative else 0, cutoff,
+        rs.ctypes.data, re_.ctypes.data, qs.ctypes.data, qe.ctypes.data,
+        cg.ctypes.data,
+    ))
+    return rs[:m], re_[:m], qs[:m], qe[:m], cg[:m]
+
+
+def format_plotdata_json(rs, re_, qs, qe, cg, rname_json: bytes,
+                         qname_json: bytes, lead_comma: bool):
+    """Comma-joined serde_json row objects for one record's segments;
+    names are pre-escaped JSON string tokens.  Returns bytes or None."""
+    lib = load()
+    if lib is None:
+        return None
+    n = rs.shape[0]
+    cap = (len(rname_json) + len(qname_json) + 208) * max(n, 1)
+    out = np.empty(cap, dtype=np.uint8)
+    w = lib.format_plotdata_json(
+        rs.ctypes.data, re_.ctypes.data, qs.ctypes.data, qe.ctypes.data,
+        cg.ctypes.data, n, rname_json, len(rname_json), qname_json,
+        len(qname_json), 1 if lead_comma else 0, out.ctypes.data, cap,
+    )
+    if w < 0:
+        return None
+    return out[: int(w)].tobytes()
+
+
+def cigar_text_to_plotdata(cg: bytes, ref_off: int, q_off: int,
+                           negative: bool, cutoff: int, rname_tok: bytes,
+                           qname_tok: bytes, lead_comma: bool, csv: bool):
+    """Fully fused dotplot row emission: CIGAR text -> formatted plot rows
+    (tokenize + segment state machine + formatting in one native pass).
+    Name tokens arrive pre-escaped for the target format.  Returns bytes
+    or None; raises ValueError(byte_pos) on a malformed numeric token."""
+    lib = load()
+    if lib is None:
+        return None
+    room = len(rname_tok) + len(qname_tok) + 208
+    cap = (len(cg) // 2 + 2) * room  # rows <= ops <= ceil(len/2)
+    out = np.empty(cap, dtype=np.uint8)
+    w = int(lib.cigar_text_to_plotdata(
+        cg, len(cg), ref_off, q_off, 1 if negative else 0, cutoff,
+        rname_tok, len(rname_tok), qname_tok, len(qname_tok),
+        1 if lead_comma else 0, 1 if csv else 0, out.ctypes.data, cap,
+    ))
+    if w == -1:
+        raise AssertionError("cigar_text_to_plotdata capacity bound broken")
+    if w < -1:
+        raise ValueError(-w - 2)
+    return out[:w].tobytes()
+
+
+def format_plotdata_csv(rs, re_, qs, qe, cg, rname_csv: bytes,
+                        qname_csv: bytes):
+    """Newline-terminated CSV lines for one record's segments; names are
+    pre-quoted per the csv crate's rules.  Returns bytes or None."""
+    lib = load()
+    if lib is None:
+        return None
+    n = rs.shape[0]
+    cap = (len(rname_csv) + len(qname_csv) + 108) * max(n, 1)
+    out = np.empty(cap, dtype=np.uint8)
+    w = lib.format_plotdata_csv(
+        rs.ctypes.data, re_.ctypes.data, qs.ctypes.data, qe.ctypes.data,
+        cg.ctypes.data, n, rname_csv, len(rname_csv), qname_csv,
+        len(qname_csv), out.ctypes.data, cap,
     )
     if w < 0:
         return None

@@ -593,6 +593,232 @@ int64_t ops_to_chain_block(const uint8_t* ops, const int64_t* lens,
     return w;
 }
 
+// dotplot base-level segment emission (emit_baseplotdatas state machine,
+// reference cigar.rs:815-952): indels at or below `cutoff` merge into the
+// flanking match segment; larger ones emit their own I/D segment and break
+// the match chain.  `ops` are CIGAR op chars; `negative` swaps the query
+// ends at segment creation and extends query_start instead of query_end.
+// Returns the segment count (bounded by n).
+int64_t plot_segments(const uint8_t* ops, const int64_t* lens, int64_t n,
+                      int64_t ref_off, int64_t q_off, int negative,
+                      int64_t cutoff, int64_t* rs, int64_t* re,
+                      int64_t* qs, int64_t* qe, uint8_t* cg) {
+    int64_t m = 0;
+    bool last_m = false;
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t op = ops[i];
+        int64_t len = lens[i];
+        if (op == 'M' || op == '=' || op == 'X') {
+            int64_t ref_end = ref_off + len, q_end = q_off + len;
+            if (!last_m) {
+                rs[m] = ref_off; re[m] = ref_end;
+                if (negative) { qs[m] = q_end; qe[m] = q_off; }
+                else         { qs[m] = q_off; qe[m] = q_end; }
+                cg[m] = 'M'; ++m;
+            } else {
+                re[m - 1] = ref_end;
+                if (negative) qs[m - 1] = q_end; else qe[m - 1] = q_end;
+            }
+            ref_off += len; q_off += len; last_m = true;
+        } else if (op == 'I') {
+            int64_t q_end = q_off + len;
+            if (len > cutoff) {
+                rs[m] = ref_off; re[m] = ref_off;
+                if (negative) { qs[m] = q_end; qe[m] = q_off; }
+                else         { qs[m] = q_off; qe[m] = q_end; }
+                cg[m] = 'I'; ++m; last_m = false;
+            } else if (last_m) {
+                if (negative) qs[m - 1] = q_end; else qe[m - 1] = q_end;
+            }
+            q_off += len;
+        } else if (op == 'D') {
+            int64_t ref_end = ref_off + len;
+            if (len > cutoff) {
+                rs[m] = ref_off; re[m] = ref_end;
+                qs[m] = q_off; qe[m] = q_off;
+                cg[m] = 'D'; ++m; last_m = false;
+            } else if (last_m) {
+                re[m - 1] = ref_end;
+            }
+            ref_off += len;
+        }
+        // any other op advances nothing, like the Python/reference walk
+    }
+    return m;
+}
+
+// fully fused dotplot hot body: CIGAR text -> base-level plot rows in one
+// pass (tokenize + plot_segments state machine + row formatting).  A
+// pending-segment register delays emission until a segment can no longer
+// be extended (the state machine mutates the LAST segment on merges).
+// csv=0 emits ','-joined serde_json objects (lead_comma prefixes the
+// first); csv=1 emits '\n'-terminated CSV lines (lead_comma ignored).
+// Returns bytes written, -1 if cap too small, or -(pos+2) on a malformed
+// numeric token at byte pos (tokenize_cigar contract, shifted past -1).
+int64_t cigar_text_to_plotdata(const char* s, int64_t n,
+                               int64_t ref_off, int64_t q_off, int negative,
+                               int64_t cutoff,
+                               const char* rname, int64_t rname_len,
+                               const char* qname, int64_t qname_len,
+                               int lead_comma, int csv,
+                               char* out, int64_t cap) {
+    int64_t w = 0;
+    bool have = false, first = true, overflow = false;
+    int64_t prs = 0, pre = 0, pqs = 0, pqe = 0;
+    char pcg = 'M';
+    int64_t room = rname_len + qname_len + 208;
+
+    auto flush = [&]() {
+        if (!have) return;
+        if (w + room > cap) { overflow = true; return; }
+        if (csv) {
+            w += write_i64(out + w, prs); out[w++] = ',';
+            w += write_i64(out + w, pre); out[w++] = ',';
+            w += write_i64(out + w, pqs); out[w++] = ',';
+            w += write_i64(out + w, pqe); out[w++] = ',';
+            out[w++] = pcg; out[w++] = ',';
+            memcpy(out + w, rname, rname_len); w += rname_len;
+            out[w++] = ',';
+            memcpy(out + w, qname, qname_len); w += qname_len;
+            out[w++] = '\n';
+        } else {
+            if (!first || lead_comma) out[w++] = ',';
+            memcpy(out + w, "{\"cigar\":\"", 10); w += 10;
+            out[w++] = pcg;
+            memcpy(out + w, "\",\"query_chro\":", 15); w += 15;
+            memcpy(out + w, qname, qname_len); w += qname_len;
+            memcpy(out + w, ",\"query_end\":", 13); w += 13;
+            w += write_i64(out + w, pqe);
+            memcpy(out + w, ",\"query_start\":", 15); w += 15;
+            w += write_i64(out + w, pqs);
+            memcpy(out + w, ",\"ref_chro\":", 12); w += 12;
+            memcpy(out + w, rname, rname_len); w += rname_len;
+            memcpy(out + w, ",\"ref_end\":", 11); w += 11;
+            w += write_i64(out + w, pre);
+            memcpy(out + w, ",\"ref_start\":", 13); w += 13;
+            w += write_i64(out + w, prs);
+            out[w++] = '}';
+        }
+        first = false;
+        have = false;
+    };
+
+    bool last_m = false;
+    int64_t i = 0;
+    while (i < n) {
+        int64_t start = i, len = 0;
+        while (i < n && s[i] >= '0' && s[i] <= '9') {
+            int64_t d = s[i] - '0';
+            if (len > (INT64_MAX - d) / 10) return -(start + 2);
+            len = len * 10 + d;
+            ++i;
+        }
+        if (i == start || i >= n) return -(i + 2);
+        char op = s[i++];
+        if (op == 'M' || op == '=' || op == 'X') {
+            int64_t ref_end = ref_off + len, q_end = q_off + len;
+            if (!last_m) {
+                flush();
+                prs = ref_off; pre = ref_end;
+                if (negative) { pqs = q_end; pqe = q_off; }
+                else         { pqs = q_off; pqe = q_end; }
+                pcg = 'M'; have = true;
+            } else {
+                pre = ref_end;
+                if (negative) pqs = q_end; else pqe = q_end;
+            }
+            ref_off += len; q_off += len; last_m = true;
+        } else if (op == 'I') {
+            int64_t q_end = q_off + len;
+            if (len > cutoff) {
+                flush();
+                prs = ref_off; pre = ref_off;
+                if (negative) { pqs = q_end; pqe = q_off; }
+                else         { pqs = q_off; pqe = q_end; }
+                pcg = 'I'; have = true; last_m = false;
+            } else if (last_m && have) {
+                if (negative) pqs = q_end; else pqe = q_end;
+            }
+            q_off += len;
+        } else if (op == 'D') {
+            int64_t ref_end = ref_off + len;
+            if (len > cutoff) {
+                flush();
+                prs = ref_off; pre = ref_end;
+                pqs = q_off; pqe = q_off;
+                pcg = 'D'; have = true; last_m = false;
+            } else if (last_m && have) {
+                pre = ref_end;
+            }
+            ref_off += len;
+        }
+        if (overflow) return -1;
+    }
+    flush();
+    if (overflow) return -1;
+    return w;
+}
+
+// serde_json rows for base-level plot data in serde's BTreeMap key order:
+// cigar, query_chro, query_end, query_start, ref_chro, ref_end, ref_start.
+// Names arrive pre-escaped as complete JSON string tokens (quotes
+// included).  Rows are ','-joined; lead_comma prefixes the first row.
+// Returns bytes written or -1 if cap is too small.
+int64_t format_plotdata_json(const int64_t* rs, const int64_t* re,
+                             const int64_t* qs, const int64_t* qe,
+                             const uint8_t* cg, int64_t n,
+                             const char* rname, int64_t rname_len,
+                             const char* qname, int64_t qname_len,
+                             int lead_comma, char* out, int64_t cap) {
+    int64_t w = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (w + rname_len + qname_len + 200 > cap) return -1;
+        if (i || lead_comma) out[w++] = ',';
+        memcpy(out + w, "{\"cigar\":\"", 10); w += 10;
+        out[w++] = (char)cg[i];
+        memcpy(out + w, "\",\"query_chro\":", 15); w += 15;
+        memcpy(out + w, qname, qname_len); w += qname_len;
+        memcpy(out + w, ",\"query_end\":", 13); w += 13;
+        w += write_i64(out + w, qe[i]);
+        memcpy(out + w, ",\"query_start\":", 15); w += 15;
+        w += write_i64(out + w, qs[i]);
+        memcpy(out + w, ",\"ref_chro\":", 12); w += 12;
+        memcpy(out + w, rname, rname_len); w += rname_len;
+        memcpy(out + w, ",\"ref_end\":", 11); w += 11;
+        w += write_i64(out + w, re[i]);
+        memcpy(out + w, ",\"ref_start\":", 13); w += 13;
+        w += write_i64(out + w, rs[i]);
+        out[w++] = '}';
+    }
+    return w;
+}
+
+// CSV lines for base-level plot data in BASE_FIELDS order:
+// ref_start,ref_end,query_start,query_end,cigar,ref_chro,query_chro.
+// Names arrive pre-quoted per the csv crate's rules.  Each line ends
+// with '\n'.  Returns bytes written or -1 if cap is too small.
+int64_t format_plotdata_csv(const int64_t* rs, const int64_t* re,
+                            const int64_t* qs, const int64_t* qe,
+                            const uint8_t* cg, int64_t n,
+                            const char* rname, int64_t rname_len,
+                            const char* qname, int64_t qname_len,
+                            char* out, int64_t cap) {
+    int64_t w = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (w + rname_len + qname_len + 100 > cap) return -1;
+        w += write_i64(out + w, rs[i]); out[w++] = ',';
+        w += write_i64(out + w, re[i]); out[w++] = ',';
+        w += write_i64(out + w, qs[i]); out[w++] = ',';
+        w += write_i64(out + w, qe[i]); out[w++] = ',';
+        out[w++] = (char)cg[i]; out[w++] = ',';
+        memcpy(out + w, rname, rname_len); w += rname_len;
+        out[w++] = ',';
+        memcpy(out + w, qname, qname_len); w += qname_len;
+        out[w++] = '\n';
+    }
+    return w;
+}
+
 // bulk-format SNP VCF rows:
 //   "<chrom>\t<pos+1>\t.\t<ref>\t<alt>\t.\t.\t.\tGT:QI\t1|1:<qchro>@<qpos>@<sfx>\n"
 // ref/alt are single uppercase bases given as parallel byte arrays.

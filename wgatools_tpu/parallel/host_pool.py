@@ -534,12 +534,24 @@ def _prw_dotplot_overview(reader, out, start_index, extra):
 
 
 def _prw_dotplot_base(reader, out, start_index, extra):
-    from ..tools.dotplot import _paf_runs, base_plotdata_from_runs
+    from .. import native
+    from ..tools.dotplot import (
+        _paf_runs,
+        base_plotdata_from_runs,
+        base_plotdata_segments,
+    )
 
     skip_cutoff = extra
+    use_native = native.available()
     rows = []
     for rec in reader.records():
-        rows.extend(base_plotdata_from_runs(_paf_runs(rec), rec, skip_cutoff))
+        if use_native:
+            ops, lens = rec.get_cigar_ops()
+            rows.append(base_plotdata_segments(ops, lens, rec, skip_cutoff))
+        else:
+            rows.extend(
+                base_plotdata_from_runs(_paf_runs(rec), rec, skip_cutoff)
+            )
     return rows
 
 
@@ -639,11 +651,20 @@ def _work_dotplot_overview(rec, out, i, extra):
 
 
 def _work_dotplot_base(rec, out, i, extra):
-    from ..tools.dotplot import _maf_runs, base_plotdata_from_runs
+    from .. import native
+    from ..tools.dotplot import (
+        _maf_op_arrays,
+        _maf_runs,
+        base_plotdata_from_runs,
+        base_plotdata_segments,
+    )
 
     skip_cutoff, query_name = extra
     if query_name is not None:
         rec.set_query_idx_byname(query_name)
+    if native.available():
+        ops, lens = _maf_op_arrays(rec)
+        return base_plotdata_segments(ops, lens, rec, skip_cutoff)
     return base_plotdata_from_runs(_maf_runs(rec), rec, skip_cutoff)
 
 
@@ -665,8 +686,8 @@ def parallel_dotplot_rows(path, n_workers, format, mode, no_identity,
         )
         for _, results in map_maf_records(path, n_workers, key, extra):
             for r in results:
-                if mode == "overview":
-                    rows.append(r)
+                if mode == "overview" or not isinstance(r, list):
+                    rows.append(r)  # overview row dict or PlotSegs bundle
                 else:
                     rows.extend(r)
     else:

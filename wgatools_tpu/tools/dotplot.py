@@ -7,9 +7,13 @@ below the cutoff merged into neighboring match segments
 """
 
 import copy
+import json
+from dataclasses import dataclass
+
+import numpy as np
 
 from ..core import cigar as C
-from ..core.fmt import dumps_serde, fmt_f64_ryu
+from ..core.fmt import RawJson, dumps_serde, fmt_f64_ryu
 from ..core.strand import Strand
 from ..errors import WGAError
 from ..io.maf import MafReader
@@ -146,6 +150,68 @@ def parse_color_config(color_str: str):
     return color_map
 
 
+@dataclass
+class RawRows:
+    """Rows already formatted in the target output format by the fused
+    native pass (serial base-level path).  JSON blobs carry their own
+    leading commas -- producers must track first-row state."""
+
+    blob: bytes
+
+
+@dataclass
+class PlotSegs:
+    """One record's base-level segments, columnar (the hot representation:
+    per-op Python dicts cost ~100x more to build and serialize)."""
+
+    rs: np.ndarray  # int64 ref_start
+    re: np.ndarray  # int64 ref_end
+    qs: np.ndarray  # int64 query_start
+    qe: np.ndarray  # int64 query_end
+    cg: np.ndarray  # uint8 op char M/I/D
+    ref_chro: str
+    query_chro: str
+
+    def rows(self):
+        """Dict rows identical to base_plotdata_from_runs output (fallback
+        and differential-test bridge)."""
+        return [
+            {
+                "ref_start": int(a),
+                "ref_end": int(b),
+                "query_start": int(c),
+                "query_end": int(d),
+                "cigar": chr(e),
+                "ref_chro": self.ref_chro,
+                "query_chro": self.query_chro,
+            }
+            for a, b, c, d, e in zip(
+                self.rs.tolist(), self.re.tolist(), self.qs.tolist(),
+                self.qe.tolist(), self.cg.tolist(),
+            )
+        ]
+
+
+def base_plotdata_segments(op_chars, lens, rec, skip_cutoff: int):
+    """Columnar segment emission via the C++ state machine; returns a
+    PlotSegs or None when the native library is unavailable.  Exactly
+    equivalent to base_plotdata_from_runs (differential-tested)."""
+    from .. import native
+
+    res = native.plot_segments(
+        op_chars,
+        lens,
+        rec.target_start,
+        rec.query_start,
+        rec.query_strand == Strand.NEGATIVE,
+        skip_cutoff,
+    )
+    if res is None:
+        return None
+    rs, re_, qs, qe, cg = res
+    return PlotSegs(rs, re_, qs, qe, cg, rec.target_name, rec.query_name)
+
+
 def base_plotdata_from_runs(op_runs, rec, skip_cutoff: int):
     """Segment emission with short-indel merging
     (emit_baseplotdatas, reference: cigar.rs:815-952).
@@ -236,12 +302,68 @@ def _overview_row(rec, no_identity: bool):
     }
 
 
-def _maf_runs(rec):
+class _FusedRowEmitter:
+    """Serial PAF base-level fast path: one native call per record runs
+    tokenize + segment state machine + row formatting (RawRows out).
+    Tracks JSON first-row state for comma placement and caches escaped
+    name tokens."""
+
+    def __init__(self, out_format, skip_cutoff):
+        self.csv = out_format == "csv"
+        self.cutoff = skip_cutoff
+        self.first = True
+        self._tok = {}
+
+    def _name_tok(self, name: str) -> bytes:
+        tok = self._tok.get(name)
+        if tok is None:
+            if self.csv:
+                tok = _csv_cell(name).encode("utf-8")
+            else:
+                tok = json.dumps(name, ensure_ascii=False).encode("utf-8")
+            self._tok[name] = tok
+        return tok
+
+    def __call__(self, rec) -> RawRows:
+        from .. import native
+        from ..core.cigar import raise_tokenize_error, strip_cg_prefix
+
+        raw = strip_cg_prefix(rec.get_cigar_string()).encode("ascii")
+        try:
+            blob = native.cigar_text_to_plotdata(
+                raw,
+                rec.target_start,
+                rec.query_start,
+                rec.query_strand == Strand.NEGATIVE,
+                self.cutoff,
+                self._name_tok(rec.target_name),
+                self._name_tok(rec.query_name),
+                lead_comma=not self.first,
+                csv=self.csv,
+            )
+        except ValueError as e:
+            raise_tokenize_error(raw, e.args[0])
+        if blob is None:  # lib vanished mid-run: bundle fallback
+            ops, lens = rec.get_cigar_ops()
+            return base_plotdata_segments(ops, lens, rec, self.cutoff)
+        if blob:
+            self.first = False
+        return RawRows(blob)
+
+
+_MAF_RUN_CHARS = np.frombuffer(b"=XID", dtype=np.uint8)
+
+
+def _maf_op_arrays(rec):
     vals, lens = C.ext_runs(
         C.seq_bytes(rec.target_seq), C.seq_bytes(rec.query_seq)
     )
-    chars = "=XID"
-    return [(chars[v], int(n)) for v, n in zip(vals.tolist(), lens.tolist())]
+    return _MAF_RUN_CHARS[vals], lens
+
+
+def _maf_runs(rec):
+    ops, lens = _maf_op_arrays(rec)
+    return [(chr(o), int(n)) for o, n in zip(ops.tolist(), lens.tolist())]
 
 
 def _paf_runs(rec):
@@ -253,23 +375,74 @@ def _fmt_value(v):
     return v
 
 
-def _render(data, writer, out_format, spec, fields):
-    if out_format == "json":
-        spec = copy.deepcopy(spec)
-        spec["data"]["values"] = data
-        writer.write((dumps_serde(spec) + "\n").encode())
-    elif out_format == "html":
-        spec = copy.deepcopy(spec)
-        spec["data"]["values"] = data
-        vl_json = dumps_serde(spec)
-        writer.write(HTML_TEMPLATE.format(vl_json=vl_json).encode() + b"\n")
-    else:  # csv
-        lines = [",".join(fields)]
-        for row in data:
-            lines.append(
-                ",".join(_csv_cell(row[f]) for f in fields)
+def _values_json(data) -> RawJson:
+    """Serialize the row list (dicts and/or PlotSegs bundles) into one raw
+    JSON array.  Bundles go through the native row formatter; dict rows
+    (overview mode, no-native fallback) through dumps_serde -- identical
+    bytes either way (differential-tested)."""
+    from .. import native
+
+    parts = []
+    for item in data:
+        if isinstance(item, RawRows):
+            if item.blob:
+                parts.append(item.blob.decode("utf-8"))
+        elif isinstance(item, PlotSegs):
+            blob = native.format_plotdata_json(
+                item.rs, item.re, item.qs, item.qe, item.cg,
+                json.dumps(item.ref_chro, ensure_ascii=False).encode("utf-8"),
+                json.dumps(item.query_chro, ensure_ascii=False).encode("utf-8"),
+                lead_comma=bool(parts),
             )
-        writer.write(("\n".join(lines) + "\n").encode())
+            if blob is None:  # lib vanished: dict fallback
+                blob = (
+                    ("," if parts else "")
+                    + ",".join(dumps_serde(r) for r in item.rows())
+                ).encode("utf-8") if item.rs.shape[0] else b""
+            if blob:
+                parts.append(blob.decode("utf-8"))
+        else:
+            parts.append(("," if parts else "") + dumps_serde(item))
+    return RawJson("[" + "".join(parts) + "]")
+
+
+def _render(data, writer, out_format, spec, fields):
+    if out_format in ("json", "html"):
+        spec = copy.deepcopy(spec)
+        spec["data"]["values"] = _values_json(data)
+        vl_json = dumps_serde(spec)
+        if out_format == "json":
+            writer.write((vl_json + "\n").encode())
+        else:
+            writer.write(
+                HTML_TEMPLATE.format(vl_json=vl_json).encode() + b"\n"
+            )
+    else:  # csv
+        from .. import native
+
+        out = [(",".join(fields) + "\n").encode()]
+        for item in data:
+            if isinstance(item, RawRows):
+                out.append(item.blob)
+            elif isinstance(item, PlotSegs):
+                blob = native.format_plotdata_csv(
+                    item.rs, item.re, item.qs, item.qe, item.cg,
+                    _csv_cell(item.ref_chro).encode("utf-8"),
+                    _csv_cell(item.query_chro).encode("utf-8"),
+                )
+                if blob is None:
+                    blob = b"".join(
+                        (",".join(_csv_cell(r[f]) for f in fields) + "\n")
+                        .encode("utf-8")
+                        for r in item.rows()
+                    )
+                out.append(blob)
+            else:
+                out.append(
+                    (",".join(_csv_cell(item[f]) for f in fields) + "\n")
+                    .encode("utf-8")
+                )
+        writer.write(b"".join(out))
     writer.flush()
 
 
@@ -323,22 +496,35 @@ def dotplot(
                 for rec in PafReader(reader_stream).records():
                     rows.append(_overview_row(rec, no_identity))
         else:
+            from .. import native
+
+            use_native = native.available()
             if format == "maf":
                 for rec in MafReader(reader_stream).records():
                     if query_name is not None:
                         rec.set_query_idx_byname(query_name)
-                    rows.extend(
-                        base_plotdata_from_runs(
-                            _maf_runs(rec), rec, skip_cutoff
+                    if use_native:
+                        ops, lens = _maf_op_arrays(rec)
+                        rows.append(
+                            base_plotdata_segments(ops, lens, rec, skip_cutoff)
                         )
-                    )
+                    else:
+                        rows.extend(
+                            base_plotdata_from_runs(
+                                _maf_runs(rec), rec, skip_cutoff
+                            )
+                        )
             else:
+                emit = _FusedRowEmitter(out_format, skip_cutoff)
                 for rec in PafReader(reader_stream).records():
-                    rows.extend(
-                        base_plotdata_from_runs(
-                            _paf_runs(rec), rec, skip_cutoff
+                    if use_native:
+                        rows.append(emit(rec))
+                    else:
+                        rows.extend(
+                            base_plotdata_from_runs(
+                                _paf_runs(rec), rec, skip_cutoff
+                            )
                         )
-                    )
 
     if mode == "overview":
         _render(rows, writer, out_format, spec, ALL_FIELDS)
