@@ -127,6 +127,8 @@ def load():
             _ptr, _i64,
         ]
         lib.cigar_text_to_plotdata.restype = _i64
+        lib.cigar_cov_diff.argtypes = [_charp, _i64, _i64, _ptr, _i64]
+        lib.cigar_cov_diff.restype = _i64
         _lib = lib
         return _lib
 
@@ -384,6 +386,23 @@ def format_plotdata_csv(rs, re_, qs, qe, cg, rname_csv: bytes,
     if w < 0:
         return None
     return out[: int(w)].tobytes()
+
+
+def cigar_cov_diff(cg: bytes, start: int, cov: np.ndarray) -> bool:
+    """Fused coverage scatter: CIGAR text -> +/-1 into the int32
+    difference array `cov` (its LAST slot is the out-of-range sink, i.e.
+    diff_len = len(cov) - 1, matching the host add_spans(cov[:-1], ...)
+    call shape).  Returns False when the native library is unavailable;
+    raises ValueError(byte_pos) on a malformed numeric token."""
+    lib = load()
+    if lib is None:
+        return False
+    r = int(lib.cigar_cov_diff(
+        cg, len(cg), start, cov.ctypes.data, cov.shape[0] - 1,
+    ))
+    if r < 0:
+        raise ValueError(-r - 1)
+    return True
 
 
 def cigar_text_stats(cg: bytes):

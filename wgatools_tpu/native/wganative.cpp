@@ -647,6 +647,37 @@ int64_t plot_segments(const uint8_t* ops, const int64_t* lens, int64_t n,
     return m;
 }
 
+// fused CIGAR text -> coverage difference array (tokenize +
+// update_cov_vec walk, reference cigar.rs:59-75 + 710-741): M/'=' spans
+// scatter +1 at span start and -1 at span end into the int32 difference
+// array (length diff_len, clipped like the numpy path); I and S do not
+// advance the cursor, every other op does.  Returns 0 or -(pos+1) on a
+// malformed numeric token at byte pos.
+int64_t cigar_cov_diff(const char* s, int64_t n, int64_t start,
+                       int32_t* diff, int64_t diff_len) {
+    int64_t pos = start;
+    int64_t i = 0;
+    while (i < n) {
+        int64_t tok = i, len = 0;
+        while (i < n && s[i] >= '0' && s[i] <= '9') {
+            int64_t d = s[i] - '0';
+            if (len > (INT64_MAX - d) / 10) return -(tok + 1);
+            len = len * 10 + d;
+            ++i;
+        }
+        if (i == tok || i >= n) return -(i + 1);
+        char op = s[i++];
+        if (op == 'M' || op == '=') {
+            int64_t a = pos < 0 ? 0 : pos;
+            int64_t b = pos + len < 0 ? 0 : pos + len;
+            if (a < diff_len) ++diff[a];
+            if (b < diff_len) --diff[b];
+        }
+        if (op != 'I' && op != 'S') pos += len;
+    }
+    return 0;
+}
+
 // fully fused dotplot hot body: CIGAR text -> base-level plot rows in one
 // pass (tokenize + plot_segments state machine + row formatting).  A
 // pending-segment register delays emission until a segment can no longer

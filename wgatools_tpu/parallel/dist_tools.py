@@ -200,7 +200,7 @@ def distributed_pafcov(path, writer):
     import jax
 
     from ..io.paf import PafReader
-    from ..tools.pafcov import add_spans, coverage_spans, write_per_base_bed
+    from ..tools.pafcov import accumulate_record, write_per_base_bed
     from .host_pool import paf_line_ranges
 
     import numpy as np
@@ -216,13 +216,7 @@ def distributed_pafcov(path, writer):
             fp.seek(lo)
             blob = fp.read(hi - lo)
         for rec in PafReader(io.BytesIO(blob)).records():
-            ops, lens = rec.get_cigar_ops()
-            cov = diff_map.get(rec.target_name)
-            if cov is None:
-                cov = np.zeros(rec.target_length + 1, dtype=np.int32)
-                diff_map[rec.target_name] = cov
-            starts, ends = coverage_spans(ops, lens, rec.target_start)
-            add_spans(cov[:-1], starts, ends)
+            accumulate_record(rec, diff_map)
 
     with stdout_parked():
         # agree on the global target list (first-appearance order across

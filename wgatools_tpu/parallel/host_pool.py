@@ -469,19 +469,11 @@ def _prw_stat(reader, out, start_index, extra):
 
 
 def _prw_pafcov(reader, out, start_index, extra):
-    import numpy as np
-
-    from ..tools.pafcov import add_spans, coverage_spans
+    from ..tools.pafcov import accumulate_record
 
     diff_map = {}
     for rec in reader.records():
-        ops, lens = rec.get_cigar_ops()
-        cov = diff_map.get(rec.target_name)
-        if cov is None:
-            cov = np.zeros(rec.target_length + 1, dtype=np.int32)
-            diff_map[rec.target_name] = cov
-        starts, ends = coverage_spans(ops, lens, rec.target_start)
-        add_spans(cov[:-1], starts, ends)
+        accumulate_record(rec, diff_map)
     return diff_map
 
 

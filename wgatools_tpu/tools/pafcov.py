@@ -33,6 +33,33 @@ def add_spans(cov: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     np.subtract.at(cov, ends[ends < n], 1)
 
 
+def accumulate_record(rec, diff_map, use_native=None):
+    """One record's +/-1 coverage scatter into its target's difference
+    array (shared by the serial, pooled, and distributed paths).  Hot
+    path: one fused native call over the CIGAR text; numpy span tables
+    otherwise."""
+    from .. import native
+    from ..core.cigar import raise_tokenize_error, strip_cg_prefix
+
+    if use_native is None:
+        use_native = native.available()
+    cov = diff_map.get(rec.target_name)
+    if cov is None:
+        # int32 halves the footprint vs the reference's usize vectors
+        cov = np.zeros(rec.target_length + 1, dtype=np.int32)
+        diff_map[rec.target_name] = cov
+    if use_native:
+        raw = strip_cg_prefix(rec.get_cigar_string()).encode("ascii")
+        try:
+            if native.cigar_cov_diff(raw, rec.target_start, cov):
+                return
+        except ValueError as e:
+            raise_tokenize_error(raw, e.args[0])
+    ops, lens = rec.get_cigar_ops()
+    starts, ends = coverage_spans(ops, lens, rec.target_start)
+    add_spans(cov[:-1], starts, ends)
+
+
 def pafcov(reader, writer, device=None):
     """reference: pafcov.rs:13-61.  Output: one BED line per base.
 
@@ -43,16 +70,12 @@ def pafcov(reader, writer, device=None):
 
     if device_requested(device):
         return _pafcov_device(reader, writer)
+    from .. import native
+
+    use_native = native.available()
     diff_map = {}
     for rec in reader.records():
-        ops, lens = rec.get_cigar_ops()
-        cov = diff_map.get(rec.target_name)
-        if cov is None:
-            # int32 halves the footprint vs the reference's usize vectors
-            cov = np.zeros(rec.target_length + 1, dtype=np.int32)
-            diff_map[rec.target_name] = cov
-        starts, ends = coverage_spans(ops, lens, rec.target_start)
-        add_spans(cov[:-1], starts, ends)
+        accumulate_record(rec, diff_map, use_native)
     for target, diff in diff_map.items():
         counts = np.cumsum(diff[:-1])
         write_per_base_bed(writer, target, counts)
