@@ -129,6 +129,10 @@ def load():
         lib.cigar_text_to_plotdata.restype = _i64
         lib.cigar_cov_diff.argtypes = [_charp, _i64, _i64, _ptr, _i64]
         lib.cigar_cov_diff.restype = _i64
+        lib.cigar_text_to_chain_block.argtypes = [
+            _charp, _i64, _ptr, _ptr, _i64,
+        ]
+        lib.cigar_text_to_chain_block.restype = _i64
         _lib = lib
         return _lib
 
@@ -152,6 +156,21 @@ def _scratch(name, n, dtype):
         buf = np.empty(max(n, 1 << 16), dtype=dtype)
         _SCRATCH[name] = buf
     return buf
+
+
+def _scratch_ptr(name, n, dtype):
+    """(buffer, raw pointer) scratch: `.ctypes.data` costs ~2us per access
+    (it builds a ctypes interface object), which dominates small
+    per-record native calls -- cache the pointer with the buffer."""
+    ent = _SCRATCH_PTR.get(name)
+    if ent is None or ent[0].shape[0] < n:
+        buf = np.empty(max(n, 1 << 16), dtype=dtype)
+        ent = (buf, buf.ctypes.data)
+        _SCRATCH_PTR[name] = ent
+    return ent
+
+
+_SCRATCH_PTR = {}
 
 
 def classify_and_rle(t: np.ndarray, q: np.ndarray, caller: bool = False):
@@ -414,10 +433,12 @@ def cigar_text_stats(cg: bytes):
     lib = load()
     if lib is None:
         return None
-    out = np.empty(6, dtype=np.int64)  # ctypes releases the GIL: no shared scratch
-    r = int(lib.cigar_text_stats(cg, len(cg), out.ctypes.data))
+    # scratch reuse follows the module convention: callers are processes
+    # (fork pool), not threads
+    out, out_p = _scratch_ptr("stat6", 6, np.int64)
+    r = int(lib.cigar_text_stats(cg, len(cg), out_p))
     if r == 0:
-        return tuple(out.tolist())
+        return tuple(out[:6].tolist())  # scratch is 64k-inflated
     if r < 0:
         raise ValueError(("pos", -r - 1))
     raise ValueError(("op", chr(0 if r == 256 else r)))
@@ -525,6 +546,28 @@ def ops_to_chain_block(ops, lens):
         raise ValueError(chr(int(meta[5])))
     return (out[: int(w)].tobytes(), int(meta[0]), int(meta[1]),
             int(meta[2]), int(meta[3]), int(meta[4]))
+
+
+def cigar_text_to_chain_block(cg: bytes):
+    """Text-input ops_to_chain_block (tokenize fused in): one native call
+    per record on the paf2chain hot path.  Returns the same 6-tuple or
+    None; raises ValueError(("op", ch)) / ValueError(("pos", byte_pos))."""
+    lib = load()
+    if lib is None:
+        return None
+    cap = 66 * (len(cg) // 2 + 1)
+    out, out_p = _scratch_ptr("chainblk", cap, np.uint8)
+    meta, meta_p = _scratch_ptr("chainmeta", 6, np.int64)
+    w = int(lib.cigar_text_to_chain_block(cg, len(cg), meta_p, out_p,
+                                          out.shape[0]))
+    if w == -1:
+        return None
+    if w == -2:
+        raise ValueError(("op", chr(int(meta[5]))))
+    if w == -3:
+        raise ValueError(("pos", int(meta[5])))
+    m = meta[:5].tolist()  # NOT meta.tolist(): scratch is 64k-inflated
+    return (out[:w].tobytes(), m[0], m[1], m[2], m[3], m[4])
 
 
 def format_snp_rows(chrom: bytes, qchro: bytes, suffix: bytes, pos, qpos,

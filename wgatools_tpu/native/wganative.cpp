@@ -593,6 +593,61 @@ int64_t ops_to_chain_block(const uint8_t* ops, const int64_t* lens,
     return w;
 }
 
+// text-input variant of ops_to_chain_block: tokenizes the CIGAR inline
+// (one native call per record on the paf2chain hot path).  Same contract,
+// plus return -3 with meta[5] = byte pos on a malformed numeric token.
+int64_t cigar_text_to_chain_block(const char* s, int64_t n, int64_t* meta,
+                                  char* out, int64_t cap) {
+    int64_t head_ins = 0, head_del = 0, tail_ins = 0, tail_del = 0;
+    int64_t cur = 0, dq = 0, dt = 0;
+    bool seen_m = false;
+    int64_t w = 0;
+    int64_t i = 0;
+    while (i < n) {
+        int64_t tok = i, L = 0;
+        while (i < n && s[i] >= '0' && s[i] <= '9') {
+            int64_t d = s[i] - '0';
+            if (L > (INT64_MAX - d) / 10) { meta[5] = tok; return -3; }
+            L = L * 10 + d;
+            ++i;
+        }
+        if (i == tok || i >= n) { meta[5] = i; return -3; }
+        char op = s[i++];
+        if (op == 'M' || op == '=' || op == 'X') {
+            if (!seen_m) {
+                seen_m = true;
+                cur = L;
+            } else if (dq != 0 || dt != 0) {
+                if (w + 66 > cap) return -1;
+                out[w++] = '\n';
+                w += write_i64(out + w, cur);
+                out[w++] = '\t';
+                w += write_i64(out + w, dq);
+                out[w++] = '\t';
+                w += write_i64(out + w, dt);
+                cur = L;
+                dq = dt = 0;
+            } else {
+                cur += L;
+            }
+            tail_ins = tail_del = 0;
+        } else if (op == 'I') {
+            if (!seen_m) head_ins += L; else dt += L;
+            tail_ins = L;
+        } else if (op == 'D') {
+            if (!seen_m) head_del += L; else dq += L;
+            tail_del = L;
+        } else {
+            meta[5] = (int64_t)(uint8_t)op;
+            return -2;
+        }
+    }
+    meta[0] = head_ins; meta[1] = head_del;
+    meta[2] = tail_ins; meta[3] = tail_del;
+    meta[4] = cur;
+    return w;
+}
+
 // dotplot base-level segment emission (emit_baseplotdatas state machine,
 // reference cigar.rs:815-952): indels at or below `cutoff` merge into the
 // flanking match segment; larger ones emit their own I/D segment and break

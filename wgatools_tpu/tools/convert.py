@@ -191,10 +191,34 @@ def paf2chain(pafreader: PafReader, writer):
     emission) runs as ONE fused native pass when available."""
     from .. import native
 
+    use_native = native.available()
     for chain_id, record in enumerate(pafreader.records()):
+        if use_native:
+            raw = C.strip_cg_prefix(record.get_cigar_string()).encode("ascii")
+            try:
+                blk = native.cigar_text_to_chain_block(raw)
+            except ValueError as e:
+                kind, val = e.args[0]
+                if kind == "op":
+                    raise C.CigarOpInvalid(val) from None
+                C.raise_tokenize_error(raw, val)
+            if blk is not None:
+                _emit_chain_block(writer, record, chain_id, blk)
+                continue
         ops, lens = record.get_cigar_ops()
         _write_chain_from_ops(writer, native, record, chain_id, ops, lens)
     writer.flush()
+
+
+def _emit_chain_block(writer, record, chain_id, blk):
+    text, head_ins, head_del, tail_ins, tail_del, final_size = blk
+    header = chain_header_from_record(
+        record, head_ins, head_del, tail_ins, tail_del
+    )
+    header.chain_id = chain_id
+    writer.write(header.format().encode("ascii"))
+    writer.write(text)
+    writer.write(f"\n{final_size}\n\n".encode("ascii"))
 
 
 def _write_chain_from_ops(writer, native, record, chain_id, ops, lens):
@@ -205,14 +229,7 @@ def _write_chain_from_ops(writer, native, record, chain_id, ops, lens):
     except ValueError as e:
         raise C.CigarOpInvalid(e.args[0]) from None
     if blk is not None:
-        text, head_ins, head_del, tail_ins, tail_del, final_size = blk
-        header = chain_header_from_record(
-            record, head_ins, head_del, tail_ins, tail_del
-        )
-        header.chain_id = chain_id
-        writer.write(header.format().encode("ascii"))
-        writer.write(text)
-        writer.write(f"\n{final_size}\n\n".encode("ascii"))
+        _emit_chain_block(writer, record, chain_id, blk)
         return
     trims = C.trims_from_ops(ops, lens)
     header = chain_header_from_record(record, *trims)
