@@ -11,12 +11,20 @@ covers the full "CIGAR expand + liftover" loop BASELINE.md names, in
 aligned Gbp/s per chip.
 
 Methodology notes (important on the remote-attached TPU):
-- every timed batch ends with a device-side reduction of ALL outputs and a
-  host fetch of the scalar, forcing real execution (block_until_ready on
-  remote buffers can resolve before execution, inflating naive timings by
-  >10x);
+- the WHOLE iteration batch runs as ONE dispatch: a jitted lax.fori_loop
+  executes classify+liftover per iteration on device.  The remote tunnel
+  costs ~1.7 ms of host time PER dispatch (measured 2026-08-17), so
+  per-iteration Python dispatch would dominate the liftover stage
+  entirely;
+- each iteration feeds its checksum back into the next iteration's
+  inputs (one byte of the sequence tile, one op length), so no loop
+  phase can be hoisted as loop-invariant, CSE'd, or elided -- every
+  iteration must execute on silicon in order;
+- the batch ends with a host fetch of the accumulated checksum, forcing
+  real execution (block_until_ready on remote buffers can resolve before
+  execution, inflating naive timings by >10x);
 - the rate is the MARGINAL rate between a small and a large iteration
-  count, cancelling fixed dispatch/transfer overhead;
+  count, cancelling compile/transfer/dispatch overhead;
 - the best of several marginal estimates is reported (tunnel jitter).
 
 Baseline derivation: the reference's only published number is `wgatools
@@ -50,49 +58,66 @@ def main():
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
 
+    from jax import lax
+
     B, L = (32, 1 << 22) if on_tpu else (4, 1 << 16)
     rng = np.random.default_rng(0)
     alphabet = np.frombuffer(b"ACGT-", dtype=np.uint8)
     lens_d = jax.device_put(jnp.full(B, L, dtype=jnp.int32))
 
-    # distinct buffer pairs rotated per iteration: no layer can elide or
-    # deduplicate repeated identical executions
-    bufs = []
-    for _ in range(2):
-        t = alphabet[rng.integers(0, 5, size=(B, L))]
-        q = alphabet[rng.integers(0, 5, size=(B, L))]
-        bufs.append(
-            (jax.device_put(jnp.asarray(t)), jax.device_put(jnp.asarray(q)))
-        )
+    t0 = alphabet[rng.integers(0, 5, size=(B, L))]
+    q0 = alphabet[rng.integers(0, 5, size=(B, L))]
+    t_d = jax.device_put(jnp.asarray(t0))
+    q_d = jax.device_put(jnp.asarray(q0))
 
     # matching op tables for the liftover stage: each record's op lengths
     # sum to L (same column volume as the byte tiles).  Mean run length 32
     # is conservative vs real whole-genome alignments (the reference's own
     # test.maf measures mean run 48; SNP-dense regions run shorter)
     N_OPS = max(L // 32, 1)
-    op_bufs = []
     op_chars = np.frombuffer(b"M=XID", dtype=np.uint8)
-    for _ in range(2):
-        o = op_chars[rng.integers(0, 5, size=(B, N_OPS))]
-        ln = np.full((B, N_OPS), 32, dtype=np.int32)
-        op_bufs.append(
-            (jax.device_put(jnp.asarray(o)), jax.device_put(jnp.asarray(ln)))
-        )
+    o_d = jax.device_put(
+        jnp.asarray(op_chars[rng.integers(0, 5, size=(B, N_OPS))])
+    )
+    ln_d = jax.device_put(jnp.asarray(np.full((B, N_OPS), 32, np.int32)))
 
     kernel = classify_stat_pallas if on_tpu else classify_stat_jnp
-    reduce_all = jax.jit(lambda xs: jnp.sum(xs))
-    # strided checksum: depends on the full kernel outputs (forcing
-    # execution) without re-reading all 67 MB of offsets per iteration
-    reduce_pair = jax.jit(
-        lambda a, b: jnp.sum(a[:, ::1024]) + jnp.sum(b[:, ::1024])
-    )
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run_iters(t, q, o, ln, iters):
+        """`iters` classify+liftover rounds in ONE dispatch.  The checksum
+        feeds one sequence byte and one op length of the NEXT iteration,
+        so nothing is loop-invariant and nothing can be elided; strided
+        slices keep the per-iteration reduction from re-reading all 64 MB
+        of offsets."""
+
+        def body(_, carry):
+            t, ln, acc = carry
+            stats = kernel(t, q, lens_d)
+            t_off, q_off = liftover_scan(o, ln)
+            acc = (
+                acc
+                + jnp.sum(stats)
+                + jnp.sum(t_off[:, ::1024])
+                + jnp.sum(q_off[:, ::1024])
+            )
+            t = t.at[0, 0].set((acc & 3).astype(jnp.uint8) + jnp.uint8(65))
+            ln = ln.at[0, 0].set(jnp.int32(1) + (acc & 7))
+            return (t, ln, acc)
+
+        _, _, acc = lax.fori_loop(
+            0, iters, body, (t, ln, jnp.int32(0))
+        )
+        return acc
 
     # correctness gate BEFORE timing: the Mosaic-lowered kernel must equal
     # the fused-jnp implementation bit-for-bit on this backend.  A lowering
     # bug would otherwise pass the (interpret-mode, forced-CPU) test suite
     # and silently corrupt on-chip output.
     if on_tpu:
-        gate_t, gate_q = bufs[0]
+        gate_t, gate_q = t_d, q_d
         got = np.asarray(classify_stat_pallas(gate_t, gate_q, lens_d))
         want = np.asarray(classify_stat_jnp(gate_t, gate_q, lens_d))
         assert np.array_equal(got, want), (
@@ -117,17 +142,11 @@ def main():
 
     def run_batch(iters: int) -> float:
         """Wall seconds for `iters` executions of classify+stat AND
-        liftover over the same column volume, with a forced host-fetched
-        checksum covering both outputs."""
+        liftover over the same column volume: one dispatch, one forced
+        host fetch of the accumulated checksum."""
         start = time.perf_counter()
-        outs = [kernel(*bufs[i % 2], lens_d) for i in range(iters)]
-        lift = [
-            reduce_pair(*liftover_scan(*op_bufs[i % 2]))
-            for i in range(iters)
-        ]
-        checksum = int(np.asarray(reduce_all(jnp.stack(outs))))
-        checksum2 = int(np.asarray(reduce_all(jnp.stack(lift))))
-        assert checksum != 0 and checksum2 != 0
+        checksum = int(np.asarray(run_iters(t_d, q_d, o_d, ln_d, iters)))
+        assert checksum != 0
         return time.perf_counter() - start
 
     lo_iters, hi_iters = (4, 36) if on_tpu else (2, 6)

@@ -94,7 +94,13 @@ def make_maf(path, rng, n_records, n_cols_each):
     return path
 
 
+T_GENOME = 3_100_000
+Q_GENOME = 3_100_000
+
+
 def make_paf(path, rng, n_records, n_runs, mean_len=18):
+    """Coordinate-consistent PAF vs fixed T_GENOME/Q_GENOME-sized
+    sequences (paf2maf / validate-with-FASTA compatible)."""
     lines = []
     t_off = 0
     for i in range(n_records):
@@ -106,15 +112,36 @@ def make_paf(path, rng, n_records, n_runs, mean_len=18):
         cg = cg_string(vals, lens)
         strand = "+" if (i % 5) else "-"
         qs = 100 + (i % 7)
+        if t_off + tl >= T_GENOME:
+            t_off = 0
         lines.append(
-            f"q{i % 16}\t{ql + 2000}\t{qs}\t{qs + ql}\t{strand}\t"
-            f"t{i % 8}\t{tl + 4000}\t{t_off}\t{t_off + tl}\t{m}\t{blk}\t60\t"
+            f"q{i % 16}\t{Q_GENOME}\t{qs}\t{qs + ql}\t{strand}\t"
+            f"t{i % 8}\t{T_GENOME}\t{t_off}\t{t_off + tl}\t{m}\t{blk}\t60\t"
             f"NM:i:{blk - m}\tcg:Z:{cg}"
         )
-        t_off = (t_off + tl + 50) % 3_000_000
+        t_off += tl + 50
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     return path
+
+
+def make_fastas(outdir, rng):
+    """t.fa (t0..t7) and q.fa (q0..q15), each T_GENOME/Q_GENOME bases,
+    60-col lines -- big.paf's coordinates resolve inside them."""
+    paths = []
+    for fname, names, size in (
+        ("t.fa", [f"t{j}" for j in range(8)], T_GENOME),
+        ("q.fa", [f"q{j}" for j in range(16)], Q_GENOME),
+    ):
+        p = os.path.join(outdir, fname)
+        with open(p, "wb") as f:
+            for name in names:
+                f.write(b">" + name.encode() + b"\n")
+                seq = BASES[rng.integers(0, 4, size=size)]
+                for k in range(0, size, 60):
+                    f.write(seq[k : k + 60].tobytes() + b"\n")
+        paths.append(p)
+    return paths
 
 
 def main():
@@ -134,7 +161,8 @@ def main():
     paf = make_paf(
         os.path.join(args.out, "big.paf"), rng, args.paf_records, args.paf_runs
     )
-    for p in (maf, paf):
+    fastas = make_fastas(args.out, rng)
+    for p in [maf, paf] + fastas:
         print(p, os.path.getsize(p))
 
 

@@ -239,3 +239,66 @@ def test_classify_rle_format_vs_runs(seed):
         vals, lens = C.ext_runs(t, q)
         b = C.cigar_from_runs(vals, lens, neg, True, 3, 9)
         assert a == b
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_insert_gaps_native_vs_numpy(seed):
+    """The C++ memcpy gap-insertion pass must equal the numpy gather
+    formulation byte-for-byte, including source-exhaustion clamping and
+    empty-source '-' substitution."""
+    import random
+
+    import numpy as np
+
+    from wgatools_tpu import native
+    from wgatools_tpu.core import cigar as C
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = random.Random(seed)
+    n = rng.randint(0, 25)
+    ops = np.frombuffer(
+        "".join(rng.choice("M=XID") for _ in range(n)).encode(),
+        dtype=np.uint8,
+    )
+    lens = np.array(
+        [rng.choice([0, 1, 2, 5, 30]) for _ in range(n)], dtype=np.int64
+    )
+    t_need = int(lens[np.isin(ops, np.frombuffer(b"M=XD", np.uint8))].sum())
+    q_need = int(lens[np.isin(ops, np.frombuffer(b"M=XI", np.uint8))].sum())
+    bases = "ACGT"
+    # the (t_need, 0)/(0, q_need) cases exercise the one-empty-source
+    # both-substituted quirk when a cigar has no M/D (or no M/I) ops
+    for t_cut, q_cut in (
+        (0, 0), (1, 3), (t_need, q_need), (t_need, 0), (0, q_need),
+    ):
+        t_raw = "".join(rng.choice(bases) for _ in range(max(t_need - t_cut, 0)))
+        q_raw = "".join(rng.choice(bases) for _ in range(max(q_need - q_cut, 0)))
+        got = native.insert_gaps(ops, lens, t_raw.encode(), q_raw.encode())
+        # numpy oracle: bypass the native fast path inside the function
+        o = np.asarray(ops)
+        l64 = np.asarray(lens, dtype=np.int64)
+        is_i = o == C.OP_I
+        is_d = o == C.OP_D
+        t_gap = np.repeat(is_i, l64)
+        q_gap = np.repeat(is_d, l64)
+        t_arr = C.seq_bytes(t_raw)
+        q_arr = C.seq_bytes(q_raw)
+        if t_gap.size == 0:
+            want = (b"", b"")
+        else:
+            if len(t_arr) == 0 or len(q_arr) == 0:
+                # either empty -> BOTH substituted (insert_gaps_by_ops)
+                t_arr = np.array([C.GAP], dtype=np.uint8)
+                q_arr = np.array([C.GAP], dtype=np.uint8)
+            t_src = np.cumsum(~t_gap) - 1
+            q_src = np.cumsum(~q_gap) - 1
+            want = (
+                np.where(
+                    t_gap, C.GAP, t_arr[np.minimum(t_src, len(t_arr) - 1)]
+                ).astype(np.uint8).tobytes(),
+                np.where(
+                    q_gap, C.GAP, q_arr[np.minimum(q_src, len(q_arr) - 1)]
+                ).astype(np.uint8).tobytes(),
+            )
+        assert got == want, (seed, t_cut, q_cut)

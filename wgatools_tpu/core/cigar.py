@@ -496,7 +496,19 @@ def insert_gaps_by_ops(ops, lens, t_raw: bytes, q_raw: bytes):
     cumulative non-gap indices.  M/=/X consume both sources, I puts gaps in
     target while consuming query, D puts gaps in query while consuming
     target.  Returns (t_gapped bytes, q_gapped bytes).
+
+    Hot path: single C++ memcpy/memset pass per run (differential-tested
+    against the numpy formulation below).
     """
+    from .. import native
+
+    if native.available():
+        try:
+            res = native.insert_gaps(ops, lens, t_raw, q_raw)
+        except ValueError as e:
+            raise CigarOpInvalid(e.args[0]) from None
+        if res is not None:
+            return res
     ops = np.asarray(ops)
     lens = np.asarray(lens, dtype=np.int64)
     is_m = (ops == OP_M) | (ops == OP_EQ) | (ops == OP_X)

@@ -133,6 +133,10 @@ def load():
             _charp, _i64, _ptr, _ptr, _i64,
         ]
         lib.cigar_text_to_chain_block.restype = _i64
+        lib.insert_gaps.argtypes = [
+            _ptr, _ptr, _i64, _charp, _i64, _charp, _i64, _ptr, _ptr,
+        ]
+        lib.insert_gaps.restype = _i64
         _lib = lib
         return _lib
 
@@ -546,6 +550,45 @@ def ops_to_chain_block(ops, lens):
         raise ValueError(chr(int(meta[5])))
     return (out[: int(w)].tobytes(), int(meta[0]), int(meta[1]),
             int(meta[2]), int(meta[3]), int(meta[4]))
+
+
+def insert_gaps(ops, lens, t_raw: bytes, q_raw: bytes):
+    """Gap insertion in one native pass (memcpy/memset per run).  Returns
+    (t_gapped, q_gapped) bytes or None; raises ValueError(op_char) on an
+    op outside M/=/X/I/D."""
+    lib = load()
+    if lib is None:
+        return None
+    if isinstance(t_raw, str):
+        t_raw = t_raw.encode("ascii")
+    if isinstance(q_raw, str):
+        q_raw = q_raw.encode("ascii")
+    ops = np.ascontiguousarray(ops, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        # still validate ops like the numpy path (zero-length runs only)
+        if ops.shape[0] and not np.all(
+            np.isin(ops, np.frombuffer(b"M=XID", dtype=np.uint8))
+        ):
+            bad = ops[~np.isin(ops, np.frombuffer(b"M=XID", dtype=np.uint8))][0]
+            raise ValueError(chr(int(bad)))
+        return b"", b""
+    if not t_raw or not q_raw:
+        # degenerate sources: the numpy formulation substitutes BOTH
+        # gather sources with '-' when either is empty
+        t_raw = b"-"
+        q_raw = b"-"
+    t_out = np.empty(total, dtype=np.uint8)
+    q_out = np.empty(total, dtype=np.uint8)
+    r = int(lib.insert_gaps(
+        ops.ctypes.data, lens.ctypes.data, ops.shape[0],
+        t_raw, len(t_raw), q_raw, len(q_raw),
+        t_out.ctypes.data, q_out.ctypes.data,
+    ))
+    if r < 0:
+        raise ValueError(chr(-r))
+    return t_out.tobytes(), q_out.tobytes()
 
 
 def cigar_text_to_chain_block(cg: bytes):

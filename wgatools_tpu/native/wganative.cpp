@@ -702,6 +702,48 @@ int64_t plot_segments(const uint8_t* ops, const int64_t* lens, int64_t n,
     return m;
 }
 
+// gap insertion (parse_cigar_to_insert, reference cigar.rs:492-551):
+// M/'='/'X' copy both sources, I gaps the target while consuming query,
+// D gaps the query while consuming target.  Reads past the source end
+// clamp to its LAST byte (the numpy formulation gathers via
+// min(cum_index, len-1) -- callers substitute "-" for empty sources).
+// Returns 0, or the invalid op byte negated for an op outside M/=/X/I/D.
+int64_t insert_gaps(const uint8_t* ops, const int64_t* lens, int64_t n,
+                    const uint8_t* t_raw, int64_t t_len,
+                    const uint8_t* q_raw, int64_t q_len,
+                    uint8_t* t_out, uint8_t* q_out) {
+    int64_t t_off = 0, q_off = 0, w = 0;
+    for (int64_t k = 0; k < n; ++k) {
+        uint8_t op = ops[k];
+        int64_t L = lens[k];
+        bool take_t = (op == 'M' || op == '=' || op == 'X' || op == 'D');
+        bool take_q = (op == 'M' || op == '=' || op == 'X' || op == 'I');
+        if (!take_t && !take_q) return -(int64_t)op;
+        if (take_t) {
+            int64_t avail = t_len - t_off;
+            if (avail < 0) avail = 0;
+            int64_t c = avail < L ? avail : L;
+            if (c > 0) memcpy(t_out + w, t_raw + t_off, c);
+            if (c < L) memset(t_out + w + c, t_raw[t_len - 1], L - c);
+            t_off += L;
+        } else {
+            memset(t_out + w, '-', L);
+        }
+        if (take_q) {
+            int64_t avail = q_len - q_off;
+            if (avail < 0) avail = 0;
+            int64_t c = avail < L ? avail : L;
+            if (c > 0) memcpy(q_out + w, q_raw + q_off, c);
+            if (c < L) memset(q_out + w + c, q_raw[q_len - 1], L - c);
+            q_off += L;
+        } else {
+            memset(q_out + w, '-', L);
+        }
+        w += L;
+    }
+    return 0;
+}
+
 // fused CIGAR text -> coverage difference array (tokenize +
 // update_cov_vec walk, reference cigar.rs:59-75 + 710-741): M/'=' spans
 // scatter +1 at span start and -1 at span end into the int32 difference
