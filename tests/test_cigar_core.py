@@ -302,3 +302,49 @@ def test_insert_gaps_native_vs_numpy(seed):
                 ).astype(np.uint8).tobytes(),
             )
         assert got == want, (seed, t_cut, q_cut)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_chain_insert_gaps_native_vs_ops(seed):
+    """The fused chain-lines gap insertion must equal op_arrays ->
+    insert_gaps_by_ops byte-for-byte (incl. zero diffs, zero-size M,
+    truncated sources)."""
+    import random
+
+    import numpy as np
+
+    from wgatools_tpu import native
+    from wgatools_tpu.core import cigar as C
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = random.Random(seed)
+    n = rng.randint(1, 20)
+    sizes = np.array(
+        [rng.choice([0, 1, 5, 40]) for _ in range(n)], dtype=np.int64
+    )
+    dts = np.array(
+        [rng.choice([0, 0, 2, 9]) for _ in range(n)], dtype=np.int64
+    )
+    dqs = np.array(
+        [rng.choice([0, 0, 3, 7]) for _ in range(n)], dtype=np.int64
+    )
+    ops_mat = np.tile(np.array([C.OP_M, C.OP_I, C.OP_D], np.uint8), (n, 1))
+    lens_mat = np.stack([sizes, dts, dqs], axis=1)
+    keep = lens_mat > 0
+    keep[:, 0] = True
+    ops = ops_mat.reshape(-1)[keep.reshape(-1)]
+    lens = lens_mat.reshape(-1)[keep.reshape(-1)]
+    t_need = int(sizes.sum() + dqs.sum())
+    q_need = int(sizes.sum() + dts.sum())
+    bases = "ACGT"
+    for cut in (0, 5):
+        t_raw = "".join(
+            rng.choice(bases) for _ in range(max(t_need - cut, 0))
+        ).encode()
+        q_raw = "".join(
+            rng.choice(bases) for _ in range(max(q_need - cut, 0))
+        ).encode()
+        want = C.insert_gaps_by_ops(ops, lens, t_raw, q_raw)
+        got = native.chain_insert_gaps(sizes, dqs, dts, t_raw, q_raw)
+        assert got == want, (seed, cut)

@@ -137,6 +137,10 @@ def load():
             _ptr, _ptr, _i64, _charp, _i64, _charp, _i64, _ptr, _ptr,
         ]
         lib.insert_gaps.restype = _i64
+        lib.chain_insert_gaps.argtypes = [
+            _ptr, _ptr, _ptr, _i64, _charp, _i64, _charp, _i64, _ptr, _ptr,
+        ]
+        lib.chain_insert_gaps.restype = _i64
         _lib = lib
         return _lib
 
@@ -589,6 +593,35 @@ def insert_gaps(ops, lens, t_raw: bytes, q_raw: bytes):
     if r < 0:
         raise ValueError(chr(-r))
     return t_out.tobytes(), q_out.tobytes()
+
+
+def chain_insert_gaps(sizes, dqs, dts, t_raw: bytes, q_raw: bytes):
+    """Chain data lines -> gapped sequences in one native pass (no op
+    array materialization).  Returns (t_gapped, q_gapped) bytes or None."""
+    lib = load()
+    if lib is None:
+        return None
+    if isinstance(t_raw, str):
+        t_raw = t_raw.encode("ascii")
+    if isinstance(q_raw, str):
+        q_raw = q_raw.encode("ascii")
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    dqs = np.ascontiguousarray(dqs, dtype=np.int64)
+    dts = np.ascontiguousarray(dts, dtype=np.int64)
+    total = int(sizes.sum() + dqs.sum() + dts.sum())
+    if total == 0:
+        return b"", b""
+    if not t_raw or not q_raw:
+        t_raw = b"-"
+        q_raw = b"-"
+    t_out = np.empty(total, dtype=np.uint8)
+    q_out = np.empty(total, dtype=np.uint8)
+    w = int(lib.chain_insert_gaps(
+        sizes.ctypes.data, dqs.ctypes.data, dts.ctypes.data, sizes.shape[0],
+        t_raw, len(t_raw), q_raw, len(q_raw),
+        t_out.ctypes.data, q_out.ctypes.data,
+    ))
+    return t_out[:w].tobytes(), q_out[:w].tobytes()
 
 
 def cigar_text_to_chain_block(cg: bytes):

@@ -702,6 +702,49 @@ int64_t plot_segments(const uint8_t* ops, const int64_t* lens, int64_t n,
     return m;
 }
 
+static inline int64_t cp_clamp(uint8_t* dst, int64_t w, const uint8_t* src,
+                               int64_t len, int64_t off, int64_t L) {
+    // copy L bytes from src[off..], clamping reads past the end to the
+    // last byte (matches the numpy min(cum_index, len-1) gather)
+    int64_t avail = len - off;
+    if (avail < 0) avail = 0;
+    int64_t c = avail < L ? avail : L;
+    if (c > 0) memcpy(dst + w, src + off, c);
+    if (c < L) memset(dst + w + c, src[len - 1], L - c);
+    return L;
+}
+
+// chain data lines -> gapped sequences, fused (the op_arrays interleave
+// {size}M {dt}I {dq}D of chain.rs:580-582 fed through gap insertion,
+// without materializing the op arrays).  Same clamp semantics as
+// insert_gaps.  Returns total columns written.
+int64_t chain_insert_gaps(const int64_t* sizes, const int64_t* dqs,
+                          const int64_t* dts, int64_t n,
+                          const uint8_t* t_raw, int64_t t_len,
+                          const uint8_t* q_raw, int64_t q_len,
+                          uint8_t* t_out, uint8_t* q_out) {
+    int64_t t_off = 0, q_off = 0, w = 0;
+    for (int64_t k = 0; k < n; ++k) {
+        int64_t m = sizes[k], dt = dts[k], dq = dqs[k];
+        if (m > 0) {
+            cp_clamp(t_out, w, t_raw, t_len, t_off, m);
+            cp_clamp(q_out, w, q_raw, q_len, q_off, m);
+            t_off += m; q_off += m; w += m;
+        }
+        if (dt > 0) {  // I: gap target, consume query
+            memset(t_out + w, '-', dt);
+            cp_clamp(q_out, w, q_raw, q_len, q_off, dt);
+            q_off += dt; w += dt;
+        }
+        if (dq > 0) {  // D: gap query, consume target
+            memset(q_out + w, '-', dq);
+            cp_clamp(t_out, w, t_raw, t_len, t_off, dq);
+            t_off += dq; w += dq;
+        }
+    }
+    return w;
+}
+
 // gap insertion (parse_cigar_to_insert, reference cigar.rs:492-551):
 // M/'='/'X' copy both sources, I gaps the target while consuming query,
 // D gaps the query while consuming target.  Reads past the source end

@@ -322,15 +322,26 @@ def chain2maf(chainreader: ChainReader, writer, t_fa_path: str, q_fa_path: str):
         f"#maf version=1.6 convert_from=chain t_seq_path={t_fa_path} "
         f"q_seq_path={q_fa_path}"
     )
+    from .. import native
+
+    use_native = native.available()
     for rec in chainreader.records():
         if rec.sizes.shape[0] == 0:
             raise WGAError("chain record has no data lines")
-        # per line: copy `size`, then target gaps (dt), then query gaps
-        # (dq) -- exactly the interleaved op order of op_arrays()
-        ops, lens = rec.op_arrays()
 
-        def gap_insert(t_raw, q_raw, _ops=ops, _lens=lens):
-            return C.insert_gaps_by_ops(_ops, _lens, t_raw, q_raw)
+        # per line: copy `size`, then target gaps (dt), then query gaps
+        # (dq) -- exactly the interleaved op order of op_arrays().  Hot
+        # path feeds the data-line arrays straight to C++ (no op array
+        # materialization); differential-tested vs the ops formulation.
+        def gap_insert(t_raw, q_raw, _rec=rec):
+            if use_native:
+                res = native.chain_insert_gaps(
+                    _rec.sizes, _rec.dqs, _rec.dts, t_raw, q_raw
+                )
+                if res is not None:
+                    return res
+            ops, lens = _rec.op_arrays()
+            return C.insert_gaps_by_ops(ops, lens, t_raw, q_raw)
 
         maf_writer.write_record(
             _seq_record_to_maf(rec, 255, t_reader, q_reader, gap_insert)
