@@ -58,6 +58,11 @@ def main():
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
 
+    def stage(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    stage(f"backend={backend}")
+
     from jax import lax
 
     B, L = (32, 1 << 22) if on_tpu else (4, 1 << 16)
@@ -116,6 +121,7 @@ def main():
     # the fused-jnp implementation bit-for-bit on this backend.  A lowering
     # bug would otherwise pass the (interpret-mode, forced-CPU) test suite
     # and silently corrupt on-chip output.
+    stage("buffers on device")
     if on_tpu:
         gate_t, gate_q = t_d, q_d
         got = np.asarray(classify_stat_pallas(gate_t, gate_q, lens_d))
@@ -151,8 +157,11 @@ def main():
 
     lo_iters, hi_iters = (4, 36) if on_tpu else (2, 6)
     # warm compiles for both batch shapes
+    stage("compiling lo batch")
     run_batch(lo_iters)
+    stage("compiling hi batch")
     run_batch(hi_iters)
+    stage("timing")
 
     # min over repeats is the least-interference estimate of each batch
     # size; the marginal rate between sizes cancels fixed overhead
