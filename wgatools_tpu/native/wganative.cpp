@@ -351,11 +351,20 @@ void coverage_diff(const int64_t* starts, const int64_t* ends,
 static inline int64_t write_i64(char* out, int64_t v) {
     char tmp[24];
     int64_t tl = 0;
-    if (v < 0) { *out++ = '-'; v = -v; }
-    if (v == 0) tmp[tl++] = '0';
-    while (v > 0) { tmp[tl++] = (char)('0' + (v % 10)); v /= 10; }
+    int64_t sign = 0;
+    if (v < 0) {
+        // negate via unsigned to stay defined on INT64_MIN
+        uint64_t u = ~(uint64_t)v + 1;
+        *out++ = '-';
+        sign = 1;
+        while (u > 0) { tmp[tl++] = (char)('0' + (u % 10)); u /= 10; }
+    } else if (v == 0) {
+        tmp[tl++] = '0';
+    } else {
+        while (v > 0) { tmp[tl++] = (char)('0' + (v % 10)); v /= 10; }
+    }
     for (int64_t d = tl - 1; d >= 0; --d) *out++ = tmp[d];
-    return tl;
+    return tl + sign;
 }
 
 int64_t format_bed_lines(const char* prefix, int64_t prefix_len,
