@@ -153,31 +153,69 @@ def _kernel(t_ref, q_ref, out_ref, *, caller=False):
     bytes are '-'/'-' (classifying as '=') and applies exact padding and
     tile-boundary corrections outside (see classify_stat_pallas).
 
-    Formulation notes (same-process A/B on the v5e chip):
-    - materializing the i32 category tensor and shifting it once is 1.5-3x
-      faster than an all-boolean variant re-comparing shifted bytes;
+    Formulation notes (same-process A/B on the v5e chip, 2026-08-17,
+    scripts/ab_classify.py):
+    - widening t/q ONCE each to i32 (2 relayouts) and xor-ing in i32
+      space beats three u8-xor-then-widen chains; ti/qi shared with the
+      gap/gap stat and i/d run starts derived as `is_i & run_start`;
+    - the 8 per-stat tile reductions are packed into 4: two counters
+      ride one int32 as 16-bit fields (per-tile counts <= TL <= 0xFFFF,
+      so the low field cannot carry; the high field may wrap the sign
+      bit at TL=2^15 -- bit extraction below is wrap-safe).  Mosaic
+      cannot reduce unsigned ints, hence int32 fields;
+    - combined, 200.0 vs 101.3 Gcol/s for the previous i32-cat kernel
+      (min-of-9 alternating marginal rates, B=32 L=4M);
     - pltpu.roll for the 1-column shift (with column 0 forced to be a run
-      start, since roll wraps) is a further ~15% over jnp.concatenate."""
+      start, since roll wraps) beats jnp.concatenate ~15%."""
     j = pl.program_id(1)
 
-    t = t_ref[:]
-    q = q_ref[:]
-    cat = _classify(t, q, caller).astype(jnp.int32)
+    t32 = t_ref[:].astype(jnp.int32)
+    q32 = q_ref[:].astype(jnp.int32)
+    gap = jnp.int32(GAP)
+    eq = (t32 ^ q32) == 0
+    ti = (t32 ^ gap) == 0
+    qi = (q32 ^ gap) == 0
+    if caller:
+        # cigar_cat_ext_caller (cigar.rs:314-328): gap/gap -> W
+        cat = jnp.where(
+            ti, jnp.where(qi, W, I), jnp.where(qi, D, jnp.where(eq, EQ, X))
+        )
+        is_eq = eq & ~ti
+    else:
+        cat = jnp.where(eq, EQ, jnp.where(ti, I, jnp.where(qi, D, X)))
+        is_eq = eq
+    gg = ti & qi
     prev_cat = pltpu.roll(cat, 1, axis=1)
-    first_col = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == 0
+    first_col = jax.lax.broadcasted_iota(jnp.int32, t32.shape, 1) == 0
+    run_start = first_col | (cat != prev_cat)
     is_i = cat == I
     is_d = cat == D
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+
+    def b(m):
+        return jnp.where(m, one, zero)
+
+    f0 = b(is_eq) + (b(cat == X) << 16)
+    f1 = b(is_i) + (b(is_d) << 16)
+    f2 = b(is_i & run_start) + (b(is_d & run_start) << 16)
+    f3 = b(gg) + (b(run_start) << 16)
     i32 = jnp.int32
+    s0 = jnp.sum(f0, axis=1, dtype=i32)
+    s1 = jnp.sum(f1, axis=1, dtype=i32)
+    s2 = jnp.sum(f2, axis=1, dtype=i32)
+    s3 = jnp.sum(f3, axis=1, dtype=i32)
+    mask = jnp.int32(0xFFFF)
     stats = jnp.stack(
         [
-            jnp.sum(cat == EQ, axis=1, dtype=i32),
-            jnp.sum(cat == X, axis=1, dtype=i32),
-            jnp.sum(is_i, axis=1, dtype=i32),
-            jnp.sum(is_d, axis=1, dtype=i32),
-            jnp.sum(is_i & (first_col | (prev_cat != I)), axis=1, dtype=i32),
-            jnp.sum(is_d & (first_col | (prev_cat != D)), axis=1, dtype=i32),
-            jnp.sum(_gapgap(t, q), axis=1, dtype=i32),
-            jnp.sum(first_col | (cat != prev_cat), axis=1, dtype=i32),
+            (s0 & mask),
+            (s0 >> 16) & mask,
+            (s1 & mask),
+            (s1 >> 16) & mask,
+            (s2 & mask),
+            (s2 >> 16) & mask,
+            (s3 & mask),
+            (s3 >> 16) & mask,
         ],
         axis=1,
     )
@@ -206,6 +244,9 @@ def classify_stat_pallas(
     B, L = t.shape
     tile_b = min(tile_b, B)
     tile_l = min(tile_l, L)
+    # the kernel packs two counters into 16-bit fields of one int32;
+    # per-tile counts must fit 16 bits
+    assert tile_l <= 0xFFFF, "tile_l must be < 2^16 (16-bit field packing)"
     # the grid must cover the array exactly: a partial final tile would
     # read out-of-bounds block padding, which is not '-'/'-' and would
     # corrupt the counters -- extend the arrays with gap columns instead
