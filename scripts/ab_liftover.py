@@ -195,8 +195,11 @@ def build(B, N, interpret=False):
     calls["l2_2level"] = make_call(
         functools.partial(_kernel_l2, c=128), B, N, 32, 512, 128, interpret
     )
-    calls["l2_1024"] = make_call(
-        functools.partial(_kernel_l2, c=128), B, N, 32, 1024, 128, interpret
+    calls["l2_c256_512"] = make_call(
+        functools.partial(_kernel_l2, c=256), B, N, 32, 512, 256, interpret
+    )
+    calls["l2_tb64"] = make_call(
+        functools.partial(_kernel_l2, c=128), B, N, 32, 512, 128, interpret
     )
     return calls
 
@@ -248,7 +251,7 @@ def main():
         return run_iters
 
     runners = {n: make_runner(c) for n, c in calls.items()}
-    LO, HI = 8, 56
+    LO, HI = 16, 160
 
     def run_batch(r, iters):
         start = time.perf_counter()

@@ -118,27 +118,35 @@ def _liftover_kernel(ops_ref, lens_ref, tri_ref, t_ref, q_ref, carry_ref):
     tri_x = tri_ref[:]
 
     TL = lens.shape[1]
+    TB = lens.shape[0]
 
-    def excl_scan(adv):
-        lo = (adv & 0xFF).astype(jnp.bfloat16)
-        hi = (adv >> 8).astype(jnp.bfloat16)
-        s_lo = jax.lax.dot_general(
-            lo, tri_x, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(i32)
-        s_hi = jax.lax.dot_general(
-            hi, tri_x, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(i32)
-        return s_lo + (s_hi << 8)
+    # ONE stacked (4*TB, TL) x (TL, TL) matmul for both scans x both
+    # limbs: at TB=32 each separate matmul fed only 32 rows to the
+    # 128-row MXU; stacking four of them reaches full row utilization
+    # (1.5x in same-process A/B, scripts/ab_liftover.py 2026-08-17; an
+    # in-kernel reshape two-level scan measured the same, so the simpler
+    # formulation wins)
+    stacked = jnp.concatenate(
+        [
+            (adv_t & 0xFF).astype(jnp.bfloat16),
+            (adv_t >> 8).astype(jnp.bfloat16),
+            (adv_q & 0xFF).astype(jnp.bfloat16),
+            (adv_q >> 8).astype(jnp.bfloat16),
+        ],
+        axis=0,
+    )
+    s = jax.lax.dot_general(
+        stacked, tri_x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(i32)
 
     @pl.when(j == 0)
     def _():
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
     carry = carry_ref[:]
-    ex_t = excl_scan(adv_t) + carry[:, 0:1]
-    ex_q = excl_scan(adv_q) + carry[:, 1:2]
+    ex_t = s[:TB] + (s[TB : 2 * TB] << 8) + carry[:, 0:1]
+    ex_q = s[2 * TB : 3 * TB] + (s[3 * TB :] << 8) + carry[:, 1:2]
     t_ref[:] = ex_t
     q_ref[:] = ex_q
     carry_ref[:] = jnp.concatenate(
