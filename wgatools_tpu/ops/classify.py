@@ -144,14 +144,20 @@ def classify_stat_jnp(t, q, lengths, caller=False):
     return _stats_from_cat(cat, prev_cat, _gapgap(t, q), mask)
 
 
-def _kernel(t_ref, q_ref, out_ref, *, caller=False):
-    """Pallas kernel body: one (TB, TL) tile; accumulates into [TB, 8].
+def _kernel(t_ref, q_ref, out_ref, edge_ref, *, caller=False):
+    """Pallas kernel body: one (TB, TL) tile; accumulates into [TB, 8]
+    and records the tile's first/last categories into edge_ref [TB, 2].
 
     The kernel is completely unmasked and tile-local: every comparison is
     elementwise on same-shape byte tiles (no broadcasts, which Mosaic's
     layout engine rejects for i1 vectors).  The caller guarantees padding
     bytes are '-'/'-' (classifying as '=') and applies exact padding and
-    tile-boundary corrections outside (see classify_stat_pallas).
+    tile-boundary corrections outside (see classify_stat_pallas).  The
+    edge-category side output exists for those corrections: gathering the
+    boundary columns from the full [B, L] HBM arrays instead cost ~35% of
+    the whole call at L=4M, and carrying the previous tile's category in
+    a scratch (exact inline counting) serialized the grid pipeline and
+    measured 60% slower (scripts/ab_wrapper.py, 2026-08-17).
 
     Formulation notes (same-process A/B on the v5e chip, 2026-08-17,
     scripts/ab_classify.py):
@@ -185,6 +191,7 @@ def _kernel(t_ref, q_ref, out_ref, *, caller=False):
         cat = jnp.where(eq, EQ, jnp.where(ti, I, jnp.where(qi, D, X)))
         is_eq = eq
     gg = ti & qi
+    TL = cat.shape[1]
     prev_cat = pltpu.roll(cat, 1, axis=1)
     first_col = jax.lax.broadcasted_iota(jnp.int32, t32.shape, 1) == 0
     run_start = first_col | (cat != prev_cat)
@@ -225,6 +232,12 @@ def _kernel(t_ref, q_ref, out_ref, *, caller=False):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     out_ref[:] += stats
+    # lane-dim blocks must be 128-divisible: the two categories ride a
+    # 128-wide slot (first at lane 0, last at lane 1, rest zero)
+    pad_lanes = jnp.zeros((cat.shape[0], 126), jnp.int32)
+    edge_ref[:] = jnp.concatenate(
+        [cat[:, 0:1], cat[:, TL - 1 : TL], pad_lanes], axis=1
+    )
 
 
 @functools.partial(
@@ -269,7 +282,7 @@ def classify_stat_pallas(
     nl = pl.cdiv(L, tile_l)
 
     grid = (nb, nl)
-    out = pl.pallas_call(
+    out, edges = pl.pallas_call(
         functools.partial(_kernel, caller=caller),
         grid=grid,
         in_specs=[
@@ -280,10 +293,19 @@ def classify_stat_pallas(
                 (tile_b, tile_l), lambda i, j: (i, j), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (tile_b, N_STATS), lambda i, j: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, N_STATS), jnp.int32),
+        out_specs=[
+            pl.BlockSpec(
+                (tile_b, N_STATS), lambda i, j: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_b, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N_STATS), jnp.int32),
+            jax.ShapeDtypeStruct((B, 128 * nl), jnp.int32),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=12 * B * L, bytes_accessed=2 * B * L + 4 * B * N_STATS,
@@ -295,13 +317,13 @@ def classify_stat_pallas(
     if nl > 1:
         # cross-tile run-boundary corrections: a run continuing across a
         # tile edge was double-counted as a start inside the kernel.  The
-        # boundary columns are a [B, nl-1] strided gather -- O(B * nl)
-        # work vs the kernel's O(B * L).
-        edge = jnp.arange(1, nl) * tile_l
-        last_cat = _classify(t[:, edge - 1], q[:, edge - 1], caller).astype(
-            jnp.int32
-        )
-        first_cat = _classify(t[:, edge], q[:, edge], caller).astype(jnp.int32)
+        # boundary categories come from the kernel's tiny edge side
+        # output -- gathering the edge columns from the full [B, L] HBM
+        # arrays here cost ~35% of the whole call at L=4M
+        # (scripts/bench_split.py, 2026-08-17).
+        e3 = edges.reshape(B, nl, 128)
+        last_cat = e3[:, :-1, 1]
+        first_cat = e3[:, 1:, 0]
         cont = last_cat == first_cat
         corr = corr.at[:, STAT_RUNS].add(
             jnp.sum(cont, axis=1, dtype=jnp.int32)
