@@ -18,7 +18,7 @@ sys.path.insert(0, "/root/repo")
 
 from wgatools_tpu.ops.classify import classify_stat_pallas  # noqa: E402
 
-SHAPES = [(8, 32768), (16, 32768), (32, 32768), (8, 16384), (4, 32768)]
+SHAPES = [(8, 32768), (16, 32768), (32, 32768), (8, 16384)]
 
 
 def main():

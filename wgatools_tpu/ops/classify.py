@@ -244,9 +244,12 @@ def _kernel(t_ref, q_ref, out_ref, edge_ref, *, caller=False):
     jax.jit, static_argnames=("tile_b", "tile_l", "interpret", "caller")
 )
 def classify_stat_pallas(
-    t, q, lengths, tile_b=8, tile_l=32768, interpret=False, caller=False
+    t, q, lengths, tile_b=32, tile_l=32768, interpret=False, caller=False
 ):
     """Pallas TPU kernel.  t, q: uint8 [B, L]; lengths: int32 [B].
+
+    Tile default (32, 32768): beat (8, 32768) ~14% and (8, 16384) ~23%
+    in the same-process sweep (scripts/ab_classify_tiles.py, 2026-08-17).
 
     CONTRACT: padding bytes (columns >= lengths[b]) must be '-' in both t
     and q (pack_pairs guarantees this).  Padding columns classify as '='
