@@ -68,24 +68,39 @@ def main():
         q_d = jax.device_put(jnp.asarray(q), sh)
         l_d = jax.device_put(jnp.asarray(lens), sh1)
 
-        # jit once per mesh (re-tracing shard_map per call costs more than
-        # the kernel) and force a host-fetched checksum per timed batch
-        # (block_until_ready on remote axon buffers can resolve before
-        # execution -- bench.py methodology)
-        step = jax.jit(
-            lambda a, b, c: jnp.sum(sharded_column_stats(mesh, a, b, c))
-        )
+        # the WHOLE iteration batch is ONE dispatch: a jitted lax.fori_loop
+        # runs the sharded step per iteration on device, feeding each
+        # checksum into the next iteration's input (nothing is
+        # loop-invariant, nothing can be elided) and ends with one host
+        # fetch.  Python-dispatched per-call loops measure the remote
+        # tunnel's ~2-3 ms enqueue cost instead of the kernel once the
+        # kernel is fast (observed 10 vs 270+ Gcol/s on the same config).
+        import functools
+
+        from jax import lax
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def run_iters(t, q, l, iters):
+            def body(_, carry):
+                t, acc = carry
+                acc = acc + jnp.sum(sharded_column_stats(mesh, t, q, l))
+                t = t.at[0, 0].set(
+                    (acc & 3).astype(jnp.uint8) + jnp.uint8(65)
+                )
+                return (t, acc)
+
+            _, acc = lax.fori_loop(0, iters, body, (t, jnp.int32(0)))
+            return acc
 
         def run(iters):
             t0 = time.perf_counter()
-            outs = [step(t_d, q_d, l_d) for _ in range(iters)]
-            assert int(np.asarray(jnp.stack(outs).sum())) != 0
+            assert int(np.asarray(run_iters(t_d, q_d, l_d, iters))) != 0
             return time.perf_counter() - t0
 
         run(1)
         run(args.iters)
-        lo = min(run(1) for _ in range(2))
-        hi = min(run(args.iters) for _ in range(2))
+        lo = min(run(1) for _ in range(3))
+        hi = min(run(args.iters) for _ in range(3))
         # marginal rate with a physical-bound fallback (bench.py): ambient
         # load on the shared chip can make hi-lo collapse to noise
         marginal = (
