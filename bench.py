@@ -52,6 +52,7 @@ def main():
     from wgatools_tpu.ops.classify import (
         classify_stat_jnp,
         classify_stat_pallas,
+        classify_stat_pallas_words,
     )
     from wgatools_tpu.ops.liftover import liftover_scan
 
@@ -74,6 +75,10 @@ def main():
     q0 = alphabet[rng.integers(0, 5, size=(B, L))]
     t_d = jax.device_put(jnp.asarray(t0))
     q_d = jax.device_put(jnp.asarray(q0))
+    # word-packed views for the production SWAR kernel (zero-copy on host;
+    # the device-side bitcast lowers catastrophically, ops/classify.py)
+    tw_d = jax.device_put(jnp.asarray(t0.view("<i4")))
+    qw_d = jax.device_put(jnp.asarray(q0.view("<i4")))
 
     # matching op tables for the liftover stage: each record's op lengths
     # sum to L (same column volume as the byte tiles).  Mean run length 32
@@ -86,21 +91,26 @@ def main():
     )
     ln_d = jax.device_put(jnp.asarray(np.full((B, N_OPS), 32, np.int32)))
 
-    kernel = classify_stat_pallas if on_tpu else classify_stat_jnp
+    if on_tpu:
+        # production path: word-packed SWAR kernel (211 vs 121 Gcol/s for
+        # the byte kernel, scripts/ab_swar.py)
+        kernel = lambda tw, qw: classify_stat_pallas_words(tw, qw, lens_d)
+    else:
+        kernel = lambda tw, qw: classify_stat_jnp(tw, qw, lens_d)
 
     import functools
 
     @functools.partial(jax.jit, static_argnames=("iters",))
     def run_iters(t, q, o, ln, iters):
         """`iters` classify+liftover rounds in ONE dispatch.  The checksum
-        feeds one sequence byte and one op length of the NEXT iteration,
+        feeds one sequence word and one op length of the NEXT iteration,
         so nothing is loop-invariant and nothing can be elided; strided
         slices keep the per-iteration reduction from re-reading all 64 MB
         of offsets."""
 
         def body(_, carry):
             t, ln, acc = carry
-            stats = kernel(t, q, lens_d)
+            stats = kernel(t, q)
             t_off, q_off = liftover_scan(o, ln)
             acc = (
                 acc
@@ -108,7 +118,13 @@ def main():
                 + jnp.sum(t_off[:, ::1024])
                 + jnp.sum(q_off[:, ::1024])
             )
-            t = t.at[0, 0].set((acc & 3).astype(jnp.uint8) + jnp.uint8(65))
+            if on_tpu:
+                # byte0 stays a valid base letter (A..D)
+                t = t.at[0, 0].set(jnp.int32(0x41414141) + (acc & 3))
+            else:
+                t = t.at[0, 0].set(
+                    (acc & 3).astype(jnp.uint8) + jnp.uint8(65)
+                )
             ln = ln.at[0, 0].set(jnp.int32(1) + (acc & 7))
             return (t, ln, acc)
 
@@ -131,6 +147,12 @@ def main():
             f"pallas:\n{got[:4]}\njnp:\n{want[:4]}"
         )
         print("on-chip pallas==jnp parity gate: OK", file=sys.stderr)
+        got_w = np.asarray(classify_stat_pallas_words(tw_d, qw_d, lens_d))
+        assert np.array_equal(got_w, want), (
+            "on-chip words-kernel mismatch:\n"
+            f"words:\n{got_w[:4]}\njnp:\n{want[:4]}"
+        )
+        print("on-chip words==jnp parity gate: OK", file=sys.stderr)
         # same-chip shard_map∘pallas A/B: the multi-chip production path
         # (parallel.mesh.sharded_column_stats) on a 1-device mesh must
         # reproduce the direct kernel output
@@ -151,7 +173,8 @@ def main():
         liftover over the same column volume: one dispatch, one forced
         host fetch of the accumulated checksum."""
         start = time.perf_counter()
-        checksum = int(np.asarray(run_iters(t_d, q_d, o_d, ln_d, iters)))
+        a, b = (tw_d, qw_d) if on_tpu else (t_d, q_d)
+        checksum = int(np.asarray(run_iters(a, b, o_d, ln_d, iters)))
         assert checksum != 0
         return time.perf_counter() - start
 

@@ -7,9 +7,12 @@ import numpy as np
 import pytest
 
 from wgatools_tpu.core import cigar as C
+import jax.numpy as jnp
+
 from wgatools_tpu.ops.classify import (
     classify_stat_jnp,
     classify_stat_pallas,
+    classify_stat_pallas_words,
     pack_pairs,
     STAT_MATCHED,
     STAT_RUNS,
@@ -254,3 +257,44 @@ def test_kernel_soak(trial):
         ),
         expect,
     )
+
+
+def _words(a):
+    return jnp.asarray(np.ascontiguousarray(a).view("<i4"))
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("caller", [False, True])
+def test_classify_stat_words_vs_jnp(seed, caller):
+    """Word-packed SWAR kernel == jnp on random ragged batches, both
+    category tables, including cross-tile runs and padded rows."""
+    pairs = _random_pairs(6, 900, seed)
+    pairs.append((b"AC--G" + b"-" * 300, b"AC--G" + b"-" * 300))
+    t, q, lens = pack_pairs(pairs, align=256)
+    want = np.array(classify_stat_jnp(t, q, lens, caller=caller))
+    got = np.array(
+        classify_stat_pallas_words(
+            _words(t), _words(q), jnp.asarray(lens),
+            tile_b=2, tile_lw=64, interpret=True, caller=caller,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_classify_stat_words_tile_boundaries():
+    """Runs spanning word AND tile boundaries count once; trailing-padding
+    merge logic sees the true last column inside a word."""
+    # '=' run crossing a word boundary, D run crossing a tile boundary,
+    # record ending mid-word with a non-'=' last column
+    t = b"A" * 258 + b"C" * 254 + b"G" * 3
+    q = b"A" * 258 + b"-" * 254 + b"T" * 3
+    pairs = [(t, q), (b"AAAA", b"AAAA"), (b"ACG", b"AC-")]
+    tb, qb, lens = pack_pairs(pairs, align=256)
+    want = np.array(classify_stat_jnp(tb, qb, lens))
+    got = np.array(
+        classify_stat_pallas_words(
+            _words(tb), _words(qb), jnp.asarray(lens),
+            tile_b=1, tile_lw=64, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, want)

@@ -364,17 +364,257 @@ def classify_stat_pallas(
     return result
 
 
+# ---------------------------------------------------------------------------
+# Word-packed (SWAR) variant: inputs arrive as little-endian int32 words
+# (4 columns per lane).  Every elementwise op covers 4 columns and NO
+# u8->i32 widening relayouts happen at all: 211 vs 121 Gcol/s same-process
+# vs the byte kernel (scripts/ab_swar.py, 2026-08-17).  The words MUST be
+# produced by a zero-copy host view (numpy `.view('<i4')`) -- a device-side
+# bitcast of the byte tensor lowers catastrophically (6.9 Gcol/s measured)
+# and defeats the point.
+# ---------------------------------------------------------------------------
+
+_HI32 = int(np.int32(np.uint32(0x80808080)))
+_GAPW32 = int(np.int32(np.uint32(0x2D2D2D2D)))  # '----' as one LE word
+
+
+def _kernel_words(t_ref, q_ref, out_ref, edge_ref, *, caller=False):
+    """SWAR body: one (TB, TLW) int32 word tile -> [TB, 8] + edge slot.
+
+    Per-byte indicators ride the high bit of each byte (nonzero-byte
+    trick); per-word counts come from a 0x01010101 multiply (beats the
+    shift-add ladder 211 vs 177 Gcol/s); reductions use the same 16-bit
+    field packing as the byte kernel.  Run boundaries diff a per-byte
+    2-bit (3-bit in caller mode) category word against its 1-byte shift
+    with the previous word's top byte carried via pltpu.roll."""
+    j = pl.program_id(1)
+    tw = t_ref[:]
+    qw = q_ref[:]
+    HI = jnp.int32(_HI32)
+
+    def lsr(x, k):
+        return jax.lax.shift_right_logical(x, jnp.int32(k))
+
+    def nz_hi(x):
+        y = (x & jnp.int32(0x7F7F7F7F)) + jnp.int32(0x7F7F7F7F)
+        return (y | x) & HI
+
+    eq_hi = HI & ~nz_hi(tw ^ qw)
+    ti_hi = HI & ~nz_hi(tw ^ jnp.int32(_GAPW32))
+    qi_hi = HI & ~nz_hi(qw ^ jnp.int32(_GAPW32))
+    gg_hi = ti_hi & qi_hi
+    if caller:
+        # caller table (cigar.rs:314-328): gap/gap -> W (code 4)
+        i_hi = ti_hi & ~qi_hi
+        d_hi = qi_hi & ~ti_hi
+        x_hi = HI & ~eq_hi & ~ti_hi & ~qi_hi
+        is_eq_hi = eq_hi & ~ti_hi
+        catw = (
+            lsr(x_hi, 7)
+            | lsr(i_hi, 6)
+            | (lsr(d_hi, 6) | lsr(d_hi, 7))
+            | lsr(gg_hi, 5)
+        )
+    else:
+        ne = HI & ~eq_hi
+        i_hi = ti_hi & ne
+        d_hi = qi_hi & ~ti_hi & ne
+        x_hi = ne & ~ti_hi & ~qi_hi
+        is_eq_hi = eq_hi
+        catw = lsr(x_hi, 7) | lsr(i_hi, 6) | (lsr(d_hi, 6) | lsr(d_hi, 7))
+    carried = lsr(pltpu.roll(catw, 1, axis=1), 24) & jnp.int32(0xFF)
+    prevw = (catw << 8) | carried
+    diff = catw ^ prevw
+    first_word = jax.lax.broadcasted_iota(jnp.int32, tw.shape, 1) == 0
+    # force a run start at byte0 of word0 (column 0 of the tile row)
+    diff = diff | jnp.where(first_word, jnp.int32(0x80), jnp.int32(0))
+    rs_hi = nz_hi(diff)
+
+    def cnt(m):
+        # per-word count (0..4) of set high bits in an 0x80-mask
+        return lsr(lsr(m, 7) * jnp.int32(0x01010101), 24)
+
+    f0 = cnt(is_eq_hi) + (cnt(x_hi) << 16)
+    f1 = cnt(i_hi) + (cnt(d_hi) << 16)
+    f2 = cnt(i_hi & rs_hi) + (cnt(d_hi & rs_hi) << 16)
+    f3 = cnt(gg_hi) + (cnt(rs_hi) << 16)
+    i32 = jnp.int32
+    s0 = jnp.sum(f0, axis=1, dtype=i32)
+    s1 = jnp.sum(f1, axis=1, dtype=i32)
+    s2 = jnp.sum(f2, axis=1, dtype=i32)
+    s3 = jnp.sum(f3, axis=1, dtype=i32)
+    mask = jnp.int32(0xFFFF)
+    stats = jnp.stack(
+        [
+            (s0 & mask),
+            (s0 >> 16) & mask,
+            (s1 & mask),
+            (s1 >> 16) & mask,
+            (s2 & mask),
+            (s2 >> 16) & mask,
+            (s3 & mask),
+            (s3 >> 16) & mask,
+        ],
+        axis=1,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += stats
+    LW = tw.shape[1]
+    pad_lanes = jnp.zeros((tw.shape[0], 126), jnp.int32)
+    edge_ref[:] = jnp.concatenate(
+        [
+            catw[:, 0:1] & jnp.int32(0xFF),
+            lsr(catw[:, LW - 1 : LW], 24),
+            pad_lanes,
+        ],
+        axis=1,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_b", "tile_lw", "interpret", "caller")
+)
+def classify_stat_pallas_words(
+    tw, qw, lengths, tile_b=32, tile_lw=8192, interpret=False, caller=False
+):
+    """Word-packed Pallas kernel.  tw, qw: int32 [B, L//4] little-endian
+    words of the byte tensors (host `.view('<i4')` -- zero copy); lengths:
+    int32 [B] in COLUMNS.  Identical output to classify_stat_pallas /
+    classify_stat_jnp (tested).
+
+    Same padding contract as the byte kernel: bytes at columns >=
+    lengths[b] must be '-' in both inputs.
+    """
+    B, LW = tw.shape
+    tile_b = min(tile_b, B)
+    tile_lw = min(tile_lw, LW)
+    # per-tile column counts (4 per word) must fit the 16-bit fields
+    assert tile_lw * 4 < (1 << 16), "tile_lw*4 must be < 2^16"
+    gapw = jnp.int32(_GAPW32)
+    if LW % tile_lw:
+        LW2 = ((LW + tile_lw - 1) // tile_lw) * tile_lw
+        tw = jnp.pad(tw, ((0, 0), (0, LW2 - LW)), constant_values=gapw)
+        qw = jnp.pad(qw, ((0, 0), (0, LW2 - LW)), constant_values=gapw)
+        LW = LW2
+    if B % tile_b:
+        B2 = ((B + tile_b - 1) // tile_b) * tile_b
+        tw = jnp.pad(tw, ((0, B2 - B), (0, 0)), constant_values=gapw)
+        qw = jnp.pad(qw, ((0, B2 - B), (0, 0)), constant_values=gapw)
+        lengths = jnp.pad(lengths, (0, B2 - B))
+        pad_rows = B2 - B
+        B = B2
+    else:
+        pad_rows = 0
+    L = 4 * LW
+    nb = pl.cdiv(B, tile_b)
+    nl = pl.cdiv(LW, tile_lw)
+
+    out, edges = pl.pallas_call(
+        functools.partial(_kernel_words, caller=caller),
+        grid=(nb, nl),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_b, tile_lw), lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_b, tile_lw), lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile_b, N_STATS), lambda i, j: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_b, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N_STATS), jnp.int32),
+            jax.ShapeDtypeStruct((B, 128 * nl), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=14 * B * LW, bytes_accessed=8 * B * LW + 4 * B * N_STATS,
+            transcendentals=0,
+        ),
+    )(tw, qw)
+
+    corr = jnp.zeros((B, N_STATS), dtype=jnp.int32)
+    if nl > 1:
+        e3 = edges.reshape(B, nl, 128)
+        last_cat = e3[:, :-1, 1]
+        first_cat = e3[:, 1:, 0]
+        cont = last_cat == first_cat
+        corr = corr.at[:, STAT_RUNS].add(
+            jnp.sum(cont, axis=1, dtype=jnp.int32)
+        )
+        corr = corr.at[:, STAT_INS_EVENT].add(
+            jnp.sum(cont & (first_cat == I), axis=1, dtype=jnp.int32)
+        )
+        corr = corr.at[:, STAT_DEL_EVENT].add(
+            jnp.sum(cont & (first_cat == D), axis=1, dtype=jnp.int32)
+        )
+
+    pad = (L - lengths).astype(jnp.int32)
+    if not caller:
+        corr = corr.at[:, STAT_MATCHED].add(pad)
+    corr = corr.at[:, STAT_GAPGAP].add(pad)
+    # last real column's bytes, extracted from the words
+    last_idx = jnp.maximum(lengths - 1, 0)
+    widx = last_idx // 4
+    shift = ((last_idx % 4) * 8).astype(jnp.int32)
+    wv_t = jnp.take_along_axis(tw, widx[:, None], axis=1)[:, 0]
+    wv_q = jnp.take_along_axis(qw, widx[:, None], axis=1)[:, 0]
+    bt = jax.lax.shift_right_logical(wv_t, shift) & jnp.int32(0xFF)
+    bq = jax.lax.shift_right_logical(wv_q, shift) & jnp.int32(0xFF)
+    last_real_cat = _classify(bt, bq, caller).astype(jnp.int32)
+    has_pad = lengths < L
+    merged = (lengths > 0) & (last_real_cat == (W if caller else EQ))
+    corr = corr.at[:, STAT_RUNS].add(
+        jnp.where(has_pad & ~merged, 1, 0).astype(jnp.int32)
+    )
+    result = out - corr
+    if pad_rows:
+        result = result[:-pad_rows]
+    return result
+
+
 def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
 def column_stats(t, q, lengths, use_pallas=None, caller=False):
-    """Dispatch: Pallas on TPU, jnp elsewhere.  Arrays may be numpy."""
+    """Dispatch: Pallas on TPU, jnp elsewhere.  Arrays may be numpy.
+
+    Host numpy byte inputs take the word-packed kernel via a zero-copy
+    little-endian view (1.75x the byte kernel; see _kernel_words)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if (
+        use_pallas
+        and jax.default_backend() == "tpu"
+        and isinstance(t, np.ndarray)
+        and isinstance(q, np.ndarray)
+        and t.dtype == np.uint8
+        and q.dtype == np.uint8
+        and t.flags.c_contiguous
+        and q.flags.c_contiguous
+        and t.shape[1] % 4 == 0
+    ):
+        tw = jnp.asarray(t.view("<i4"))
+        qw = jnp.asarray(q.view("<i4"))
+        lengths = jnp.asarray(lengths, dtype=jnp.int32)
+        return classify_stat_pallas_words(tw, qw, lengths, caller=caller)
     t = jnp.asarray(t, dtype=jnp.uint8)
     q = jnp.asarray(q, dtype=jnp.uint8)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         return classify_stat_pallas(t, q, lengths, caller=caller)
     return classify_stat_jnp(t, q, lengths, caller=caller)
