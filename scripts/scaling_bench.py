@@ -64,8 +64,9 @@ def main():
         mesh = make_mesh(n_dev)
         sh = NamedSharding(mesh, P(RECORDS_AXIS, None))
         sh1 = NamedSharding(mesh, P(RECORDS_AXIS))
-        t_d = jax.device_put(jnp.asarray(t), sh)
-        q_d = jax.device_put(jnp.asarray(q), sh)
+        # word-packed host views: the fast SWAR kernel path (ops.classify)
+        t_d = jax.device_put(jnp.asarray(t.view("<i4")), sh)
+        q_d = jax.device_put(jnp.asarray(q.view("<i4")), sh)
         l_d = jax.device_put(jnp.asarray(lens), sh1)
 
         # the WHOLE iteration batch is ONE dispatch: a jitted lax.fori_loop
@@ -84,9 +85,7 @@ def main():
             def body(_, carry):
                 t, acc = carry
                 acc = acc + jnp.sum(sharded_column_stats(mesh, t, q, l))
-                t = t.at[0, 0].set(
-                    (acc & 3).astype(jnp.uint8) + jnp.uint8(65)
-                )
+                t = t.at[0, 0].set(jnp.int32(0x41414141) + (acc & 3))
                 return (t, acc)
 
             _, acc = lax.fori_loop(0, iters, body, (t, jnp.int32(0)))

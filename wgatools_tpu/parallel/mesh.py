@@ -48,14 +48,38 @@ def sharded_column_stats(mesh: Mesh, t, q, lengths, use_pallas=None):
     mode or falls back to the fused-jnp implementation.  Both bodies are
     bit-identical (tested), so multi-chip runs use the same production
     kernel the single-chip path does.
+
+    int32 inputs are treated as word-packed byte tensors (4 columns per
+    lane, host `.view('<i4')` -- see ops.classify._kernel_words) and run
+    the faster SWAR kernel; lengths stay in columns.
     """
+    words = t.dtype == jnp.int32
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         interpret = jax.default_backend() != "tpu"
 
+        if words:
+            from ..ops.classify import classify_stat_pallas_words
+
+            def body(ts, qs, ls):
+                return classify_stat_pallas_words(
+                    ts, qs, ls, interpret=interpret
+                )
+
+        else:
+
+            def body(ts, qs, ls):
+                return classify_stat_pallas(ts, qs, ls, interpret=interpret)
+
+    elif words:
+
         def body(ts, qs, ls):
-            return classify_stat_pallas(ts, qs, ls, interpret=interpret)
+            # unpack words back to bytes for the jnp reference body
+            B, LW = ts.shape
+            tb = jax.lax.bitcast_convert_type(ts, jnp.uint8).reshape(B, -1)
+            qb = jax.lax.bitcast_convert_type(qs, jnp.uint8).reshape(B, -1)
+            return classify_stat_jnp(tb, qb, ls)
 
     else:
         body = classify_stat_jnp
