@@ -37,6 +37,59 @@ def _advances(ops, lens):
     return adv_t, adv_q
 
 
+def _advances_1w(ops, lens):
+    # single widen, constant compares (classify v2 lesson)
+    o32 = ops.astype(jnp.int32)
+    pad = o32 == 0
+    is_i = o32 == OP_I
+    is_s = o32 == OP_S
+    is_d = o32 == OP_D
+    adv_t = jnp.where(pad | is_i | is_s, 0, lens)
+    adv_q = jnp.where(pad | is_d, 0, lens)
+    return adv_t, adv_q
+
+
+def _kernel_l1b(ops_ref, lens_ref, tri_ref, t_ref, q_ref, carry_ref):
+    """l1 with single-widen advance selection."""
+    j = pl.program_id(1)
+    adv_t, adv_q = _advances_1w(ops_ref[:], lens_ref[:])
+    tri_x = tri_ref[:]
+    TL = adv_t.shape[1]
+    i32 = jnp.int32
+
+    stacked = jnp.concatenate(
+        [
+            (adv_t & 0xFF).astype(jnp.bfloat16),
+            (adv_t >> 8).astype(jnp.bfloat16),
+            (adv_q & 0xFF).astype(jnp.bfloat16),
+            (adv_q >> 8).astype(jnp.bfloat16),
+        ],
+        axis=0,
+    )
+    s = jax.lax.dot_general(
+        stacked, tri_x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(i32)
+    TB = adv_t.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    carry = carry_ref[:]
+    ex_t = s[:TB] + (s[TB : 2 * TB] << 8) + carry[:, 0:1]
+    ex_q = s[2 * TB : 3 * TB] + (s[3 * TB :] << 8) + carry[:, 1:2]
+    t_ref[:] = ex_t
+    q_ref[:] = ex_q
+    carry_ref[:] = jnp.concatenate(
+        [
+            ex_t[:, TL - 1 : TL] + adv_t[:, TL - 1 : TL],
+            ex_q[:, TL - 1 : TL] + adv_q[:, TL - 1 : TL],
+        ],
+        axis=1,
+    )
+
+
 def _kernel_l1(ops_ref, lens_ref, tri_ref, t_ref, q_ref, carry_ref):
     """One stacked (4*TB, TL) x (TL, TL) matmul per tile."""
     j = pl.program_id(1)
@@ -195,11 +248,11 @@ def build(B, N, interpret=False):
     calls["l2_2level"] = make_call(
         functools.partial(_kernel_l2, c=128), B, N, 32, 512, 128, interpret
     )
-    calls["l2_c256_512"] = make_call(
-        functools.partial(_kernel_l2, c=256), B, N, 32, 512, 256, interpret
+    calls["l1b_1widen"] = make_call(
+        _kernel_l1b, B, N, 32, 512, 512, interpret
     )
-    calls["l2_tb64"] = make_call(
-        functools.partial(_kernel_l2, c=128), B, N, 32, 512, 128, interpret
+    calls["l1b_1024"] = make_call(
+        _kernel_l1b, B, N, 32, 1024, 1024, interpret
     )
     return calls
 
