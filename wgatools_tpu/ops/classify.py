@@ -316,14 +316,34 @@ def classify_stat_pallas(
         ),
     )(t, q)
 
+    last_idx = jnp.maximum(lengths - 1, 0)
+    last_real_cat = _classify(
+        jnp.take_along_axis(t, last_idx[:, None], axis=1),
+        jnp.take_along_axis(q, last_idx[:, None], axis=1),
+        caller,
+    )[:, 0].astype(jnp.int32)
+    return _finish_stats(
+        out, edges, nl, L, lengths, last_real_cat, caller, pad_rows
+    )
+
+
+def _finish_stats(out, edges, nl, L, lengths, last_real_cat, caller, pad_rows):
+    """Exact tile-boundary + padding corrections shared by the byte and
+    word kernels.
+
+    Cross-tile: a run continuing across a tile edge was double-counted as
+    a start inside the kernel; the boundary categories come from the
+    kernel's tiny edge side output (gathering the edge columns from the
+    full [B, L] HBM arrays instead cost ~35% of the whole call at L=4M,
+    scripts/bench_split.py 2026-08-17).
+
+    Padding: columns >= len are '-'/'-' => gap/gap, which classifies '='
+    in ext mode (also counted in matched) and W in caller mode (gapgap
+    only); the padding run is one extra run unless it merged with a
+    trailing real run of the padding's category."""
+    B = out.shape[0]
     corr = jnp.zeros((B, N_STATS), dtype=jnp.int32)
     if nl > 1:
-        # cross-tile run-boundary corrections: a run continuing across a
-        # tile edge was double-counted as a start inside the kernel.  The
-        # boundary categories come from the kernel's tiny edge side
-        # output -- gathering the edge columns from the full [B, L] HBM
-        # arrays here cost ~35% of the whole call at L=4M
-        # (scripts/bench_split.py, 2026-08-17).
         e3 = edges.reshape(B, nl, 128)
         last_cat = e3[:, :-1, 1]
         first_cat = e3[:, 1:, 0]
@@ -338,21 +358,10 @@ def classify_stat_pallas(
             jnp.sum(cont & (first_cat == D), axis=1, dtype=jnp.int32)
         )
 
-    # padding corrections: columns >= len are '-'/'-' => gap/gap, which
-    # classifies '=' in ext mode (also counted in matched) and W in
-    # caller mode (gapgap only)
     pad = (L - lengths).astype(jnp.int32)
     if not caller:
         corr = corr.at[:, STAT_MATCHED].add(pad)
     corr = corr.at[:, STAT_GAPGAP].add(pad)
-    # the padding run is one extra run unless it merged with a trailing
-    # real run of the padding's category (or the row has no padding)
-    last_idx = jnp.maximum(lengths - 1, 0)
-    last_real_cat = _classify(
-        jnp.take_along_axis(t, last_idx[:, None], axis=1),
-        jnp.take_along_axis(q, last_idx[:, None], axis=1),
-        caller,
-    )[:, 0].astype(jnp.int32)
     has_pad = lengths < L
     merged = (lengths > 0) & (last_real_cat == (W if caller else EQ))
     corr = corr.at[:, STAT_RUNS].add(
@@ -546,26 +555,6 @@ def classify_stat_pallas_words(
         ),
     )(tw, qw)
 
-    corr = jnp.zeros((B, N_STATS), dtype=jnp.int32)
-    if nl > 1:
-        e3 = edges.reshape(B, nl, 128)
-        last_cat = e3[:, :-1, 1]
-        first_cat = e3[:, 1:, 0]
-        cont = last_cat == first_cat
-        corr = corr.at[:, STAT_RUNS].add(
-            jnp.sum(cont, axis=1, dtype=jnp.int32)
-        )
-        corr = corr.at[:, STAT_INS_EVENT].add(
-            jnp.sum(cont & (first_cat == I), axis=1, dtype=jnp.int32)
-        )
-        corr = corr.at[:, STAT_DEL_EVENT].add(
-            jnp.sum(cont & (first_cat == D), axis=1, dtype=jnp.int32)
-        )
-
-    pad = (L - lengths).astype(jnp.int32)
-    if not caller:
-        corr = corr.at[:, STAT_MATCHED].add(pad)
-    corr = corr.at[:, STAT_GAPGAP].add(pad)
     # last real column's bytes, extracted from the words
     last_idx = jnp.maximum(lengths - 1, 0)
     widx = last_idx // 4
@@ -575,15 +564,9 @@ def classify_stat_pallas_words(
     bt = jax.lax.shift_right_logical(wv_t, shift) & jnp.int32(0xFF)
     bq = jax.lax.shift_right_logical(wv_q, shift) & jnp.int32(0xFF)
     last_real_cat = _classify(bt, bq, caller).astype(jnp.int32)
-    has_pad = lengths < L
-    merged = (lengths > 0) & (last_real_cat == (W if caller else EQ))
-    corr = corr.at[:, STAT_RUNS].add(
-        jnp.where(has_pad & ~merged, 1, 0).astype(jnp.int32)
+    return _finish_stats(
+        out, edges, nl, L, lengths, last_real_cat, caller, pad_rows
     )
-    result = out - corr
-    if pad_rows:
-        result = result[:-pad_rows]
-    return result
 
 
 def _default_interpret() -> bool:
