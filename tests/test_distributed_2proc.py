@@ -445,3 +445,98 @@ def test_two_process_distributed_call_cli(tmp_path):
     assert outs[0][1] == serial
     assert outs[1][1] == b""
     assert b"##contig" in serial and serial.count(b"\n") > 20
+
+
+def _run_dist_cli(argv, tmp_env_extra=None, timeout=200):
+    """Run the same CLI command in 2 coordinated processes; returns
+    [(rc, stdout, stderr)] in pid order."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            PYTHONPATH="",
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            WGA_TPU_DIST="1",
+            **(tmp_env_extra or {}),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "wgatools_tpu", *argv],
+                env=env,
+                cwd=repo,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    return outs
+
+
+def _serial_cli(argv):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return subprocess.run(
+        [sys.executable, "-m", "wgatools_tpu", *argv],
+        check=True,
+        cwd=repo,
+        env=dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu"),
+        capture_output=True,
+    ).stdout
+
+
+def test_two_process_distributed_maf2paf_cli(tmp_path):
+    """Distributed maf2paf: contiguous record ranges, gathered chunks;
+    process 0's stdout byte-identical to the serial tool."""
+    from conftest import fixture_path
+
+    src = open(fixture_path("test.maf"), "rb").read()
+    header, _, body = src.partition(b"\n")
+    body2 = body.replace(b"ref.chr8", b"ref.chr9").replace(
+        b"query.chr8", b"query.chr9"
+    )
+    maf = tmp_path / "m.maf"
+    maf.write_bytes(header + b"\n" + body + body2 + body)
+    serial = _serial_cli(["maf2paf", str(maf)])
+    outs = _run_dist_cli(["maf2paf", str(maf)])
+    for rc, _, err in outs:
+        assert rc == 0, err.decode()
+    assert outs[0][1] == serial
+    assert outs[1][1] == b""
+
+
+def test_two_process_distributed_converters_cli(tmp_path):
+    """Distributed paf2chain and chain2paf: byte-identical to serial,
+    chain ids continuing the serial numbering across process ranges."""
+    from conftest import fixture_path
+
+    paf_src = open(fixture_path("testdotplot.paf"), "rb").read()
+    paf = tmp_path / "d.paf"
+    paf.write_bytes(paf_src * 3)
+    serial_chain = _serial_cli(["paf2chain", str(paf)])
+    outs = _run_dist_cli(["paf2chain", str(paf)])
+    for rc, _, err in outs:
+        assert rc == 0, err.decode()
+    assert outs[0][1] == serial_chain
+    assert outs[1][1] == b""
+
+    chain = tmp_path / "d.chain"
+    chain.write_bytes(serial_chain)
+    serial_paf = _serial_cli(["chain2paf", str(chain)])
+    outs = _run_dist_cli(["chain2paf", str(chain)])
+    for rc, _, err in outs:
+        assert rc == 0, err.decode()
+    assert outs[0][1] == serial_paf
+    assert outs[1][1] == b""

@@ -223,7 +223,17 @@ def dispatch(args):
         from .parallel.host_pool import is_plain_seekable, parallel_maf2paf
         from .tools.convert import maf2paf
 
-        if args.threads > 1 and is_plain_seekable(args.input):
+        from .parallel.dist_tools import dist_requested
+
+        if dist_requested() and is_plain_seekable(args.input):
+            from .parallel.dist_tools import distributed_maf2paf
+            from .parallel.distributed import maybe_initialize_distributed
+
+            maybe_initialize_distributed()
+            distributed_maf2paf(
+                args.input, open_output(out, rw), args.query_name
+            )
+        elif args.threads > 1 and is_plain_seekable(args.input):
             parallel_maf2paf(
                 args.input, open_output(out, rw), args.threads, args.query_name
             )
@@ -260,7 +270,15 @@ def dispatch(args):
         from .parallel.host_pool import is_plain_seekable, parallel_paf2chain
         from .tools.convert import paf2chain
 
-        if args.threads > 1 and is_plain_seekable(args.input):
+        from .parallel.dist_tools import dist_requested
+
+        if dist_requested() and is_plain_seekable(args.input):
+            from .parallel.dist_tools import distributed_paf2chain
+            from .parallel.distributed import maybe_initialize_distributed
+
+            maybe_initialize_distributed()
+            distributed_paf2chain(args.input, open_output(out, rw))
+        elif args.threads > 1 and is_plain_seekable(args.input):
             parallel_paf2chain(args.input, open_output(out, rw), args.threads)
         else:
             paf2chain(PafReader(open_input(args.input)), open_output(out, rw))
@@ -277,7 +295,15 @@ def dispatch(args):
         from .parallel.host_pool import is_plain_seekable, parallel_chain2paf
         from .tools.convert import chain2paf
 
-        if args.threads > 1 and is_plain_seekable(args.input):
+        from .parallel.dist_tools import dist_requested
+
+        if dist_requested() and is_plain_seekable(args.input):
+            from .parallel.dist_tools import distributed_chain2paf
+            from .parallel.distributed import maybe_initialize_distributed
+
+            maybe_initialize_distributed()
+            distributed_chain2paf(args.input, open_output(out, rw))
+        elif args.threads > 1 and is_plain_seekable(args.input):
             parallel_chain2paf(args.input, open_output(out, rw), args.threads)
         else:
             chain2paf(ChainReader(open_input(args.input)), open_output(out, rw))

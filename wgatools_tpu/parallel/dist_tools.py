@@ -372,3 +372,91 @@ def distributed_call_maf(
     for _, body in merged:
         writer.write(body)
     writer.flush()
+
+
+def _merge_chunks_to(writer, payloads, pid):
+    """Process 0 writes the gathered byte chunks in process (= file) order."""
+    if pid != 0:
+        return
+    for chunk in payloads:
+        writer.write(chunk)
+    writer.flush()
+
+
+def distributed_maf2paf(path, writer, query_name=None):
+    """Multi-process `maf2paf`: contiguous record ranges from the raw
+    offset scan (every process derives the same manifest), local PAF
+    rendering, allgather, process 0 concatenates in range (= file) order.
+    Byte-identical to the serial tool."""
+    import jax
+
+    from ..io.maf import MafReader
+    from .host_pool import _ranges, maf_record_offsets
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    offsets = maf_record_offsets(path)
+    ranges = _ranges(len(offsets), nproc) if offsets else []
+
+    out = io.BytesIO()
+    if pid < len(ranges):
+        lo, hi = ranges[pid]
+        reader = MafReader.from_path(path)
+        for k in range(lo, hi):
+            reader.seek(offsets[k])
+            rec = reader.next_record()
+            if rec is None:
+                break
+            out.write(rec.convert2paf(query_name).to_row())
+
+    with stdout_parked():
+        payloads = _allgather_bytes(out.getvalue())
+    _merge_chunks_to(writer, payloads, pid)
+
+
+def distributed_paf2chain(path, writer):
+    """Multi-process `paf2chain` over line-aligned byte ranges; chain ids
+    continue the serial numbering via the per-range record counts the
+    manifest already carries.  Byte-identical to the serial tool."""
+    import jax
+
+    from .host_pool import _paf2chain_worker, paf_line_ranges
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    ranges = [r for r in paf_line_ranges(path, nproc) if r[0] < r[1]]
+
+    chunk = b""
+    if pid < len(ranges):
+        lo, hi, start_index = ranges[pid]
+        chunk = _paf2chain_worker((path, lo, hi, start_index))
+
+    with stdout_parked():
+        payloads = _allgather_bytes(chunk)
+    _merge_chunks_to(writer, payloads, pid)
+
+
+def distributed_chain2paf(path, writer):
+    """Multi-process `chain2paf` over whole-record byte ranges.
+    Byte-identical to the serial tool."""
+    import os as _os
+
+    import jax
+
+    from .host_pool import _chain2paf_worker, _ranges, chain_record_offsets
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    offsets = chain_record_offsets(path)
+    ranges = _ranges(len(offsets), nproc) if offsets else []
+
+    chunk = b""
+    if pid < len(ranges):
+        lo, hi = ranges[pid]
+        size = _os.path.getsize(path)
+        end = offsets[hi] if hi < len(offsets) else size
+        chunk = _chain2paf_worker((path, offsets[lo], end))
+
+    with stdout_parked():
+        payloads = _allgather_bytes(chunk)
+    _merge_chunks_to(writer, payloads, pid)
