@@ -516,6 +516,13 @@ def test_two_process_distributed_maf2paf_cli(tmp_path):
     assert outs[0][1] == serial
     assert outs[1][1] == b""
 
+    serial_chain = _serial_cli(["maf2chain", str(maf)])
+    outs = _run_dist_cli(["maf2chain", str(maf)])
+    for rc, _, err in outs:
+        assert rc == 0, err.decode()
+    assert outs[0][1] == serial_chain
+    assert outs[1][1] == b""
+
 
 def test_two_process_distributed_converters_cli(tmp_path):
     """Distributed paf2chain and chain2paf: byte-identical to serial,

@@ -247,7 +247,17 @@ def dispatch(args):
         from .parallel.host_pool import is_plain_seekable, parallel_maf2chain
         from .tools.convert import maf2chain
 
-        if args.threads > 1 and is_plain_seekable(args.input):
+        from .parallel.dist_tools import dist_requested
+
+        if dist_requested() and is_plain_seekable(args.input):
+            from .parallel.dist_tools import distributed_maf2chain
+            from .parallel.distributed import maybe_initialize_distributed
+
+            maybe_initialize_distributed()
+            distributed_maf2chain(
+                args.input, open_output(out, rw), args.query_name
+            )
+        elif args.threads > 1 and is_plain_seekable(args.input):
             parallel_maf2chain(
                 args.input, open_output(out, rw), args.threads, args.query_name
             )

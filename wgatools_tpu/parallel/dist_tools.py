@@ -460,3 +460,36 @@ def distributed_chain2paf(path, writer):
     with stdout_parked():
         payloads = _allgather_bytes(chunk)
     _merge_chunks_to(writer, payloads, pid)
+
+
+def distributed_maf2chain(path, writer, query_name=None):
+    """Multi-process `maf2chain`: contiguous record ranges; chain ids are
+    the global record indices, so numbering matches the serial tool."""
+    import jax
+
+    from ..io.maf import MafReader
+    from ..tools.convert import _emit_chain, _maf_ext_runs
+    from .host_pool import _ranges, maf_record_offsets
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    offsets = maf_record_offsets(path)
+    ranges = _ranges(len(offsets), nproc) if offsets else []
+
+    out = io.BytesIO()
+    if pid < len(ranges):
+        lo, hi = ranges[pid]
+        reader = MafReader.from_path(path)
+        for k in range(lo, hi):
+            reader.seek(offsets[k])
+            rec = reader.next_record()
+            if rec is None:
+                break
+            if query_name is not None:
+                rec.set_query_idx_byname(query_name)
+            vals, lens = _maf_ext_runs(rec)
+            _emit_chain(out, rec, k, vals, lens)
+
+    with stdout_parked():
+        payloads = _allgather_bytes(out.getvalue())
+    _merge_chunks_to(writer, payloads, pid)
