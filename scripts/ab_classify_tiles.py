@@ -1,7 +1,7 @@
 """Tile-shape sweep for the production classify kernel (post-v3).
 
-Same-process alternating marginal rates (bench.py methodology); the
-production default is (8, 32768).
+Same-process alternating marginal rates (bench.py methodology); this sweep
+picked the production default (32, 32768).
 """
 
 import functools

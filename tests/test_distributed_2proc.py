@@ -547,3 +547,20 @@ def test_two_process_distributed_converters_cli(tmp_path):
         assert rc == 0, err.decode()
     assert outs[0][1] == serial_paf
     assert outs[1][1] == b""
+
+
+def test_two_process_distributed_file_output(tmp_path):
+    """-o file output in distributed mode: only process 0 opens the real
+    output (a non-zero rank hitting the overwrite guard would exit before
+    its first collective and hang the survivor)."""
+    from conftest import fixture_path
+
+    src = open(fixture_path("test.maf"), "rb").read()
+    maf = tmp_path / "m.maf"
+    maf.write_bytes(src)
+    serial = _serial_cli(["maf2paf", str(maf)])
+    out_paf = tmp_path / "out.paf"
+    outs = _run_dist_cli(["maf2paf", str(maf), "-o", str(out_paf)])
+    for rc, _, err in outs:
+        assert rc == 0, err.decode()
+    assert out_paf.read_bytes() == serial

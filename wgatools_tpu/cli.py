@@ -226,12 +226,12 @@ def dispatch(args):
         from .parallel.dist_tools import dist_requested
 
         if dist_requested() and is_plain_seekable(args.input):
-            from .parallel.dist_tools import distributed_maf2paf
+            from .parallel.dist_tools import dist_output, distributed_maf2paf
             from .parallel.distributed import maybe_initialize_distributed
 
             maybe_initialize_distributed()
             distributed_maf2paf(
-                args.input, open_output(out, rw), args.query_name
+                args.input, dist_output(out, rw), args.query_name
             )
         elif args.threads > 1 and is_plain_seekable(args.input):
             parallel_maf2paf(
@@ -250,12 +250,12 @@ def dispatch(args):
         from .parallel.dist_tools import dist_requested
 
         if dist_requested() and is_plain_seekable(args.input):
-            from .parallel.dist_tools import distributed_maf2chain
+            from .parallel.dist_tools import dist_output, distributed_maf2chain
             from .parallel.distributed import maybe_initialize_distributed
 
             maybe_initialize_distributed()
             distributed_maf2chain(
-                args.input, open_output(out, rw), args.query_name
+                args.input, dist_output(out, rw), args.query_name
             )
         elif args.threads > 1 and is_plain_seekable(args.input):
             parallel_maf2chain(
@@ -283,11 +283,11 @@ def dispatch(args):
         from .parallel.dist_tools import dist_requested
 
         if dist_requested() and is_plain_seekable(args.input):
-            from .parallel.dist_tools import distributed_paf2chain
+            from .parallel.dist_tools import dist_output, distributed_paf2chain
             from .parallel.distributed import maybe_initialize_distributed
 
             maybe_initialize_distributed()
-            distributed_paf2chain(args.input, open_output(out, rw))
+            distributed_paf2chain(args.input, dist_output(out, rw))
         elif args.threads > 1 and is_plain_seekable(args.input):
             parallel_paf2chain(args.input, open_output(out, rw), args.threads)
         else:
@@ -308,11 +308,11 @@ def dispatch(args):
         from .parallel.dist_tools import dist_requested
 
         if dist_requested() and is_plain_seekable(args.input):
-            from .parallel.dist_tools import distributed_chain2paf
+            from .parallel.dist_tools import dist_output, distributed_chain2paf
             from .parallel.distributed import maybe_initialize_distributed
 
             maybe_initialize_distributed()
-            distributed_chain2paf(args.input, open_output(out, rw))
+            distributed_chain2paf(args.input, dist_output(out, rw))
         elif args.threads > 1 and is_plain_seekable(args.input):
             parallel_chain2paf(args.input, open_output(out, rw), args.threads)
         else:
@@ -364,12 +364,12 @@ def dispatch(args):
         ):
             # multi-process mode: WGA_TPU_DIST=1 + coordinator env vars;
             # requires <input>.index (the shard manifest)
-            from .parallel.dist_tools import distributed_stat_maf
+            from .parallel.dist_tools import dist_output, distributed_stat_maf
             from .parallel.distributed import maybe_initialize_distributed
 
             maybe_initialize_distributed()
             distributed_stat_maf(
-                args.input, open_output(out, rw), args.each, args.query_name
+                args.input, dist_output(out, rw), args.each, args.query_name
             )
         elif args.format == "maf":
             if args.threads > 1 and is_plain_seekable(args.input):
@@ -485,11 +485,11 @@ def dispatch(args):
         from .tools.pafcov import pafcov
 
         if dist_requested() and args.input not in (None, "-"):
-            from .parallel.dist_tools import distributed_pafcov
+            from .parallel.dist_tools import dist_output, distributed_pafcov
             from .parallel.distributed import maybe_initialize_distributed
 
             maybe_initialize_distributed()
-            distributed_pafcov(args.input, open_output(out, rw))
+            distributed_pafcov(args.input, dist_output(out, rw))
         elif args.threads > 1 and is_plain_seekable(args.input):
             parallel_pafcov(args.input, open_output(out, rw), args.threads)
         else:
@@ -525,13 +525,13 @@ def dispatch(args):
         from .parallel.host_pool import is_plain_seekable, parallel_validate_paf
 
         if dist_requested() and args.input not in (None, "-"):
-            from .parallel.dist_tools import distributed_validate_paf
+            from .parallel.dist_tools import dist_output, distributed_validate_paf
             from .parallel.distributed import maybe_initialize_distributed
 
             maybe_initialize_distributed()
             distributed_validate_paf(
                 args.input,
-                open_output(out, rw),
+                dist_output(out, rw),
                 fix_writer,
                 args.fix is not None,
             )
@@ -585,13 +585,13 @@ def _dispatch_call(args, out, rw):
         from .parallel.host_pool import is_plain_seekable, parallel_call_maf
 
         if dist_requested() and args.input not in (None, "-") and mafindex:
-            from .parallel.dist_tools import distributed_call_maf
+            from .parallel.dist_tools import dist_output, distributed_call_maf
             from .parallel.distributed import maybe_initialize_distributed
 
             maybe_initialize_distributed()
             distributed_call_maf(
                 args.input,
-                open_output(out, rw),
+                dist_output(out, rw),
                 args.snp,
                 args.inv,
                 args.svlen,

@@ -54,12 +54,14 @@ def batch_runs(t, q, lengths, caller=False):
     device scan for the variant caller.  Returns numpy
     (row_ids int32, cats int32, lens int32).
     """
-    # stats first, BEFORE converting to jnp: column_stats routes host
-    # numpy byte batches through the faster word-packed kernel
-    stats = np.asarray(column_stats(t, q, lengths, caller=caller))
+    # one upload: the RLE extraction needs the byte tensors on device
+    # anyway, so stats reuse THOSE buffers (the word-packed kernel would
+    # need a second host->device copy of the same bytes, which costs more
+    # than it saves on the remote-tunnel data path)
     t = jnp.asarray(t, dtype=jnp.uint8)
     q = jnp.asarray(q, dtype=jnp.uint8)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
+    stats = np.asarray(column_stats(t, q, lengths, caller=caller))
     total = int(stats[:, STAT_RUNS].sum())
     if total == 0:
         z = np.zeros(0, dtype=np.int32)

@@ -493,3 +493,17 @@ def distributed_maf2chain(path, writer, query_name=None):
     with stdout_parked():
         payloads = _allgather_bytes(out.getvalue())
     _merge_chunks_to(writer, payloads, pid)
+
+
+def dist_output(out, rw):
+    """Open the real output on process 0 only; other ranks sink to a
+    BytesIO.  Opening on every rank races the overwrite guard: a non-zero
+    rank would raise FileReWrite and exit BEFORE its first collective,
+    hanging the surviving ranks inside the allgather."""
+    import jax
+
+    from ..io.compression import open_output
+
+    if jax.process_index() == 0:
+        return open_output(out, rw)
+    return io.BytesIO()
