@@ -497,6 +497,26 @@ def _serial_cli(argv):
     ).stdout
 
 
+def test_two_process_distributed_stat_indexless(tmp_path):
+    """Distributed stat without a MAF index falls back to the raw offset
+    manifest (striped claims) -- same merged table as serial."""
+    from conftest import fixture_path
+
+    src = open(fixture_path("test.maf"), "rb").read()
+    header, _, body = src.partition(b"\n")
+    body2 = body.replace(b"ref.chr8", b"ref.chr9").replace(
+        b"query.chr8", b"query.chr9"
+    )
+    maf = tmp_path / "noidx.maf"
+    maf.write_bytes(header + b"\n" + body + body2 + body)
+    serial = _serial_cli(["stat", str(maf)])
+    outs = _run_dist_cli(["stat", str(maf)])
+    for rc, _, err in outs:
+        assert rc == 0, err.decode()
+    assert outs[0][1] == serial
+    assert outs[1][1] == b""
+
+
 def test_two_process_distributed_maf2paf_cli(tmp_path):
     """Distributed maf2paf: contiguous record ranges, gathered chunks;
     process 0's stdout byte-identical to the serial tool."""

@@ -112,6 +112,28 @@ def _allgather_bytes(payload: bytes):
     return out
 
 
+def _claimed_offsets(path, pid, nproc):
+    """This process's record byte offsets: from the MAF-index shard
+    manifest when present (claim_work_units -- restartable), else from a
+    raw offset scan every process derives identically (the serial tools
+    also work indexless)."""
+    import os as _os
+
+    from ..tools.index import index_path_for, load_index
+    from .distributed import claim_work_units
+
+    if _os.path.exists(index_path_for(path)):
+        mafindex = load_index(index_path_for(path))
+        units = claim_work_units(mafindex, pid, nproc)
+        # units are (name, start, end, offset) per s-line; dedupe offsets
+        # (a record's target s-line is the isref entry, one per record)
+        return sorted({u[3] for u in units})
+    from .host_pool import maf_record_offsets
+
+    offsets = maf_record_offsets(path)
+    return offsets[pid::nproc]
+
+
 def distributed_stat_maf(path, writer, each=False, query_name=None):
     """Multi-process `stat`: claim -> local partials -> allgather -> merge.
 
@@ -124,17 +146,11 @@ def distributed_stat_maf(path, writer, each=False, query_name=None):
     import jax
 
     from ..io.maf import MafReader
-    from ..tools.index import index_path_for, load_index
     from ..tools.stat import _stat_from_rec, write_style_result
-    from .distributed import claim_work_units
 
-    mafindex = load_index(index_path_for(path))
     pid = jax.process_index()
     nproc = jax.process_count()
-    units = claim_work_units(mafindex, pid, nproc)
-    # units are (name, start, end, offset) per s-line; dedupe offsets (a
-    # record's target s-line is the isref entry, one unit per record)
-    offsets = sorted({u[3] for u in units})
+    offsets = _claimed_offsets(path, pid, nproc)
 
     reader = MafReader.from_path(path)
     local = []
@@ -326,19 +342,23 @@ def distributed_call_maf(
     Process 0 writes header + merged body -- byte-identical to the serial
     tool (body rows are emitted per record and records are re-ordered by
     offset; within-record order is preserved by each worker)."""
+    import os as _os
+
     import jax
 
     from ..io.maf import MafReader
     from ..io.vcf import VcfWriter
     from ..tools.caller import call_one_record
     from ..tools.index import index_path_for, load_index
-    from .distributed import claim_work_units
 
-    mafindex = load_index(index_path_for(path))
     pid = jax.process_index()
     nproc = jax.process_count()
-    units = claim_work_units(mafindex, pid, nproc)
-    offsets = sorted({u[3] for u in units})
+    mafindex = None
+    if _os.path.exists(index_path_for(path)):
+        mafindex = load_index(index_path_for(path))
+    else:
+        log.warning("maf index not found, will not generate contig info")
+    offsets = _claimed_offsets(path, pid, nproc)
 
     reader = MafReader.from_path(path)
     local = []
@@ -363,11 +383,13 @@ def distributed_call_maf(
         merged.extend(pickle.loads(blob))
     merged.sort(key=lambda t: t[0])
     vcf = VcfWriter(writer, sample or "sample")
-    contigs = [
-        (name, item["size"])
-        for name, item in mafindex.items()
-        if item["isref"]
-    ]
+    contigs = None
+    if mafindex:
+        contigs = [
+            (name, item["size"])
+            for name, item in mafindex.items()
+            if item["isref"]
+        ]
     vcf.write_header(contigs)
     for _, body in merged:
         writer.write(body)
