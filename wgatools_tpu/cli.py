@@ -363,7 +363,7 @@ def dispatch(args):
             and args.input not in (None, "-")
         ):
             # multi-process mode: WGA_TPU_DIST=1 + coordinator env vars;
-            # requires <input>.index (the shard manifest)
+            # uses <input>.index as the shard manifest when present
             from .parallel.dist_tools import dist_output, distributed_stat_maf
             from .parallel.distributed import maybe_initialize_distributed
 

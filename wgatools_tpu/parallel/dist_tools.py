@@ -11,8 +11,9 @@ already apply.  Output is byte-identical to the single-process tool.
 
 Activation: run one process per host with JAX_COORDINATOR_ADDRESS /
 JAX_NUM_PROCESSES / JAX_PROCESS_ID set and WGA_TPU_DIST=1; `stat` then
-routes through distributed_stat_maf (cli.py).  The input must have a MAF
-index (`maf-index`).
+routes through distributed_stat_maf (cli.py).  A MAF index
+(`maf-index`) serves as the restartable shard manifest when present;
+otherwise processes stripe the raw record-offset scan.
 """
 
 import io
