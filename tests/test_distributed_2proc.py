@@ -584,3 +584,34 @@ def test_two_process_distributed_file_output(tmp_path):
     for rc, _, err in outs:
         assert rc == 0, err.decode()
     assert out_paf.read_bytes() == serial
+
+
+def test_two_process_distributed_pafpseudo(tmp_path):
+    """Distributed pafpseudo stripes targets across processes; the output
+    directory content equals the serial run's."""
+    from conftest import fixture_path
+
+    paf_src = open(fixture_path("testdotplot.paf"), "rb").read()
+    # two targets so both processes get work
+    paf = tmp_path / "p.paf"
+    paf.write_bytes(paf_src + paf_src.replace(b"B\t", b"C\t"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    serial_dir = tmp_path / "serial"
+    subprocess.run(
+        [sys.executable, "-m", "wgatools_tpu", "pafpseudo", str(paf),
+         "-o", str(serial_dir)],
+        check=True, cwd=repo,
+        env=dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu"),
+    )
+    dist_dir = tmp_path / "dist"
+    outs = _run_dist_cli(
+        ["pafpseudo", str(paf), "-o", str(dist_dir)]
+    )
+    for rc, _, err in outs:
+        assert rc == 0, err.decode()
+    serial_files = sorted(os.listdir(serial_dir))
+    assert sorted(os.listdir(dist_dir)) == serial_files
+    for name in serial_files:
+        assert (dist_dir / name).read_bytes() == (
+            serial_dir / name
+        ).read_bytes()

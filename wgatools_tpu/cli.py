@@ -495,8 +495,17 @@ def dispatch(args):
         else:
             pafcov(PafReader(open_input(args.input)), open_output(out, rw))
     elif cmd in ("pafpseudo", "pp"):
+        from .parallel.dist_tools import dist_requested
         from .tools.pseudomaf import generate_pseudo_maf
 
+        stripe = None
+        if dist_requested():
+            import jax
+
+            from .parallel.distributed import maybe_initialize_distributed
+
+            maybe_initialize_distributed()
+            stripe = (jax.process_index(), jax.process_count())
         generate_pseudo_maf(
             PafReader(open_input(args.input)),
             out,
@@ -504,6 +513,7 @@ def dispatch(args):
             args.target,
             rw,
             threads=args.threads,
+            stripe=stripe,
         )
     elif cmd in ("gen-completion", "gc"):
         from .tools.completion import gen_completion

@@ -16,22 +16,30 @@ from ..io.fasta import FastaReader
 
 
 def generate_pseudo_maf(reader, out_dir, fa_path, target, rewrite=False,
-                        threads=1):
+                        threads=1, stripe=None):
     """reference: pseudomaf.rs:18-74 + wrapper utils.rs:602-641.
 
     threads > 1 writes the per-target output files dir-parallel (the
     reference's into_par_iter, pseudomaf.rs:62-72): records are parsed and
     grouped once in the parent, forked children inherit the groups
-    copy-on-write and each writes its own <target>.maf."""
+    copy-on-write and each writes its own <target>.maf.
+
+    stripe=(pid, nproc) claims every nproc-th target (first-appearance
+    order, identical in every process) -- the multi-process mode: pure
+    file-level parallelism, each <target>.maf written by exactly one
+    process, no collectives."""
     if out_dir == "-":
         raise StdoutNotAllowed()
     if not os.path.exists(out_dir):
-        os.makedirs(out_dir)
+        os.makedirs(out_dir, exist_ok=True)  # racing processes are fine
     else:
         if not os.path.isdir(out_dir):
             raise NotDirError(out_dir)
-        if not rewrite:
+        if not rewrite and stripe is None:
             raise FileReWrite(out_dir)
+    # in stripe mode a sibling process may have just created the
+    # directory, so the overwrite guard moves to the per-target files
+    # (each written by exactly one process)
 
     target_groups = {}
     for rec in reader.records():
@@ -41,10 +49,15 @@ def generate_pseudo_maf(reader, out_dir, fa_path, target, rewrite=False,
 
     def write_one(target_name):
         out_path = os.path.join(out_dir, f"{target_name}.maf")
+        if stripe is not None and not rewrite and os.path.exists(out_path):
+            raise FileReWrite(out_path)
         with open(out_path, "wb") as writer:
             write_pmaf(writer, target_groups[target_name], target_name, fa_path)
 
     names = list(target_groups)
+    if stripe is not None:
+        pid, nproc = stripe
+        names = names[pid::nproc]
     if threads > 1 and len(names) > 1:
         from ..parallel.host_pool import forked_map
 
