@@ -615,3 +615,19 @@ def test_two_process_distributed_pafpseudo(tmp_path):
         assert (dist_dir / name).read_bytes() == (
             serial_dir / name
         ).read_bytes()
+
+
+def test_two_process_distributed_filter_align_pair(tmp_path):
+    """Distributed filter -a: keyed-map sums merge via allgather; kept
+    rows concatenate in file order -- byte-identical to serial."""
+    from conftest import fixture_path
+
+    paf_src = open(fixture_path("testdotplot.paf"), "rb").read()
+    paf = tmp_path / "f.paf"
+    paf.write_bytes(paf_src + paf_src.replace(b"B\t", b"C\t") * 2)
+    serial = _serial_cli(["filter", "-f", "paf", "-a", "300", str(paf)])
+    outs = _run_dist_cli(["filter", "-f", "paf", "-a", "300", str(paf)])
+    for rc, _, err in outs:
+        assert rc == 0, err.decode()
+    assert outs[0][1] == serial
+    assert outs[1][1] == b""

@@ -428,7 +428,16 @@ def dispatch(args):
             filter_paf_align_pair,
         )
 
-        w = open_output(out, rw)
+        from .parallel.dist_tools import dist_requested
+
+        _dist_filter = (
+            dist_requested()
+            and args.format == "paf"
+            and args.min_align_size is not None
+        )
+        # in distributed mode only process 0 may open the real output
+        # (see dist_tools.dist_output); defer the open to the dist branch
+        w = None if _dist_filter else open_output(out, rw)
         if args.format == "maf":
             filter_maf(
                 MafReader(open_input(args.input)),
@@ -447,14 +456,27 @@ def dispatch(args):
                     parallel_filter_paf_align_pair,
                 )
 
-                if args.threads > 1 and is_plain_seekable(args.input):
+                if _dist_filter and is_plain_seekable(args.input):
+                    from .parallel.dist_tools import (
+                        dist_output,
+                        distributed_filter_paf_align_pair,
+                    )
+                    from .parallel.distributed import (
+                        maybe_initialize_distributed,
+                    )
+
+                    maybe_initialize_distributed()
+                    distributed_filter_paf_align_pair(
+                        args.input, dist_output(out, rw), args.min_align_size
+                    )
+                elif args.threads > 1 and is_plain_seekable(args.input):
                     parallel_filter_paf_align_pair(
                         args.input, w, args.threads, args.min_align_size
                     )
                 else:
                     filter_paf_align_pair(
                         PafReader(open_input(args.input)),
-                        w,
+                        w if w is not None else open_output(out, rw),
                         args.min_align_size,
                     )
             else:

@@ -530,3 +530,46 @@ def dist_output(out, rw):
     if jax.process_index() == 0:
         return open_output(out, rw)
     return io.BytesIO()
+
+
+def distributed_filter_paf_align_pair(path, writer, min_align_size: int):
+    """Multi-process all-to-all filter (reference filter.rs:108-160): the
+    keyed-map sum of pass 1 merges via allgather (every process derives
+    the identical keep set), pass 2's kept rows gather in range (= file)
+    order.  Byte-identical to the serial tool."""
+    import jax
+
+    from ..io.paf import PafReader, PafWriter
+    from .host_pool import paf_line_ranges
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    ranges = [r for r in paf_line_ranges(path, nproc) if r[0] < r[1]]
+
+    sums = {}
+    blob = b""
+    if pid < len(ranges):
+        lo, hi, _ = ranges[pid]
+        with open(path, "rb") as fp:
+            fp.seek(lo)
+            blob = fp.read(hi - lo)
+        for rec in PafReader(io.BytesIO(blob)).records():
+            key = (rec.query_name, rec.target_name)
+            sums[key] = sums.get(key, 0) + rec.target_align_size
+
+    with stdout_parked():
+        partials = _allgather_bytes(pickle.dumps(sums, protocol=4))
+        merged = {}
+        for p in partials:
+            for key, v in pickle.loads(p).items():
+                merged[key] = merged.get(key, 0) + v
+        keep = {k for k, v in merged.items() if v >= min_align_size}
+
+        out = io.BytesIO()
+        if blob:
+            paf_writer = PafWriter(out)
+            for rec in PafReader(io.BytesIO(blob)).records():
+                if (rec.query_name, rec.target_name) in keep:
+                    paf_writer.write_record(rec)
+        payloads = _allgather_bytes(out.getvalue())
+    _merge_chunks_to(writer, payloads, pid)
