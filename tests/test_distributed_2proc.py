@@ -631,3 +631,39 @@ def test_two_process_distributed_filter_align_pair(tmp_path):
         assert rc == 0, err.decode()
     assert outs[0][1] == serial
     assert outs[1][1] == b""
+
+
+def test_two_process_distributed_stat_paf(tmp_path):
+    """Distributed stat -f paf over line ranges: merged table identical
+    to the serial tool."""
+    from conftest import fixture_path
+
+    paf_src = open(fixture_path("testdotplot.paf"), "rb").read()
+    paf = tmp_path / "s.paf"
+    paf.write_bytes(paf_src * 4)
+    serial = _serial_cli(["stat", "-f", "paf", str(paf)])
+    outs = _run_dist_cli(["stat", "-f", "paf", str(paf)])
+    for rc, _, err in outs:
+        assert rc == 0, err.decode()
+    assert outs[0][1] == serial
+    assert outs[1][1] == b""
+
+
+def test_two_process_distributed_dotplot(tmp_path):
+    """Distributed dotplot: rows gathered across processes; process 0's
+    rendered output (csv + html) byte-identical to serial."""
+    from conftest import fixture_path
+
+    paf_src = open(fixture_path("testdotplot.paf"), "rb").read()
+    paf = tmp_path / "d.paf"
+    paf.write_bytes(paf_src * 3)
+    for fmt in ("csv", "html"):
+        serial = _serial_cli(
+            ["dotplot", "-f", "paf", str(paf), "--out_format", fmt]
+        )
+        outs = _run_dist_cli(
+            ["dotplot", "-f", "paf", str(paf), "--out_format", fmt]
+        )
+        for rc, _, err in outs:
+            assert rc == 0, err.decode()
+        assert outs[0][1] == serial, fmt

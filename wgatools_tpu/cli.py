@@ -359,6 +359,16 @@ def dispatch(args):
 
         if (
             dist_requested()
+            and args.format == "paf"
+            and args.input not in (None, "-")
+        ):
+            from .parallel.dist_tools import dist_output, distributed_stat_paf
+            from .parallel.distributed import maybe_initialize_distributed
+
+            maybe_initialize_distributed()
+            distributed_stat_paf(args.input, dist_output(out, rw), args.each)
+        elif (
+            dist_requested()
             and args.format == "maf"
             and args.input not in (None, "-")
         ):
@@ -401,12 +411,22 @@ def dispatch(args):
                     args.each,
                 )
     elif cmd in ("dotplot", "dp"):
+        from .parallel.dist_tools import dist_requested
         from .parallel.host_pool import is_plain_seekable
         from .tools.dotplot import dotplot
 
+        _dist = dist_requested() and is_plain_seekable(args.input)
+        if _dist:
+            from .parallel.dist_tools import dist_output
+            from .parallel.distributed import maybe_initialize_distributed
+
+            maybe_initialize_distributed()
+            w = dist_output(out, rw)
+        else:
+            w = open_output(out, rw)
         dotplot(
             args.input,
-            open_output(out, rw),
+            w,
             args.format,
             args.out_format,
             args.mode,
@@ -419,6 +439,7 @@ def dispatch(args):
                 if args.threads > 1 and is_plain_seekable(args.input)
                 else 1
             ),
+            dist=_dist,
         )
     elif cmd in ("filter", "fl"):
         from .tools.filter import (

@@ -573,3 +573,113 @@ def distributed_filter_paf_align_pair(path, writer, min_align_size: int):
                     paf_writer.write_record(rec)
         payloads = _allgather_bytes(out.getvalue())
     _merge_chunks_to(writer, payloads, pid)
+
+
+def distributed_stat_paf(path, writer, each=False):
+    """Multi-process `stat -f paf`: line ranges -> local PairStats ->
+    allgather -> process 0 writes the merged table (range order = file
+    order, so --each rows match the serial tool)."""
+    import jax
+
+    from ..io.paf import PafReader
+    from ..tools.stat import _stat_from_rec, write_style_result
+    from .host_pool import paf_line_ranges
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    ranges = [r for r in paf_line_ranges(path, nproc) if r[0] < r[1]]
+
+    local = []
+    if pid < len(ranges):
+        lo, hi, _ = ranges[pid]
+        with open(path, "rb") as fp:
+            fp.seek(lo)
+            blob = fp.read(hi - lo)
+        local = [
+            _stat_from_rec(rec) for rec in PafReader(io.BytesIO(blob)).records()
+        ]
+
+    with stdout_parked():
+        payloads = _allgather_bytes(pickle.dumps(local, protocol=4))
+    if pid != 0:
+        return
+    merged = []
+    for blob in payloads:
+        merged.extend(pickle.loads(blob))
+    write_style_result(merged, writer, each)
+
+
+def distributed_dotplot_rows(path, format, mode, no_identity, skip_cutoff,
+                             query_name):
+    """Multi-process dotplot row collection (the reference rayon sites
+    dotplot.rs:236,303-366): contiguous ranges, pooled-worker row logic,
+    allgathered; process 0 gets the full row list in serial order, other
+    ranks an empty list (they render to a sink)."""
+    import jax
+
+    from .host_pool import (
+        _PAF_RANGE_WORK,
+        _WORK,
+        _ranges,
+        maf_record_offsets,
+        paf_line_ranges,
+    )
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    overview = mode == "overview"
+
+    results = []
+    if format == "maf":
+        from ..io.maf import MafReader
+
+        offsets = maf_record_offsets(path)
+        rngs = _ranges(len(offsets), nproc) if offsets else []
+        fn = _WORK["dotplot_overview" if overview else "dotplot_base"]
+        extra = (
+            (no_identity, query_name)
+            if overview
+            else (skip_cutoff, query_name)
+        )
+        if pid < len(rngs):
+            lo, hi = rngs[pid]
+            reader = MafReader.from_path(path)
+            for k in range(lo, hi):
+                reader.seek(offsets[k])
+                rec = reader.next_record()
+                if rec is None:
+                    break
+                results.append(fn(rec, None, k, extra))
+    else:
+        from ..io.paf import PafReader
+
+        rngs = [r for r in paf_line_ranges(path, nproc) if r[0] < r[1]]
+        fn = _PAF_RANGE_WORK[
+            "dotplot_overview" if overview else "dotplot_base"
+        ]
+        extra = no_identity if overview else skip_cutoff
+        if pid < len(rngs):
+            lo, hi, idx = rngs[pid]
+            with open(path, "rb") as fp:
+                fp.seek(lo)
+                blob = fp.read(hi - lo)
+            results = fn(PafReader(io.BytesIO(blob)), io.BytesIO(), idx, extra)
+
+    with stdout_parked():
+        payloads = _allgather_bytes(pickle.dumps(results, protocol=4))
+    if pid != 0:
+        return []
+    rows = []
+    for blob in payloads:
+        part = pickle.loads(blob)
+        if format == "maf":
+            # same flatten rule as parallel_dotplot_rows: overview rows
+            # and PlotSegs bundles append; fallback dict lists extend
+            for r in part:
+                if overview or not isinstance(r, list):
+                    rows.append(r)
+                else:
+                    rows.extend(r)
+        else:
+            rows.extend(part)
+    return rows
