@@ -89,6 +89,10 @@ class BgzfReader:
             self.blocks, self.total = scan_index(path)
         self._cache_off = None
         self._cache_data = b""
+        # per-fetch bisect target; rebuilding this list per read_slice
+        # costs O(blocks) on every fetch (tens of thousands of blocks on
+        # a genome-scale file)
+        self._u_offsets = [u for _, u in self.blocks]
 
     def _inflate_block(self, c_off: int) -> bytes:
         if c_off == self._cache_off:
@@ -108,8 +112,7 @@ class BgzfReader:
         import bisect
 
         out = bytearray()
-        u_offsets = [u for _, u in self.blocks]
-        k = bisect.bisect_right(u_offsets, u_start) - 1
+        k = bisect.bisect_right(self._u_offsets, u_start) - 1
         while len(out) < u_len and k < len(self.blocks):
             c_off, u_off = self.blocks[k]
             data = self._inflate_block(c_off)
