@@ -667,3 +667,54 @@ def test_two_process_distributed_dotplot(tmp_path):
         for rc, _, err in outs:
             assert rc == 0, err.decode()
         assert outs[0][1] == serial, fmt
+
+
+def test_three_process_distributed_maf2paf(tmp_path):
+    """Uneven splits: 3 processes over 3 records (and over 2-target
+    manifests elsewhere) must still concatenate to the serial bytes."""
+    from conftest import fixture_path
+
+    src = open(fixture_path("test.maf"), "rb").read()
+    header, _, body = src.partition(b"\n")
+    body2 = body.replace(b"ref.chr8", b"ref.chr9")
+    body3 = body.replace(b"ref.chr8", b"ref.chr10")
+    maf = tmp_path / "m3.maf"
+    maf.write_bytes(header + b"\n" + body + body2 + body3)
+    serial = _serial_cli(["maf2paf", str(maf)])
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = _free_port()
+    procs = []
+    for pid in range(3):
+        env = dict(
+            os.environ,
+            PYTHONPATH="",
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="3",
+            JAX_PROCESS_ID=str(pid),
+            WGA_TPU_DIST="1",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "wgatools_tpu", "maf2paf", str(maf)],
+                env=env,
+                cwd=repo,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, _, err in outs:
+        assert rc == 0, err.decode()
+    assert outs[0][1] == serial
+    assert outs[1][1] == b"" and outs[2][1] == b""
