@@ -280,3 +280,27 @@ def test_ops_to_chain_block_invalid_op():
     with pytest.raises(ValueError) as e:
         native.ops_to_chain_block(ops, lens)
     assert e.value.args[0] == "S"
+
+
+def test_crlf_line_endings():
+    """CRLF inputs parse like the reference (Rust lines() keeps the \\r,
+    split_whitespace absorbs it): seq fields must come out \\r-free."""
+    import io as iolib
+
+    from wgatools_tpu.io.maf import MafReader
+    from wgatools_tpu.io.paf import PafReader
+
+    maf = (
+        b"##maf version=1.6\r\na score=0\r\n"
+        b"s\tref.c\t0\t4\t+\t100\tACGT\r\n"
+        b"s\tqry.c\t0\t4\t+\t100\tACGA\r\n\r\n"
+    )
+    recs = list(MafReader(iolib.BytesIO(maf)).records())
+    assert len(recs) == 1
+    assert recs[0].target_seq == b"ACGT"
+    assert recs[0].query_seq == b"ACGA"
+
+    paf = b"q\t100\t0\t4\t+\tt\t100\t0\t4\t4\t4\t60\tcg:Z:4M\r\n"
+    precs = list(PafReader(iolib.BytesIO(paf)).records())
+    assert len(precs) == 1
+    assert precs[0].get_cigar_string() == "cg:Z:4M"
