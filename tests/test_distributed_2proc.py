@@ -718,3 +718,57 @@ def test_three_process_distributed_maf2paf(tmp_path):
         assert rc == 0, err.decode()
     assert outs[0][1] == serial
     assert outs[1][1] == b"" and outs[2][1] == b""
+
+
+def test_claimed_offsets_partition(tmp_path):
+    """_claimed_offsets partitions the record set exactly (no overlap, no
+    loss) for any nproc, with and without an index manifest."""
+    from conftest import fixture_path
+
+    from wgatools_tpu.parallel.dist_tools import _claimed_offsets
+    from wgatools_tpu.parallel.host_pool import maf_record_offsets
+
+    src = open(fixture_path("test.maf"), "rb").read()
+    header, _, body = src.partition(b"\n")
+    parts = [body]
+    for c in range(9, 14):
+        parts.append(body.replace(b"chr8", f"chr{c}".encode()))
+    maf = tmp_path / "many.maf"
+    maf.write_bytes(header + b"\n" + b"".join(parts))
+
+    all_offsets = set(maf_record_offsets(str(maf)))
+    assert len(all_offsets) == 6
+    for nproc in (1, 2, 3, 4, 7):
+        claimed = [
+            _claimed_offsets(str(maf), pid, nproc) for pid in range(nproc)
+        ]
+        flat = [o for c in claimed for o in c]
+        assert len(flat) == len(set(flat))  # disjoint
+        assert set(flat) == all_offsets     # complete
+
+    # with an index: same partition properties
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, "-m", "wgatools_tpu", "maf-index", str(maf)],
+        check=True, cwd=repo,
+        env=dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu"),
+    )
+    # index offsets point at the a-line (record start) rather than the
+    # first s-line -- both are valid seek targets; assert the partition
+    # is disjoint, complete, and lands on parseable records
+    from wgatools_tpu.io.maf import MafReader
+
+    for nproc in (1, 2, 3):
+        claimed = [
+            _claimed_offsets(str(maf), pid, nproc) for pid in range(nproc)
+        ]
+        flat = [o for c in claimed for o in c]
+        assert len(flat) == len(set(flat)) == 6
+        reader = MafReader.from_path(str(maf))
+        names = set()
+        for off in flat:
+            reader.seek(off)
+            rec = reader.next_record()
+            assert rec is not None
+            names.add(rec.target_name)
+        assert len(names) == 6
