@@ -298,3 +298,40 @@ def test_classify_stat_words_tile_boundaries():
         )
     )
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", range(3, 8))
+def test_classify_stat_words_fuzz(seed):
+    """Wider fuzz for the SWAR kernel: random row counts, ragged lengths,
+    gap-dense and SNP-dense mixes, tiny and word-misaligned records."""
+    rng = random.Random(seed)
+    pairs = []
+    for _ in range(rng.randint(2, 9)):
+        n = rng.randint(1, 1200)
+        profile = rng.choice(["uniform", "gappy", "snpy", "equal"])
+        t = []
+        q = []
+        for _ in range(n):
+            if profile == "uniform":
+                a, b = rng.choice("ACGT-"), rng.choice("ACGT-")
+            elif profile == "gappy":
+                a = rng.choice("A---")
+                b = rng.choice("C---")
+            elif profile == "snpy":
+                a, b = rng.choice("AC"), rng.choice("AG")
+            else:
+                a = rng.choice("ACGT")
+                b = a
+            t.append(a)
+            q.append(b)
+        pairs.append(("".join(t).encode(), "".join(q).encode()))
+    t, q, lens = pack_pairs(pairs, align=128)
+    for caller in (False, True):
+        want = np.array(classify_stat_jnp(t, q, lens, caller=caller))
+        got = np.array(
+            classify_stat_pallas_words(
+                _words(t), _words(q), jnp.asarray(lens),
+                tile_b=2, tile_lw=32, interpret=True, caller=caller,
+            )
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"caller={caller}")
