@@ -183,3 +183,33 @@ def test_liftover_pallas_kernel_parity():
     got_t, got_q = liftover_scan_pallas(ops, lens, interpret=True)
     assert np.array_equal(np.asarray(got_t), np.asarray(want_t))
     assert np.array_equal(np.asarray(got_q), np.asarray(want_q))
+
+
+@pytest.mark.parametrize("seed", range(30, 34))
+def test_liftover_pallas_kernel_fuzz(seed):
+    """Seeded fuzz over the stacked-matmul Pallas scan: random row counts,
+    op mixes with S ops, zero-length ops, and single-op rows."""
+    from wgatools_tpu.ops.liftover import (
+        _liftover_scan_impl,
+        liftover_scan_pallas,
+        pack_ops_batch,
+    )
+
+    rng = random.Random(seed)
+    op_arrays, len_arrays = [], []
+    for _ in range(rng.randint(1, 13)):
+        n = rng.randint(1, 900)
+        ops = np.frombuffer(
+            bytes(rng.choice(b"M=XIDS") for _ in range(n)), dtype=np.uint8
+        )
+        lens = np.array(
+            [rng.choice((0, 1, 2, 31, 999, 65535)) for _ in range(n)],
+            dtype=np.int64,
+        )
+        op_arrays.append(ops)
+        len_arrays.append(lens)
+    ops, lens = pack_ops_batch(op_arrays, len_arrays)
+    want_t, want_q = _liftover_scan_impl(ops, lens, False, False)
+    got_t, got_q = liftover_scan_pallas(ops, lens, interpret=True)
+    assert np.array_equal(np.asarray(got_t), np.asarray(want_t))
+    assert np.array_equal(np.asarray(got_q), np.asarray(want_q))
