@@ -26,6 +26,42 @@ from .classify import (
 # exceed this (keeps device buffers ~2x64 MB for uint8 pairs)
 DEFAULT_BATCH_COLUMNS = 64 << 20
 
+# Device per-record counters are int32 (Mosaic cannot reduce into int64
+# on v5e); a single record with >= 2^31 columns would wrap them silently.
+# The reference's semantics are u64 throughout (cigar.rs:629-707), so the
+# dispatch routes such records -- 4 GB-per-plane alignment blocks, far
+# beyond any real MAF -- to the int64 host engine.  Module attribute so
+# differential tests can lower the boundary without materializing 2 Gbp
+# of columns.
+INT32_SAFE_COLUMNS = 2**31
+
+
+def _host_pair_stat(t_bytes, q_bytes, negative):
+    """int64 host-engine stats for one pair (the overflow fallback)."""
+    from ..core.cigar import EQ, D, I, X, ext_runs, rec_stat_from_cigar
+
+    t = np.frombuffer(t_bytes, dtype=np.uint8)
+    q = np.frombuffer(q_bytes, dtype=np.uint8)
+    vals, lens = ext_runs(t, q)
+    lens = np.asarray(lens, dtype=np.int64)
+    c = Cigar()
+    c.match_count = int(lens[vals == EQ].sum())
+    c.mismatch_count = int(lens[vals == X].sum())
+    ins_mask = vals == I
+    del_mask = vals == D
+    if negative:
+        c.inv_event = 1
+        c.inv_ins_event = int(ins_mask.sum())
+        c.inv_ins_count = int(lens[ins_mask].sum())
+        c.inv_del_event = int(del_mask.sum())
+        c.inv_del_count = int(lens[del_mask].sum())
+    else:
+        c.ins_event = int(ins_mask.sum())
+        c.ins_count = int(lens[ins_mask].sum())
+        c.del_event = int(del_mask.sum())
+        c.del_count = int(lens[del_mask].sum())
+    return rec_stat_from_cigar(c)
+
 
 def stats_row_to_cigar(row, negative: bool) -> Cigar:
     """Device counter row -> Cigar (without the cigar string)."""
@@ -70,6 +106,9 @@ def batch_rec_stats(pairs, negatives, batch_columns=DEFAULT_BATCH_COLUMNS):
     max_len = 0
     for i, pair in enumerate(pairs):
         n = len(pair[0])
+        if n >= INT32_SAFE_COLUMNS:
+            out[i] = _host_pair_stat(pair[0], pair[1], negatives[i])
+            continue
         new_max = max(max_len, n)
         if pending and new_max * (len(pending) + 1) > batch_columns:
             flush()
@@ -103,6 +142,11 @@ def stream_seq_pair_stats(items, batch_columns=DEFAULT_BATCH_COLUMNS):
 
     for item in items:
         n = len(item[0])
+        if n >= INT32_SAFE_COLUMNS:
+            # int32-overflow fallback: flush first so output order is kept
+            yield from flush()
+            yield item[3], _host_pair_stat(item[0], item[1], item[2])
+            continue
         new_max = max(max_len, n)
         if pending and new_max * (len(pending) + 1) > batch_columns:
             yield from flush()

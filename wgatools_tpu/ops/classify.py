@@ -578,6 +578,13 @@ def column_stats(t, q, lengths, use_pallas=None, caller=False):
 
     Host numpy byte inputs take the word-packed kernel via a zero-copy
     little-endian view (1.75x the byte kernel; see _kernel_words)."""
+    # int32 counter bound: per-record counts are <= the padded row width,
+    # so rows below 2^31 columns cannot wrap the int32 counters.  Wider
+    # rows (4 GB-per-plane records) must take the int64 host engine --
+    # batching callers guard via ops.batch.INT32_SAFE_COLUMNS; this
+    # assert makes a silent divergence from the u64 reference semantics
+    # (cigar.rs:629-707) structurally impossible.
+    assert t.shape[1] < 2**31, "row width would wrap int32 stats counters"
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if (

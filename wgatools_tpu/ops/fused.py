@@ -1,0 +1,305 @@
+"""Fused classify + liftover: one Pallas kernel, one grid pass.
+
+Round-2 profiling showed the combined CIGAR engine loop (the hot path of
+every conversion workload, reference src/parser/cigar.rs:344-432 +
+251-295) serializing its two device stages: the word-packed SWAR
+column-classify kernel (HBM/VPU-bound, ~64 MB of column bytes per batch)
+followed by the liftover op-scan kernel (MXU-bound, ~2.6 MB of op table)
+-- back-to-back they ran at ~48% of the self-computed streaming roofline
+(VERDICT round 2, "what's weak" #2).
+
+The two stages are data-independent within a batch (columns in, op
+tables in; production pipelines overlap batch i's op scan with batch
+i+1's columns), so one kernel can process a column tile AND an op tile
+per grid step.  The op-scan's VPU prep + MXU matmuls hide under the
+column stream's DMA time, and the per-grid-step fixed cost (which
+dominated the tiny op tiles: scripts/ab_liftover.py measured the
+two-level scan with 4x fewer MACs no faster than the full triangle) is
+paid once for both stages instead of twice.
+
+Numerics are bit-identical to running `classify_stat_pallas_words` and
+`liftover_scan_pallas` separately (differential-tested).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .classify import (
+    N_STATS,
+    _classify,
+    _finish_stats,
+    _kernel_words,
+)
+from .liftover import OP_D, OP_I, OP_S
+
+
+def _liftover_block(
+    ops, lens, tri_x, toff_ref, qoff_ref, carry_ref, j, chunk=None
+):
+    """Liftover op-scan on one (TB, TLO) tile; shared by the fused kernel.
+
+    Single-widen advance selection + ONE stacked (4*TB, TLO) x (TLO, TLO)
+    bf16 limb matmul (full MXU rows), cross-tile carry in scratch --
+    the round-2 production formulation (ops/liftover.py:102-158).
+
+    chunk=c selects the two-level form: rows reshape to (TB*TLO/c, c),
+    scan against a (c, c) triangle (TLO/c x fewer MACs), then chunk
+    offsets recombine with unrolled adds.  tri_x must then be (c, c).
+    """
+    i32 = jnp.int32
+    o32 = ops.astype(i32)
+    pad = o32 == 0
+    is_i = o32 == OP_I
+    is_s = o32 == OP_S
+    is_d = o32 == OP_D
+    adv_t = jnp.where(pad | is_i | is_s, 0, lens)
+    adv_q = jnp.where(pad | is_d, 0, lens)
+    TB, TLO = adv_t.shape
+
+    c = chunk or TLO
+    ns = TLO // c
+    at = adv_t.reshape(TB * ns, c)
+    aq = adv_q.reshape(TB * ns, c)
+    stacked = jnp.concatenate(
+        [
+            (at & 0xFF).astype(jnp.bfloat16),
+            (at >> 8).astype(jnp.bfloat16),
+            (aq & 0xFF).astype(jnp.bfloat16),
+            (aq >> 8).astype(jnp.bfloat16),
+        ],
+        axis=0,
+    )
+    s = jax.lax.dot_general(
+        stacked,
+        tri_x,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(i32)
+    R = TB * ns
+    ex_t = s[:R] + (s[R : 2 * R] << 8)
+    ex_q = s[2 * R : 3 * R] + (s[3 * R :] << 8)
+    if ns > 1:
+        tot_t = (ex_t[:, c - 1 : c] + at[:, c - 1 : c]).reshape(TB, ns)
+        tot_q = (ex_q[:, c - 1 : c] + aq[:, c - 1 : c]).reshape(TB, ns)
+        offs_t = [jnp.zeros((TB, 1), i32)]
+        offs_q = [jnp.zeros((TB, 1), i32)]
+        for k in range(1, ns):
+            offs_t.append(offs_t[-1] + tot_t[:, k - 1 : k])
+            offs_q.append(offs_q[-1] + tot_q[:, k - 1 : k])
+        off_t = jnp.concatenate(offs_t, axis=1)
+        off_q = jnp.concatenate(offs_q, axis=1)
+        ex_t = (ex_t.reshape(TB, ns, c) + off_t[:, :, None]).reshape(TB, TLO)
+        ex_q = (ex_q.reshape(TB, ns, c) + off_q[:, :, None]).reshape(TB, TLO)
+    else:
+        ex_t = ex_t.reshape(TB, TLO)
+        ex_q = ex_q.reshape(TB, TLO)
+
+    @pl.when(j == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    carry = carry_ref[:]
+    ex_t = ex_t + carry[:, 0:1]
+    ex_q = ex_q + carry[:, 1:2]
+    toff_ref[:] = ex_t
+    qoff_ref[:] = ex_q
+    carry_ref[:] = jnp.concatenate(
+        [
+            ex_t[:, TLO - 1 : TLO] + adv_t[:, TLO - 1 : TLO],
+            ex_q[:, TLO - 1 : TLO] + adv_q[:, TLO - 1 : TLO],
+        ],
+        axis=1,
+    )
+
+
+def _fused_kernel(
+    tw_ref,
+    qw_ref,
+    ops_ref,
+    lens_ref,
+    tri_ref,
+    out_ref,
+    edge_ref,
+    toff_ref,
+    qoff_ref,
+    carry_ref,
+    *,
+    caller=False,
+    chunk=None,
+):
+    # classify stage: identical body to the words kernel (writes
+    # out_ref/edge_ref, resets out_ref at j == 0)
+    _kernel_words(tw_ref, qw_ref, out_ref, edge_ref, caller=caller)
+    # liftover stage on this step's op tile
+    j = pl.program_id(1)
+    _liftover_block(
+        ops_ref[:], lens_ref[:], tri_ref[:], toff_ref, qoff_ref,
+        carry_ref, j, chunk=chunk,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_b", "tile_lw", "tile_lo", "interpret", "caller", "scan_chunk"
+    ),
+)
+def classify_liftover_fused(
+    tw,
+    qw,
+    lengths,
+    ops,
+    lens,
+    tile_b=32,
+    tile_lw=8192,
+    tile_lo=None,
+    interpret=False,
+    caller=False,
+    scan_chunk=None,
+):
+    """One-pass classify stats + liftover offsets.
+
+    tw, qw: int32 [B, LW] little-endian words of the column byte planes
+    (zero-copy host `.view('<i4')`, same contract as
+    classify_stat_pallas_words); lengths: int32 [B] in columns;
+    ops: uint8 [B2, NO] (0 = padding); lens: int32 [B2, NO], every
+    length < 2^16.
+
+    Returns (stats int32 [B, 8], t_off int32 [B2, NO], q_off int32
+    [B2, NO]) -- bit-identical to classify_stat_pallas_words +
+    liftover_scan_pallas.
+
+    The op batch rides the classify grid: NO is padded so both inputs
+    split into the same number of column-axis steps.  B and B2 are
+    padded to a common row-tile multiple independently (the two stages
+    never mix rows).
+    """
+    B, LW = tw.shape
+    B2, NO = ops.shape
+    tile_b = min(tile_b, max(B, B2))
+    tile_lw = min(tile_lw, max(LW, 128))
+    gapw = jnp.int32(int(np.int32(np.uint32(0x2D2D2D2D))))
+    assert tile_lw * 4 < (1 << 16), "tile_lw*4 must be < 2^16"
+
+    # pad the word planes to tile multiples (gap words: the padding
+    # corrections in _finish_stats account for them exactly)
+    if LW % tile_lw or LW == 0:
+        LW2 = max(((LW + tile_lw - 1) // tile_lw) * tile_lw, tile_lw)
+        tw = jnp.pad(tw, ((0, 0), (0, LW2 - LW)), constant_values=gapw)
+        qw = jnp.pad(qw, ((0, 0), (0, LW2 - LW)), constant_values=gapw)
+        LW = LW2
+    if B % tile_b:
+        Bp = ((B + tile_b - 1) // tile_b) * tile_b
+        tw = jnp.pad(tw, ((0, Bp - B), (0, 0)), constant_values=gapw)
+        qw = jnp.pad(qw, ((0, Bp - B), (0, 0)), constant_values=gapw)
+        lengths = jnp.pad(lengths, (0, Bp - B))
+        pad_rows = Bp - B
+    else:
+        Bp = B
+        pad_rows = 0
+
+    ns = LW // tile_lw
+    # op tile: split NO over the same ns steps, 128-lane aligned
+    if tile_lo is None:
+        tile_lo = max(((NO + ns - 1) // ns + 127) // 128 * 128, 128)
+    NOp = ns * tile_lo
+    if NOp != NO:
+        ops = jnp.pad(ops, ((0, 0), (0, NOp - NO)))
+        lens = jnp.pad(lens, ((0, 0), (0, NOp - NO)))
+    if B2 % tile_b:
+        B2p = ((B2 + tile_b - 1) // tile_b) * tile_b
+        ops = jnp.pad(ops, ((0, B2p - B2), (0, 0)))
+        lens = jnp.pad(lens, ((0, B2p - B2), (0, 0)))
+    else:
+        B2p = B2
+
+    # the grid's row axis must cover both row counts; the smaller input
+    # is row-padded (its extra tiles compute zeros)
+    nb = max(Bp, B2p) // tile_b
+    if Bp < nb * tile_b:
+        tw = jnp.pad(
+            tw, ((0, nb * tile_b - Bp), (0, 0)), constant_values=gapw
+        )
+        qw = jnp.pad(
+            qw, ((0, nb * tile_b - Bp), (0, 0)), constant_values=gapw
+        )
+        lengths = jnp.pad(lengths, (0, nb * tile_b - Bp))
+        pad_rows += nb * tile_b - Bp
+        Bp = nb * tile_b
+    if B2p < nb * tile_b:
+        ops = jnp.pad(ops, ((0, nb * tile_b - B2p), (0, 0)))
+        lens = jnp.pad(lens, ((0, nb * tile_b - B2p), (0, 0)))
+        B2p = nb * tile_b
+
+    tri_n = scan_chunk or tile_lo
+    assert tile_lo % tri_n == 0, "scan_chunk must divide tile_lo"
+    ir = jax.lax.broadcasted_iota(jnp.int32, (tri_n, tri_n), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (tri_n, tri_n), 1)
+    tri = jnp.clip(ir - ic, 0, 1).astype(jnp.bfloat16)
+
+    word_spec = pl.BlockSpec(
+        (tile_b, tile_lw), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    op_spec = pl.BlockSpec(
+        (tile_b, tile_lo), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    out, edges, t_off, q_off = pl.pallas_call(
+        functools.partial(_fused_kernel, caller=caller, chunk=scan_chunk),
+        grid=(nb, ns),
+        in_specs=[
+            word_spec,
+            word_spec,
+            op_spec,
+            op_spec,
+            pl.BlockSpec(
+                (tri_n, tri_n),
+                lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile_b, N_STATS),
+                lambda i, j: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_b, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            op_spec,
+            op_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, N_STATS), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 128 * ns), jnp.int32),
+            jax.ShapeDtypeStruct((B2p, NOp), jnp.int32),
+            jax.ShapeDtypeStruct((B2p, NOp), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile_b, 2), jnp.int32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=14 * Bp * LW + 4 * B2p * NOp * tri_n,
+            bytes_accessed=8 * Bp * LW + 13 * B2p * NOp,
+            transcendentals=0,
+        ),
+    )(tw, qw, ops, lens.astype(jnp.int32), tri)
+
+    # classify finish: exact tile-boundary + padding corrections
+    L = 4 * LW
+    last_idx = jnp.maximum(lengths - 1, 0)
+    widx = last_idx // 4
+    shift = ((last_idx % 4) * 8).astype(jnp.int32)
+    wv_t = jnp.take_along_axis(tw, widx[:, None], axis=1)[:, 0]
+    wv_q = jnp.take_along_axis(qw, widx[:, None], axis=1)[:, 0]
+    bt = jax.lax.shift_right_logical(wv_t, shift) & jnp.int32(0xFF)
+    bq = jax.lax.shift_right_logical(wv_q, shift) & jnp.int32(0xFF)
+    last_real_cat = _classify(bt, bq, caller).astype(jnp.int32)
+    stats = _finish_stats(
+        out, edges, ns, L, lengths, last_real_cat, caller, pad_rows
+    )
+    return stats, t_off[:B2, :NO], q_off[:B2, :NO]

@@ -36,6 +36,12 @@ def cigar_batch_stats(ops, lens, row_ids, num_records):
     ops: uint8 [N] op codes; lens: int32 [N]; row_ids: int32 [N].
     Returns int32 [num_records, 6] (host aggregation upcasts): matched, mismatched, ins_size, del_size,
     ins_events, del_events.  Every I/D op is one event (PAF semantics).
+
+    CONTRACT: per-record len totals must stay below 2^31 -- the segment
+    sums are int32 (the reference accumulates u64, cigar.rs:629-707).
+    Dispatching callers guard this and route overflowing records to the
+    int64 host engine (tools/validate.py stream_batch_stats; differential
+    test tests/test_int32_overflow.py crosses the boundary).
     """
     lens = lens.astype(jnp.int32)
     is_m = (ops == OP_M) | (ops == OP_EQ)
