@@ -18,24 +18,35 @@ from .log import init_logger
 log = logging.getLogger("wgatools_tpu")
 
 
-def _add_global_flags(p):
-    p.add_argument(
+def _add_global_flags(p, skip_shorts=()):
+    """Global flags on one subparser (clap `global = true`, cli.rs:20-36).
+
+    skip_shorts: shorts shadowed by a subcommand-local flag, exactly as
+    clap resolves them -- chain2maf's `-t target` (cli.rs:86-88) and
+    maf-ext's `-r regions` (cli.rs:114-117) win over the global
+    -t/--threads and -r/--rewrite, which stay reachable long-form."""
+
+    def flag(short, *names, **kw):
+        if short.lstrip("-") in skip_shorts:
+            p.add_argument(*names, **kw)
+        else:
+            p.add_argument(short, *names, **kw)
+
+    flag(
         "-o",
         "--outfile",
         default="-",
         help='Output file ("-" for stdout), names ending in .gz/.bz2/.xz '
         "are compressed automatically",
     )
-    p.add_argument(
+    flag(
         "-r",
         "--rewrite",
         action="store_true",
         help="Bool, if rewrite output file [default: false]",
     )
-    p.add_argument(
-        "-t", "--threads", type=int, default=1, help="Threads, default 1"
-    )
-    p.add_argument(
+    flag("-t", "--threads", type=int, default=1, help="Threads, default 1")
+    flag(
         "-v",
         "--verbose",
         action="count",
@@ -63,9 +74,9 @@ def build_parser():
     parser.add_argument("--version", action="version", version=__version__)
     sub = parser.add_subparsers(dest="command", required=True)
 
-    def cmd(name, aliases, help_):
+    def cmd(name, aliases, help_, skip_shorts=()):
         p = sub.add_parser(name, aliases=aliases, help=help_)
-        _add_global_flags(p)
+        _add_global_flags(p, skip_shorts)
         return p
 
     p = cmd("maf2paf", ["m2p"], "Convert MAF format to PAF format")
@@ -84,9 +95,16 @@ def build_parser():
     p = cmd("paf2chain", ["p2c"], "Convert PAF format to Chain format")
     p.add_argument("input", nargs="?", default=None)
 
-    p = cmd("chain2maf", ["c2m"], "Convert Chain format to MAF format")
+    p = cmd(
+        "chain2maf",
+        ["c2m"],
+        "Convert Chain format to MAF format",
+        skip_shorts=("t",),
+    )
     p.add_argument("input", nargs="?", default=None)
-    p.add_argument("-g", "--target", required=True)
+    # -t shadows the global --threads here, as clap does (cli.rs:86-88);
+    # -g kept as a compatibility alias from earlier releases
+    p.add_argument("-t", "-g", "--target", required=True)
     p.add_argument("-q", "--query", required=True)
 
     p = cmd("chain2paf", ["c2p"], "Convert Chain format to PAF format")
@@ -96,10 +114,15 @@ def build_parser():
     p.add_argument("input")
 
     p = cmd(
-        "maf-ext", ["me"], "Extract specific region from MAF file with index"
+        "maf-ext",
+        ["me"],
+        "Extract specific region from MAF file with index",
+        skip_shorts=("r",),
     )
     p.add_argument("input", nargs="?", default=None)
-    p.add_argument("-R", "--regions", default=None)
+    # -r shadows the global --rewrite here, as clap does (cli.rs:114-117,
+    # comma-delimited); -R kept as a compatibility alias
+    p.add_argument("-r", "-R", "--regions", default=None)
     p.add_argument("-f", "--file", default=None)
 
     p = cmd("chunk", ["ch"], "Chunk MAF file by length")
