@@ -12,6 +12,10 @@ import sys
 # dispatch + remote compile latency dominates below it)
 DEVICE_MIN_COLUMNS = 1 << 22
 
+# same rule for op-table batches (chain_scan / segment-sum pipelines):
+# ops are ~32 columns each, so this matches DEVICE_MIN_COLUMNS volume
+DEVICE_MIN_OPS = 1 << 16
+
 
 def device_requested(device=None) -> bool:
     if device is not None:

@@ -99,7 +99,9 @@ def cumsum_last(x, T=256, wide=False, use_mm=None):
 # ---------------------------------------------------------------------------
 
 
-def _liftover_kernel(ops_ref, lens_ref, tri_ref, t_ref, q_ref, carry_ref):
+def _liftover_kernel(
+    ops_ref, lens_ref, tri_ref, t_ref, q_ref, carry_ref, *, mode="liftover"
+):
     j = pl.program_id(1)
     ops = ops_ref[:]
     lens = lens_ref[:]
@@ -108,8 +110,14 @@ def _liftover_kernel(ops_ref, lens_ref, tri_ref, t_ref, q_ref, carry_ref):
     is_i = (ops ^ jnp.uint8(OP_I)).astype(i32) == 0
     is_s = (ops ^ jnp.uint8(OP_S)).astype(i32) == 0
     is_d = (ops ^ jnp.uint8(OP_D)).astype(i32) == 0
-    adv_t = jnp.where(pad | is_i | is_s, 0, lens)
-    adv_q = jnp.where(pad | is_d, 0, lens)
+    if mode == "chain":
+        # chain data-line derivation scans I-sizes and D-sizes themselves
+        # (cigar_unit_chain's target_diff/query_diff, cigar.rs:460-490)
+        adv_t = jnp.where(is_i, lens, 0)
+        adv_q = jnp.where(is_d, lens, 0)
+    else:
+        adv_t = jnp.where(pad | is_i | is_s, 0, lens)
+        adv_q = jnp.where(pad | is_d, 0, lens)
 
     # strictly-lower-triangular ones, passed in with a constant block
     # index: it stays VMEM-resident across grid steps instead of being
@@ -159,9 +167,11 @@ def _liftover_kernel(ops_ref, lens_ref, tri_ref, t_ref, q_ref, carry_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_b", "tile_l", "interpret")
+    jax.jit, static_argnames=("tile_b", "tile_l", "interpret", "mode")
 )
-def liftover_scan_pallas(ops, lens, tile_b=32, tile_l=512, interpret=False):
+def liftover_scan_pallas(
+    ops, lens, tile_b=32, tile_l=512, interpret=False, mode="liftover"
+):
     """Fused exclusive liftover scan (TPU Pallas).
 
     ops: uint8 [B, N] (0 = padding); lens: int32 [B, N] with every length
@@ -192,7 +202,7 @@ def liftover_scan_pallas(ops, lens, tile_b=32, tile_l=512, interpret=False):
     ic = jax.lax.broadcasted_iota(jnp.int32, (tile_l, tile_l), 1)
     tri = jnp.clip(ir - ic, 0, 1).astype(jnp.bfloat16)
     t_off, q_off = pl.pallas_call(
-        _liftover_kernel,
+        functools.partial(_liftover_kernel, mode=mode),
         grid=grid,
         in_specs=[
             spec,
@@ -288,19 +298,45 @@ def spans_to_coverage(starts, ends, genome_len: int):
     return jnp.cumsum(diff[:-1])
 
 
-@jax.jit
-def chain_advance_table(ops, lens):
-    """Per-op cumulative (ins, del) sizes for chain-line derivation.
-
-    Exclusive cumsums of I-lengths and D-lengths: the device form of the
-    accumulated target_diff/query_diff state in cigar_unit_chain
-    (reference: cigar.rs:460-490).  Host code slices these at M-run
-    boundaries to emit chain lines without re-scanning the op array.
-    """
+@functools.partial(jax.jit, static_argnames=("wide", "use_mm"))
+def _chain_scan_impl(ops, lens, wide, use_mm):
     lens = lens.astype(jnp.int32)
     ins = jnp.where(ops == OP_I, lens, 0)
     dele = jnp.where(ops == OP_D, lens, 0)
-    return jnp.cumsum(ins, axis=1), jnp.cumsum(dele, axis=1)
+    both = jnp.concatenate([ins, dele], axis=0)
+    cum = cumsum_last(both, wide=wide, use_mm=use_mm)
+    B = ops.shape[0]
+    return cum[:B] - ins, cum[B:] - dele
+
+
+def chain_scan(ops, lens, wide=False):
+    """EXCLUSIVE per-op cumulative (ins, del) sizes for chain-line
+    derivation: the device form of the accumulated
+    target_diff/query_diff state in cigar_unit_chain (reference:
+    cigar.rs:460-490).  Host code gathers these at M-run boundaries to
+    emit chain lines without re-scanning the op array
+    (core.cigar.chain_line_arrays_from_ops uses the same exclusive
+    indices).
+
+    ops: uint8 [B, N] (0 = padding); lens: int32 [B, N].  Same kernel
+    family and wide/limb rules as liftover_scan.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and not wide:
+        return liftover_scan_pallas(ops, lens, mode="chain")
+    return _chain_scan_impl(ops, lens, bool(wide), on_tpu)
+
+
+@jax.jit
+def chain_advance_table(ops, lens):
+    """INCLUSIVE per-op cumulative (ins, del) sizes (chain_scan + adv)."""
+    lens = lens.astype(jnp.int32)
+    ins = jnp.where(ops == OP_I, lens, 0)
+    dele = jnp.where(ops == OP_D, lens, 0)
+    ex_i, ex_d = _chain_scan_impl(
+        ops, lens, False, jax.default_backend() == "tpu"
+    )
+    return ex_i + ins, ex_d + dele
 
 
 def pack_ops_batch(op_arrays, len_arrays, align=128):

@@ -184,11 +184,20 @@ def _batched_ext_runs(mafreader, query_name, emit, batch_columns=64 << 20):
     flush()
 
 
-def paf2chain(pafreader: PafReader, writer):
+def paf2chain(pafreader: PafReader, writer, device=None):
     """PAF -> chain (reference: converter.rs:148-173).
 
-    The per-record body (trims + cigar_unit_chain state machine + data-line
-    emission) runs as ONE fused native pass when available."""
+    Host path: the per-record body (trims + cigar_unit_chain state
+    machine + data-line emission) runs as ONE fused native pass when
+    available.  Device path (WGA_TPU_DEVICE / TPU backend): op tables
+    batch through the chain_scan Pallas kernel -- the exclusive I/D
+    cumulative tables every data line needs -- and the host only gathers
+    M-run boundaries and formats.  Byte-identical (tested)."""
+    from ..core.device import device_requested
+
+    if device_requested(device):
+        _paf2chain_device(pafreader, writer)
+        return
     from .. import native
 
     use_native = native.available()
@@ -207,6 +216,105 @@ def paf2chain(pafreader: PafReader, writer):
                 continue
         ops, lens = record.get_cigar_ops()
         _write_chain_from_ops(writer, native, record, chain_id, ops, lens)
+    writer.flush()
+
+
+def _chain_block_from_scan(record, ops, lens, excl_ins, excl_del):
+    """Chain lines from per-op EXCLUSIVE cumulative I/D tables
+    (ops.liftover.chain_scan): identical semantics to
+    chain_line_arrays_from_ops, the row scans replaced by gathers."""
+    for op in np.unique(ops).tolist():
+        if op not in C._VALID_STAT_OPS:
+            raise C.CigarOpInvalid(chr(op))
+    is_m = (ops == C.OP_M) | (ops == C.OP_EQ) | (ops == C.OP_X)
+    m_idx = np.flatnonzero(is_m)
+    empty = np.zeros(0, dtype=np.int64)
+    if m_idx.size == 0:
+        return empty, empty, empty, 0
+    m_sizes = np.asarray(lens, dtype=np.int64)[m_idx]
+    td = (excl_ins[m_idx[1:]] - excl_ins[m_idx[:-1] + 1]).astype(np.int64)
+    qd = (excl_del[m_idx[1:]] - excl_del[m_idx[:-1] + 1]).astype(np.int64)
+    nonzero_gap = (td + qd) != 0
+    seg_starts = np.concatenate(([0], np.flatnonzero(nonzero_gap) + 1))
+    merged = np.add.reduceat(m_sizes, seg_starts)
+    gap_sel = np.flatnonzero(nonzero_gap)
+    return merged[:-1], qd[gap_sel], td[gap_sel], int(merged[-1])
+
+
+def _paf2chain_device(
+    pafreader: PafReader, writer, batch_ops=1 << 20, min_ops=None
+):
+    """Batched device pipeline: chain_scan cumulative tables on TPU, M-run
+    boundary gathers + C++ formatting on host."""
+    from ..core.device import DEVICE_MIN_OPS
+    from ..core.metrics import METRICS
+    from ..ops.liftover import chain_scan, pack_ops_batch
+
+    if min_ops is None:
+        min_ops = DEVICE_MIN_OPS
+
+    pending = []  # (record, ops, lens)
+    total = 0
+    next_id = 0
+
+    def emit_from_tables(record, ops, lens, ei, ed):
+        nonlocal next_id
+        trims = C.trims_from_ops(ops, lens)
+        header = chain_header_from_record(record, *trims)
+        header.chain_id = next_id
+        sizes, dqs, dts, final = _chain_block_from_scan(
+            record, ops, lens, ei, ed
+        )
+        write_chain_record(writer, header, (sizes, dqs, dts), final)
+        next_id += 1
+
+    def flush():
+        nonlocal total, next_id
+        if not pending:
+            return
+        if total < min_ops:
+            # too small to amortize device dispatch
+            from .. import native
+
+            for record, ops, lens in pending:
+                _write_chain_from_ops(
+                    writer, native, record, next_id, ops, lens
+                )
+                next_id += 1
+            pending.clear()
+            total = 0
+            return
+        ops_b, lens_b = pack_ops_batch(
+            [p[1] for p in pending], [p[2] for p in pending]
+        )
+        with METRICS.stage("device_chain_scan", ops_b.nbytes * 5):
+            ei_b, ed_b = chain_scan(ops_b, lens_b)
+            ei_b = np.asarray(ei_b)
+            ed_b = np.asarray(ed_b)
+        for k, (record, ops, lens) in enumerate(pending):
+            n = len(ops)
+            emit_from_tables(record, ops, lens, ei_b[k, :n], ed_b[k, :n])
+        pending.clear()
+        total = 0
+
+    from .. import native
+
+    for record in pafreader.records():
+        ops, lens = record.get_cigar_ops()
+        if len(lens) == 0 or lens.max(initial=0) >= (1 << 16) or int(
+            lens.sum()
+        ) >= 2**31:
+            # outliers (huge single ops / int32-unsafe totals) take the
+            # fused host path; flush first to keep chain ids in order
+            flush()
+            _write_chain_from_ops(writer, native, record, next_id, ops, lens)
+            next_id += 1
+            continue
+        pending.append((record, ops, lens))
+        total += len(ops)
+        if total >= batch_ops:
+            flush()
+    flush()
     writer.flush()
 
 
@@ -238,11 +346,128 @@ def _write_chain_from_ops(writer, native, record, chain_id, ops, lens):
     write_chain_record(writer, header, (sizes, dqs, dts), final_size)
 
 
-def chain2paf(chainreader: ChainReader, writer):
-    """chain -> PAF (reference: converter.rs:391-416)."""
+def chain2paf(chainreader: ChainReader, writer, device=None):
+    """chain -> PAF (reference: converter.rs:391-416).
+
+    Device path: the per-record match/indel totals reduce as device
+    segment sums over the concatenated data-line arrays (the same shape
+    as validate's batched stats); the CIGAR strings format host-side in
+    C++.  Byte-identical to the host path (tested)."""
+    from ..core.device import device_requested
+
+    if device_requested(device):
+        _chain2paf_device(chainreader, writer)
+        return
     paf_writer = PafWriter(writer)
     for record in chainreader.records():
         paf_writer.write_record(record.convert2paf())
+    writer.flush()
+
+
+def _chain2paf_device(
+    chainreader: ChainReader, writer, batch_lines=1 << 20, min_lines=None
+):
+    """Batched device pipeline for chain -> PAF: per-record sums of the
+    data-line arrays (match / ins / del sizes + events) as one device
+    segment-sum pass, rows + cg strings assembled on host."""
+    import jax.numpy as jnp
+
+    from ..core.device import DEVICE_MIN_OPS
+    from ..core.metrics import METRICS
+    from ..io.paf import PafRecord
+
+    if min_lines is None:
+        min_lines = DEVICE_MIN_OPS
+
+    paf_writer = PafWriter(writer)
+    pending = []
+    total = 0
+
+    def emit(record, match, ins_ct, del_ct):
+        from .. import native
+
+        ops, lens = record.op_arrays()
+        cat = np.where(
+            ops == C.OP_I, 1, np.where(ops == C.OP_D, 2, 0)
+        ).astype(np.uint8)
+        cg = native.format_runs(cat, np.asarray(lens, np.int64), b"MID")
+        if cg is None:  # no native lib: plain join fallback
+            chars = "MID"
+            cg = "".join(
+                f"{l}{chars[v]}"
+                for v, l in zip(cat.tolist(), np.asarray(lens).tolist())
+            )
+        block_length = match + del_ct
+        paf_writer.write_record(
+            PafRecord(
+                query_name=record.query_name,
+                query_length=record.query_length,
+                query_start=record.query_start,
+                query_end=record.query_end,
+                strand=record.query_strand,
+                target_name=record.target_name,
+                target_length=record.target_length,
+                target_start=record.target_start,
+                target_end=record.target_end,
+                matches=match,
+                block_length=block_length,
+                mapq=255,
+                tags=["cg:Z:" + cg],
+            )
+        )
+
+    def flush():
+        nonlocal total
+        if not pending:
+            return
+        if total < min_lines:
+            for record in pending:
+                paf_writer.write_record(record.convert2paf())
+            pending.clear()
+            total = 0
+            return
+        import jax
+
+        sizes = np.concatenate([r.sizes for r in pending])
+        dqs = np.concatenate([r.dqs for r in pending])
+        dts = np.concatenate([r.dts for r in pending])
+        row_ids = np.repeat(
+            np.arange(len(pending), dtype=np.int32),
+            [len(r.sizes) for r in pending],
+        )
+        with METRICS.stage("device_chain_sums", sizes.nbytes * 3):
+            seg = jax.jit(
+                lambda v, r: jax.ops.segment_sum(
+                    v, r, num_segments=len(pending)
+                )
+            )
+            stacked = np.stack([sizes, dts, dqs]).astype(np.int32)
+            sums = np.asarray(
+                jax.vmap(seg, in_axes=(0, None))(
+                    jnp.asarray(stacked), jnp.asarray(row_ids)
+                )
+            )
+        for k, record in enumerate(pending):
+            # final-size line is part of sizes already (op_arrays order)
+            emit(record, int(sums[0, k]), int(sums[1, k]), int(sums[2, k]))
+        pending.clear()
+        total = 0
+
+    for record in chainreader.records():
+        if (
+            int(record.sizes.sum())
+            + int(record.dqs.sum())
+            + int(record.dts.sum())
+        ) >= 2**31:
+            # int32-unsafe totals: host path (int64 end-to-end)
+            flush()
+            paf_writer.write_record(record.convert2paf())
+            continue
+        pending.append(record)
+        total += len(record.sizes)
+        if total >= batch_lines:
+            flush()
+    flush()
     writer.flush()
 
 
