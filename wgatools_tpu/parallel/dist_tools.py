@@ -46,18 +46,43 @@ def stdout_parked():
         os.close(saved)
 
 
+def _replicate_rows(rows, devices=None):
+    """[n_dev, L] host rows -> fully-replicated numpy array via ONE
+    all-gather over a 1-axis device mesh (each device row-sharded in,
+    P() out).  The merge collective of every dist tool; factored out so
+    the driver's multi-chip dryrun exercises the exact shape
+    (__graft_entry__.dryrun_multichip)."""
+    import functools
+
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if devices is None:
+        devices = jax.devices()
+    mesh = Mesh(np.array(devices), ("p",))
+    sh = NamedSharding(mesh, P("p", None))
+    arr = jax.make_array_from_callback(
+        rows.shape, sh, lambda idx: rows[idx]
+    )
+
+    @functools.partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def gather(x):
+        return x
+
+    return np.asarray(jax.device_get(gather(arr)))
+
+
 def _allgather_bytes(payload: bytes):
     """All-gather variable-length byte strings across processes.
 
-    Pads to the max length (all processes learn it via a psum of lengths)
-    and runs one uint8 all_gather over a 1-axis device mesh; every
-    process receives every payload.  This is the DCN gather SURVEY.md §5
-    describes for variable-length outputs.
+    Pads to the max length (all processes learn it via a gather of
+    lengths) and runs one uint8 all_gather over a 1-axis device mesh;
+    every process receives every payload.  This is the DCN gather
+    SURVEY.md §5 describes for variable-length outputs.
     """
     import jax
-    import jax.numpy as jnp
     import numpy as np
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     nproc = jax.process_count()
     if nproc == 1:
@@ -65,26 +90,12 @@ def _allgather_bytes(payload: bytes):
     devices = jax.devices()
     n_dev = len(devices)
     dev_per_proc = n_dev // nproc
-    mesh = Mesh(np.array(devices), ("p",))
 
     # 1) agree on the max payload length
-    lens_local = np.zeros(n_dev, dtype=np.int32)
+    lens_local = np.zeros((n_dev, 1), dtype=np.int32)
     for d in range(dev_per_proc):
-        lens_local[jax.process_index() * dev_per_proc + d] = len(payload)
-    sh = NamedSharding(mesh, P("p"))
-    lens_g = jax.make_array_from_callback(
-        (n_dev,), sh, lambda idx: lens_local[idx]
-    )
-    import functools
-
-    @functools.partial(
-        jax.jit,
-        out_shardings=NamedSharding(mesh, P()),
-    )
-    def gather_lens(x):
-        return x
-
-    all_lens = np.asarray(jax.device_get(gather_lens(lens_g)))
+        lens_local[jax.process_index() * dev_per_proc + d, 0] = len(payload)
+    all_lens = _replicate_rows(lens_local, devices)[:, 0]
     max_len = int(all_lens.max())
 
     # 2) padded uint8 all-gather (each process contributes one row per
@@ -93,19 +104,7 @@ def _allgather_bytes(payload: bytes):
     row = np.frombuffer(payload.ljust(max(max_len, 1), b"\x00"), np.uint8)
     for d in range(dev_per_proc):
         pad[jax.process_index() * dev_per_proc + d] = row
-    sh2 = NamedSharding(mesh, P("p", None))
-    data_g = jax.make_array_from_callback(
-        pad.shape, sh2, lambda idx: pad[idx]
-    )
-
-    @functools.partial(
-        jax.jit,
-        out_shardings=NamedSharding(mesh, P()),
-    )
-    def gather_rows(x):
-        return x
-
-    all_rows = np.asarray(jax.device_get(gather_rows(data_g)))
+    all_rows = _replicate_rows(pad, devices)
     out = []
     for p in range(nproc):
         n = int(all_lens[p * dev_per_proc])
