@@ -54,6 +54,7 @@ def main():
         classify_stat_pallas,
         classify_stat_pallas_words,
     )
+    from wgatools_tpu.ops.fused import classify_liftover_fused
     from wgatools_tpu.ops.liftover import liftover_scan
 
     backend = jax.default_backend()
@@ -92,11 +93,23 @@ def main():
     ln_d = jax.device_put(jnp.asarray(np.full((B, N_OPS), 32, np.int32)))
 
     if on_tpu:
-        # production path: word-packed SWAR kernel (211 vs 121 Gcol/s for
-        # the byte kernel, scripts/ab_swar.py)
-        kernel = lambda tw, qw: classify_stat_pallas_words(tw, qw, lens_d)
+        # production path: ONE fused kernel runs the word-packed SWAR
+        # classify AND the liftover op-scan per grid step (ops/fused.py;
+        # round 3 -- the separate kernels serialized their two stages,
+        # VERDICT r2).  fz_c128 tiling won the same-process A/B
+        # (scripts/ab_fused.py: 174.7 vs 170.2 Gcol/s separate)
+        combined = lambda tw, qw, o, ln: classify_liftover_fused(
+            tw, qw, lens_d, o, ln,
+            tile_lw=8192, tile_lo=1024, scan_chunk=128,
+        )
     else:
-        kernel = lambda tw, qw: classify_stat_jnp(tw, qw, lens_d)
+
+        def combined(tw, qw, o, ln):
+            from wgatools_tpu.ops.liftover import _liftover_scan_impl
+
+            stats = classify_stat_jnp(tw, qw, lens_d)
+            t_off, q_off = _liftover_scan_impl(o, ln, False, False)
+            return stats, t_off, q_off
 
     import functools
 
@@ -110,8 +123,7 @@ def main():
 
         def body(_, carry):
             t, ln, acc = carry
-            stats = kernel(t, q)
-            t_off, q_off = liftover_scan(o, ln)
+            stats, t_off, q_off = combined(t, q, o, ln)
             acc = (
                 acc
                 + jnp.sum(stats)
@@ -167,6 +179,20 @@ def main():
         )
         assert np.array_equal(sharded, want), "shard_map path mismatch"
         print("on-chip shard_map(pallas) 1-device A/B: OK", file=sys.stderr)
+        # the timed kernel itself: fused stats AND offsets must equal the
+        # jnp references bit-for-bit on this backend
+        from wgatools_tpu.ops.liftover import _liftover_scan_impl
+
+        f_stats, f_t, f_q = combined(tw_d, qw_d, o_d, ln_d)
+        want_t, want_q = _liftover_scan_impl(o_d, ln_d, False, False)
+        assert np.array_equal(np.asarray(f_stats), want), "fused stats"
+        assert np.array_equal(np.asarray(f_t), np.asarray(want_t)), (
+            "fused t_off"
+        )
+        assert np.array_equal(np.asarray(f_q), np.asarray(want_q)), (
+            "fused q_off"
+        )
+        print("on-chip fused stats+offsets parity gate: OK", file=sys.stderr)
 
     def run_batch(iters: int) -> float:
         """Wall seconds for `iters` executions of classify+stat AND

@@ -405,11 +405,89 @@ def _merge_chunks_to(writer, payloads, pid):
     writer.flush()
 
 
-def distributed_maf2paf(path, writer, query_name=None):
-    """Multi-process `maf2paf`: contiguous record ranges from the raw
-    offset scan (every process derives the same manifest), local PAF
-    rendering, allgather, process 0 concatenates in range (= file) order.
-    Byte-identical to the serial tool."""
+# A MAF record whose text is at least this many bytes (~half that in
+# alignment columns) is COLUMN-SLICED across all processes instead of
+# being assigned to one: per-record granularity (the reference's rayon
+# unit, converter.rs:43) would serialize a whole-chromosome record on one
+# process.  Column classification is per-column, so contiguous slices
+# classify independently and their run tables merge exactly at the
+# boundaries.  Env-overridable for tests (WGA_TPU_GIANT_SPLIT).
+GIANT_SPLIT_BYTES = 16 << 20
+
+
+def _giant_threshold() -> int:
+    import os as _os
+
+    return int(_os.environ.get("WGA_TPU_GIANT_SPLIT", GIANT_SPLIT_BYTES))
+
+
+def _giant_indices(path, offsets, threshold):
+    """Record indices whose on-disk text reaches the split threshold --
+    derived from the offset manifest alone, so every process agrees."""
+    import os as _os
+
+    if not offsets:
+        return set()
+    end = _os.path.getsize(path)
+    bounds = list(offsets) + [end]
+    return {
+        k
+        for k in range(len(offsets))
+        if bounds[k + 1] - bounds[k] >= threshold
+    }
+
+
+def _giant_slice_runs(rec, pid, nproc):
+    """ext-classify this process's contiguous column slice of one giant
+    record.  Returns (cat_vals uint8, lens int64) for columns
+    [L*pid//nproc, L*(pid+1)//nproc)."""
+    import numpy as np
+
+    from ..core.cigar import ext_runs, seq_bytes
+
+    t = seq_bytes(rec.target_seq)
+    q = seq_bytes(rec.query_seq)
+    L = len(t)
+    lo = (L * pid) // nproc
+    hi = (L * (pid + 1)) // nproc
+    if lo >= hi:
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64)
+    return ext_runs(t[lo:hi], q[lo:hi])
+
+
+def _merge_run_parts(parts):
+    """Concatenate per-slice run tables, joining equal-category runs at
+    slice boundaries (classification is per-column, so this equals the
+    whole-record run table exactly; differential-tested)."""
+    import numpy as np
+
+    vals_out, lens_out = [], []
+    for v, l in parts:
+        v = np.asarray(v, np.uint8)
+        l = np.array(l, np.int64, copy=True)
+        if v.size == 0:
+            continue
+        if vals_out and vals_out[-1][-1] == v[0]:
+            lens_out[-1][-1] += l[0]
+            v, l = v[1:], l[1:]
+            if v.size == 0:
+                continue
+        vals_out.append(v)
+        lens_out.append(l)
+    if not vals_out:
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64)
+    return np.concatenate(vals_out), np.concatenate(lens_out)
+
+
+def _distributed_maf_records(path, render, emit_merged, writer, query_name):
+    """Shared skeleton of distributed maf2paf / maf2chain with giant-record
+    column splitting.
+
+    render(rec, k) -> bytes for a normally-assigned record;
+    emit_merged(writer, rec, k, vals, lens) writes one giant record from
+    its merged run table."""
+    import pickle
+
     import jax
 
     from ..io.maf import MafReader
@@ -418,22 +496,91 @@ def distributed_maf2paf(path, writer, query_name=None):
     pid = jax.process_index()
     nproc = jax.process_count()
     offsets = maf_record_offsets(path)
-    ranges = _ranges(len(offsets), nproc) if offsets else []
+    giants = (
+        _giant_indices(path, offsets, _giant_threshold())
+        if nproc > 1
+        else set()
+    )
+    normal = [k for k in range(len(offsets)) if k not in giants]
+    ranges = _ranges(len(normal), nproc) if normal else []
 
-    out = io.BytesIO()
+    reader = MafReader.from_path(path)
+    rows = {}
     if pid < len(ranges):
         lo, hi = ranges[pid]
-        reader = MafReader.from_path(path)
-        for k in range(lo, hi):
+        for j in range(lo, hi):
+            k = normal[j]
             reader.seek(offsets[k])
             rec = reader.next_record()
             if rec is None:
                 break
-            out.write(rec.convert2paf(query_name).to_row())
+            rows[k] = render(rec, k)
+
+    if not giants:
+        out = io.BytesIO()
+        for k in sorted(rows):
+            out.write(rows[k])
+        with stdout_parked():
+            payloads = _allgather_bytes(out.getvalue())
+        _merge_chunks_to(writer, payloads, pid)
+        return
+
+    # every process classifies its column slice of every giant record
+    giant_recs = {}
+    parts = {}
+    for k in sorted(giants):
+        reader.seek(offsets[k])
+        rec = reader.next_record()
+        if rec is None:
+            continue
+        if query_name is not None:
+            rec.set_query_idx_byname(query_name)
+        giant_recs[k] = rec
+        parts[k] = _giant_slice_runs(rec, pid, nproc)
 
     with stdout_parked():
-        payloads = _allgather_bytes(out.getvalue())
-    _merge_chunks_to(writer, payloads, pid)
+        payloads = _allgather_bytes(
+            pickle.dumps({"rows": rows, "parts": parts}, protocol=4)
+        )
+    if pid != 0:
+        return
+    all_rows = {}
+    all_parts = {k: [None] * nproc for k in giant_recs}
+    for p, blob in enumerate(payloads):
+        d = pickle.loads(blob)
+        all_rows.update(d["rows"])
+        for k, vp in d["parts"].items():
+            if k in all_parts:
+                all_parts[k][p] = vp
+    for k in range(len(offsets)):
+        if k in giant_recs:
+            vals, lens = _merge_run_parts(
+                [vp for vp in all_parts[k] if vp is not None]
+            )
+            emit_merged(writer, giant_recs[k], k, vals, lens)
+        elif k in all_rows:
+            writer.write(all_rows[k])
+    writer.flush()
+
+
+def distributed_maf2paf(path, writer, query_name=None):
+    """Multi-process `maf2paf`: contiguous record ranges from the raw
+    offset scan (every process derives the same manifest), local PAF
+    rendering, allgather, process 0 concatenates in record (= file)
+    order.  Records over the giant threshold are column-sliced across
+    ALL processes and their run tables boundary-merged (see
+    _distributed_maf_records).  Byte-identical to the serial tool."""
+    from ..core.cigar import cigar_from_runs
+    from ..tools.convert import _paf_from_cigar
+
+    def render(rec, _k):
+        return rec.convert2paf(query_name).to_row()
+
+    def emit_merged(w, rec, _k, vals, lens):
+        cigar = cigar_from_runs(vals, lens, rec.is_negative)
+        w.write(_paf_from_cigar(rec, cigar).to_row())
+
+    _distributed_maf_records(path, render, emit_merged, writer, query_name)
 
 
 def distributed_paf2chain(path, writer):
@@ -486,35 +633,22 @@ def distributed_chain2paf(path, writer):
 
 def distributed_maf2chain(path, writer, query_name=None):
     """Multi-process `maf2chain`: contiguous record ranges; chain ids are
-    the global record indices, so numbering matches the serial tool."""
-    import jax
-
-    from ..io.maf import MafReader
+    the global record indices, so numbering matches the serial tool.
+    Giant records column-slice across processes like distributed_maf2paf."""
     from ..tools.convert import _emit_chain, _maf_ext_runs
-    from .host_pool import _ranges, maf_record_offsets
 
-    pid = jax.process_index()
-    nproc = jax.process_count()
-    offsets = maf_record_offsets(path)
-    ranges = _ranges(len(offsets), nproc) if offsets else []
+    def render(rec, k):
+        if query_name is not None:
+            rec.set_query_idx_byname(query_name)
+        vals, lens = _maf_ext_runs(rec)
+        out = io.BytesIO()
+        _emit_chain(out, rec, k, vals, lens)
+        return out.getvalue()
 
-    out = io.BytesIO()
-    if pid < len(ranges):
-        lo, hi = ranges[pid]
-        reader = MafReader.from_path(path)
-        for k in range(lo, hi):
-            reader.seek(offsets[k])
-            rec = reader.next_record()
-            if rec is None:
-                break
-            if query_name is not None:
-                rec.set_query_idx_byname(query_name)
-            vals, lens = _maf_ext_runs(rec)
-            _emit_chain(out, rec, k, vals, lens)
+    def emit_merged(w, rec, k, vals, lens):
+        _emit_chain(w, rec, k, vals, lens)
 
-    with stdout_parked():
-        payloads = _allgather_bytes(out.getvalue())
-    _merge_chunks_to(writer, payloads, pid)
+    _distributed_maf_records(path, render, emit_merged, writer, query_name)
 
 
 def dist_output(out, rw):
