@@ -205,6 +205,18 @@ class MafViewApp:
 
     def scroll_right(self):
         self.scroll = min(self.block_size, self.scroll + self.step)
+        # reproduce the reference's u16 scroll cap (ratatui's scrollbar
+        # state is u16, tview.rs:51-53): scrolling past 65535 is a hard
+        # error steering users to `chunk`.  curses has no such limit --
+        # kept for behavior parity, marked in PARITY.md.
+        if self.scroll > 0xFFFF:
+            raise WGAError(
+                "scroll out of u16 range, This error is due to the "
+                "scrolling limit of `ratatui`"
+                "(https://github.com/ratatui-org/ratatui/issues/399). "
+                "You can temporarily use the `chunk` subcommand to chunk "
+                "it with a appropriate size (< 65535)."
+            )
 
     def regions_for(self, name: str):
         item = self.index.get(name)
@@ -274,13 +286,20 @@ class MafViewApp:
 
 
 def tview(input_path: str, step: int = 10):
-    """Interactive curses loop (reference event loop: tview.rs:369-440)."""
+    """Interactive curses loop (reference event loop: tview.rs:369-440).
+
+    Mirrors the reference's 250 ms tick: input is polled with a 250 ms
+    timeout and the screen redraws every tick even without input
+    (crossterm poll(tick_rate), tview.rs:373-379).  Terminal resizes
+    (curses KEY_RESIZE) re-render at the new geometry; draws are guarded
+    so a mid-resize too-small window never crashes the shell."""
     import curses
 
     app = MafViewApp(input_path, step)
 
     def loop(stdscr):
         curses.curs_set(0)
+        stdscr.timeout(250)  # the 250 ms tick (tview.rs:361 tick_rate)
         curses.use_default_colors()
         if curses.has_colors():
             curses.start_color()
@@ -298,34 +317,45 @@ def tview(input_path: str, step: int = 10):
         while True:
             stdscr.erase()
             h, w = stdscr.getmaxyx()
-            name_w = max(len(s.name) for s in app.record.slines) + 2
-            seq_w = max(10, w - name_w - 1)
-            stdscr.addnstr(0, name_w, app.axis_line(seq_w), seq_w)
-            for row_i, (name, seq) in enumerate(app.visible_rows(seq_w)):
-                if row_i + 1 >= h - 1:
-                    break
-                stdscr.addnstr(row_i + 1, 0, name, name_w - 1)
-                for ci, ch in enumerate(seq):
-                    color = BASE_COLORS.get(ch.upper(), 0)
-                    stdscr.addnstr(
-                        row_i + 1,
-                        name_w + ci,
-                        ch,
-                        1,
-                        curses.color_pair(color),
-                    )
-            stdscr.addnstr(
-                h - 1,
-                0,
-                "←/→ scroll  g goto popup  q quit",
-                w - 1,
-                curses.A_REVERSE,
-            )
             nav = app.navigation
-            if nav.show:
-                _draw_nav_popup(stdscr, curses, nav, h, w)
+            try:
+                name_w = max(len(s.name) for s in app.record.slines) + 2
+                seq_w = max(10, w - name_w - 1)
+                stdscr.addnstr(0, name_w, app.axis_line(seq_w), seq_w)
+                for row_i, (name, seq) in enumerate(app.visible_rows(seq_w)):
+                    if row_i + 1 >= h - 1:
+                        break
+                    stdscr.addnstr(row_i + 1, 0, name, name_w - 1)
+                    for ci, ch in enumerate(seq):
+                        color = BASE_COLORS.get(ch.upper(), 0)
+                        stdscr.addnstr(
+                            row_i + 1,
+                            name_w + ci,
+                            ch,
+                            1,
+                            curses.color_pair(color),
+                        )
+                stdscr.addnstr(
+                    h - 1,
+                    0,
+                    "←/→ scroll  g goto popup  q quit",
+                    w - 1,
+                    curses.A_REVERSE,
+                )
+                if nav.show:
+                    _draw_nav_popup(stdscr, curses, nav, h, w)
+            except curses.error:
+                # mid-resize geometry can be transiently too small for a
+                # full draw; the next tick re-renders cleanly
+                pass
             stdscr.refresh()
             key = stdscr.getch()
+            if key == -1:
+                # 250 ms tick elapsed without input: redraw
+                continue
+            if key == curses.KEY_RESIZE:
+                # re-render at the new geometry (getmaxyx re-reads it)
+                continue
             if nav.show:
                 # popup key routing (reference: tview.rs:381-430)
                 if key == 27:  # Esc closes
