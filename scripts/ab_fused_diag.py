@@ -61,6 +61,27 @@ def _lift_variant(ops_or_advs, lens_or_advq, tri, toff_ref, qoff_ref,
     if mode == "nomm":
         ex_t = adv_t + carry[:, 0:1]
         ex_q = adv_q + carry[:, 1:2]
+    elif mode in ("hillis", "roll"):
+        # pure-VPU Hillis-Steele scan: log2(TLO) shift+add steps on int32
+        # (exact, no limbs / reshapes / bf16 converts / MXU at all)
+        both = jnp.concatenate([adv_t, adv_q], axis=0)
+        x = both
+        k = 1
+        if mode == "roll":
+            iota = jax.lax.broadcasted_iota(i32, both.shape, 1)
+        while k < TLO:
+            if mode == "roll":
+                rolled = pltpu.roll(x, k, axis=1)
+                x = x + jnp.where(iota >= k, rolled, 0)
+            else:
+                shifted = jnp.concatenate(
+                    [jnp.zeros((both.shape[0], k), i32), x[:, :-k]], axis=1
+                )
+                x = x + shifted
+            k *= 2
+        ex = x - both
+        ex_t = ex[:TB] + carry[:, 0:1]
+        ex_q = ex[TB:] + carry[:, 1:2]
     else:
         c = chunk or TLO
         ns = TLO // c
@@ -104,8 +125,10 @@ def _lift_variant(ops_or_advs, lens_or_advq, tri, toff_ref, qoff_ref,
         ex_t = ex_t + carry[:, 0:1]
         ex_q = ex_q + carry[:, 1:2]
     if mode == "noout":
-        toff_ref[:] = ex_t[:, ::8]
-        qoff_ref[:] = ex_q[:, ::8]
+        # contiguous 1/8 slice (strided writes lower as gathers, which
+        # Mosaic rejects); the carry keeps the full scan live
+        toff_ref[:] = ex_t[:, : ex_t.shape[1] // 8]
+        qoff_ref[:] = ex_q[:, : ex_q.shape[1] // 8]
     else:
         toff_ref[:] = ex_t
         qoff_ref[:] = ex_q
@@ -123,7 +146,7 @@ def make_fused_diag(B, LW, NO, mode, chunk=256, tile_b=32, tile_lw=8192,
     ns = LW // tile_lw
     assert NO == ns * tile_lo
     out_lo = tile_lo // 8 if mode == "noout" else tile_lo
-    tri_n = chunk if mode != "nomm" else 8
+    tri_n = chunk if mode not in ("nomm", "hillis", "roll") else 8
 
     def kernel(a_ref, b_ref, o_ref, l_ref, tri_ref, out_ref, edge_ref,
                t_ref, q_ref, carry_ref):
@@ -177,7 +200,7 @@ def make_fused_diag(B, LW, NO, mode, chunk=256, tile_b=32, tile_lw=8192,
                 jax.ShapeDtypeStruct((B, ns * out_lo), jnp.int32),
             ],
             scratch_shapes=[pltpu.VMEM((tile_b, 2), jnp.int32)],
-        )(tw, qw, o, ln)
+        )(tw, qw, o, ln, tri)
         return out, t_off, q_off
 
     return call
@@ -220,7 +243,21 @@ def main():
         "noout": (make_fused_diag(B, LW, NO, "noout"), o_d, ln_d),
         "noselect": (make_fused_diag(B, LW, NO, "noselect"), at_d, aq_d),
         "nomm": (make_fused_diag(B, LW, NO, "nomm"), o_d, ln_d),
+        "hillis": (make_fused_diag(B, LW, NO, "hillis"), o_d, ln_d),
+        "roll": (make_fused_diag(B, LW, NO, "roll"), o_d, ln_d),
     }
+
+    # correctness gate for the scan variants vs the jnp reference
+    from wgatools_tpu.ops.liftover import _liftover_scan_impl
+
+    want_t, want_q = (
+        np.asarray(a) for a in _liftover_scan_impl(o_d, ln_d, False, False)
+    )
+    for name in ("full", "hillis", "roll"):
+        _, t_off, q_off = calls[name][0](tw, qw, calls[name][1], calls[name][2])
+        assert np.array_equal(np.asarray(t_off), want_t), name
+        assert np.array_equal(np.asarray(q_off), want_q), name
+        print(f"{name}: offsets parity OK", file=sys.stderr, flush=True)
 
     def make_runner(call, a3, a4):
         @functools.partial(jax.jit, static_argnames=("iters",))

@@ -1,0 +1,96 @@
+"""Fused classify+liftover kernel parity (ops/fused.py, round 3).
+
+Every variant -- mm scans (full triangle + two-level chunks), the vpu
+Hillis ladder, and the packed op-word path -- must be bit-identical to
+the jnp references (classify_stat_jnp + _liftover_scan_impl) across
+ragged batches, caller mode, and mismatched row counts.
+"""
+
+import numpy as np
+import pytest
+
+from wgatools_tpu.ops.classify import classify_stat_jnp
+from wgatools_tpu.ops.fused import classify_liftover_fused
+from wgatools_tpu.ops.liftover import (
+    _liftover_scan_impl,
+    pack_ops_batch,
+    pack_ops_words,
+)
+
+
+def _case(rng, B, L, B2, n_ops_max):
+    import jax.numpy as jnp
+
+    alpha = np.frombuffer(b"ACGT-", np.uint8)
+    t = np.full((B, L), ord("-"), np.uint8)
+    q = np.full((B, L), ord("-"), np.uint8)
+    lengths = rng.integers(1, L + 1, size=B).astype(np.int32)
+    lengths[0] = L
+    for b in range(B):
+        t[b, : lengths[b]] = alpha[rng.integers(0, 5, lengths[b])]
+        q[b, : lengths[b]] = alpha[rng.integers(0, 5, lengths[b])]
+    op_chars = np.frombuffer(b"M=XIDS", np.uint8)
+    op_arrays, len_arrays = [], []
+    for _ in range(B2):
+        n = int(rng.integers(1, n_ops_max))
+        op_arrays.append(op_chars[rng.integers(0, 6, n)])
+        len_arrays.append(rng.integers(0, 60000, n).astype(np.int32))
+    ops, lens = pack_ops_batch(op_arrays, len_arrays)
+    return (
+        jnp.asarray(t.view("<i4")),
+        jnp.asarray(q.view("<i4")),
+        jnp.asarray(t),
+        jnp.asarray(q),
+        jnp.asarray(lengths),
+        jnp.asarray(ops),
+        jnp.asarray(lens),
+    )
+
+
+@pytest.mark.parametrize(
+    "mode,chunk,packed",
+    [
+        ("mm", None, False),
+        ("mm", 128, False),
+        ("vpu", None, False),
+        ("vpu", None, True),
+    ],
+)
+@pytest.mark.parametrize("caller", [False, True])
+def test_fused_parity(mode, chunk, packed, caller):
+    rng = np.random.default_rng(42)
+    tw, qw, t, q, lengths, ops, lens = _case(rng, 5, 2048, 7, 300)
+    want_stats = np.asarray(classify_stat_jnp(t, q, lengths, caller=caller))
+    want_t, want_q = (
+        np.asarray(a) for a in _liftover_scan_impl(ops, lens, False, False)
+    )
+    if packed:
+        opw = pack_ops_words(np.asarray(ops), np.asarray(lens))
+        import jax.numpy as jnp
+
+        args = (tw, qw, lengths, jnp.asarray(opw), None)
+    else:
+        args = (tw, qw, lengths, ops, lens)
+    stats, t_off, q_off = classify_liftover_fused(
+        *args,
+        tile_lw=256,
+        tile_lo=256,
+        scan_chunk=chunk,
+        scan_mode=mode,
+        interpret=True,
+        caller=caller,
+    )
+    assert np.array_equal(np.asarray(stats), want_stats)
+    assert np.array_equal(np.asarray(t_off), want_t)
+    assert np.array_equal(np.asarray(q_off), want_q)
+
+
+def test_pack_ops_words_roundtrip():
+    rng = np.random.default_rng(0)
+    ops = np.frombuffer(b"M=XID" * 20, np.uint8).reshape(4, 25)
+    lens = rng.integers(0, 65536, size=(4, 25)).astype(np.int32)
+    w = pack_ops_words(ops, lens)
+    assert np.array_equal((w >> 24) & 0xFF, ops)
+    assert np.array_equal(w & 0xFFFF, lens)
+    with pytest.raises(AssertionError):
+        pack_ops_words(ops, lens + 0x10000)

@@ -38,28 +38,87 @@ from .classify import (
 from .liftover import OP_D, OP_I, OP_S
 
 
-def _liftover_block(
-    ops, lens, tri_x, toff_ref, qoff_ref, carry_ref, j, chunk=None
-):
-    """Liftover op-scan on one (TB, TLO) tile; shared by the fused kernel.
-
-    Single-widen advance selection + ONE stacked (4*TB, TLO) x (TLO, TLO)
-    bf16 limb matmul (full MXU rows), cross-tile carry in scratch --
-    the round-2 production formulation (ops/liftover.py:102-158).
-
-    chunk=c selects the two-level form: rows reshape to (TB*TLO/c, c),
-    scan against a (c, c) triangle (TLO/c x fewer MACs), then chunk
-    offsets recombine with unrolled adds.  tri_x must then be (c, c).
-    """
+def _advances_from_refs(ops, lens):
+    """(adv_t, adv_q) int32 from either (ops u8, lens i32) tiles or ONE
+    packed op-word tile (ops is int32: op byte in bits 24-31, len in the
+    low 16 bits; lens is None).  The packed form saves a byte/op of DMA
+    and the u8->i32 widening relayout."""
     i32 = jnp.int32
-    o32 = ops.astype(i32)
+    if lens is None:
+        o32 = jax.lax.shift_right_logical(ops, jnp.int32(24))
+        lens = ops & jnp.int32(0xFFFF)
+    else:
+        o32 = ops.astype(i32)
     pad = o32 == 0
     is_i = o32 == OP_I
     is_s = o32 == OP_S
     is_d = o32 == OP_D
     adv_t = jnp.where(pad | is_i | is_s, 0, lens)
     adv_q = jnp.where(pad | is_d, 0, lens)
+    return adv_t, adv_q
+
+
+def _hillis_scan_pair(adv_t, adv_q, carry):
+    """EXCLUSIVE scans of both advance tiles as one pure-VPU
+    Hillis-Steele ladder: log2(TLO) shift+add steps on int32 (exact --
+    no bf16 limbs, reshapes, or MXU; measured faster than every matmul
+    formulation once the classify stage stopped hiding the scan,
+    scripts/ab_fused_diag.py round 3)."""
+    i32 = jnp.int32
     TB, TLO = adv_t.shape
+    both = jnp.concatenate([adv_t, adv_q], axis=0)
+    x = both
+    k = 1
+    while k < TLO:
+        shifted = jnp.concatenate(
+            [jnp.zeros((2 * TB, k), i32), x[:, :-k]], axis=1
+        )
+        x = x + shifted
+        k *= 2
+    ex = x - both
+    ex_t = ex[:TB] + carry[:, 0:1]
+    ex_q = ex[TB:] + carry[:, 1:2]
+    return ex_t, ex_q
+
+
+def _liftover_block(
+    ops, lens, tri_x, toff_ref, qoff_ref, carry_ref, j, chunk=None,
+    scan_mode="mm",
+):
+    """Liftover op-scan on one (TB, TLO) tile; shared by the fused kernel.
+
+    scan_mode="mm": single-widen advance selection + ONE stacked
+    (4*TB, TLO) x (TLO, TLO) bf16 limb matmul (full MXU rows), cross-tile
+    carry in scratch -- the round-2 production formulation
+    (ops/liftover.py:102-158).  chunk=c selects the two-level form: rows
+    reshape to (TB*TLO/c, c), scan against a (c, c) triangle (TLO/c x
+    fewer MACs), then chunk offsets recombine with unrolled adds.
+
+    scan_mode="vpu": Hillis-Steele int32 ladder (_hillis_scan_pair) --
+    round-3 default; tri_x is unused.
+    """
+    i32 = jnp.int32
+    adv_t, adv_q = _advances_from_refs(ops, lens)
+    TB, TLO = adv_t.shape
+
+    if scan_mode == "vpu":
+
+        @pl.when(j == 0)
+        def _():
+            carry_ref[:] = jnp.zeros_like(carry_ref)
+
+        carry = carry_ref[:]
+        ex_t, ex_q = _hillis_scan_pair(adv_t, adv_q, carry)
+        toff_ref[:] = ex_t
+        qoff_ref[:] = ex_q
+        carry_ref[:] = jnp.concatenate(
+            [
+                ex_t[:, TLO - 1 : TLO] + adv_t[:, TLO - 1 : TLO],
+                ex_q[:, TLO - 1 : TLO] + adv_q[:, TLO - 1 : TLO],
+            ],
+            axis=1,
+        )
+        return
 
     c = chunk or TLO
     ns = TLO // c
@@ -131,6 +190,7 @@ def _fused_kernel(
     *,
     caller=False,
     chunk=None,
+    scan_mode="mm",
 ):
     # classify stage: identical body to the words kernel (writes
     # out_ref/edge_ref, resets out_ref at j == 0)
@@ -139,14 +199,37 @@ def _fused_kernel(
     j = pl.program_id(1)
     _liftover_block(
         ops_ref[:], lens_ref[:], tri_ref[:], toff_ref, qoff_ref,
-        carry_ref, j, chunk=chunk,
+        carry_ref, j, chunk=chunk, scan_mode=scan_mode,
+    )
+
+
+def _fused_kernel_packed(
+    tw_ref,
+    qw_ref,
+    opw_ref,
+    out_ref,
+    edge_ref,
+    toff_ref,
+    qoff_ref,
+    carry_ref,
+    *,
+    caller=False,
+):
+    """Packed-op variant: ONE int32 op-word tile (op byte << 24 | len),
+    VPU Hillis scan (no triangle input at all)."""
+    _kernel_words(tw_ref, qw_ref, out_ref, edge_ref, caller=caller)
+    j = pl.program_id(1)
+    _liftover_block(
+        opw_ref[:], None, None, toff_ref, qoff_ref, carry_ref, j,
+        scan_mode="vpu",
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tile_b", "tile_lw", "tile_lo", "interpret", "caller", "scan_chunk"
+        "tile_b", "tile_lw", "tile_lo", "interpret", "caller",
+        "scan_chunk", "scan_mode",
     ),
 )
 def classify_liftover_fused(
@@ -161,14 +244,25 @@ def classify_liftover_fused(
     interpret=False,
     caller=False,
     scan_chunk=None,
+    scan_mode="vpu",
 ):
     """One-pass classify stats + liftover offsets.
 
     tw, qw: int32 [B, LW] little-endian words of the column byte planes
     (zero-copy host `.view('<i4')`, same contract as
-    classify_stat_pallas_words); lengths: int32 [B] in columns;
-    ops: uint8 [B2, NO] (0 = padding); lens: int32 [B2, NO], every
-    length < 2^16.
+    classify_stat_pallas_words); lengths: int32 [B] in columns.
+
+    Op table, either form:
+    - ops: uint8 [B2, NO] (0 = padding) + lens: int32 [B2, NO], every
+      length < 2^16; or
+    - lens=None and ops: int32 [B2, NO] PACKED op words
+      ((op byte << 24) | len, see liftover.pack_ops_words) -- one input
+      stream instead of two (4 instead of 5 bytes/op of DMA, and no
+      u8 widening relayout in-kernel); always uses the vpu scan.
+
+    scan_mode: "vpu" (round-3 default -- int32 Hillis-Steele ladder,
+    exact, no MXU) or "mm" (round-2 bf16-limb triangle matmuls,
+    scan_chunk selects the two-level form).
 
     Returns (stats int32 [B, 8], t_off int32 [B2, NO], q_off int32
     [B2, NO]) -- bit-identical to classify_stat_pallas_words +
@@ -179,6 +273,9 @@ def classify_liftover_fused(
     padded to a common row-tile multiple independently (the two stages
     never mix rows).
     """
+    packed = lens is None
+    if packed:
+        scan_mode = "vpu"
     B, LW = tw.shape
     B2, NO = ops.shape
     tile_b = min(tile_b, max(B, B2))
@@ -210,11 +307,13 @@ def classify_liftover_fused(
     NOp = ns * tile_lo
     if NOp != NO:
         ops = jnp.pad(ops, ((0, 0), (0, NOp - NO)))
-        lens = jnp.pad(lens, ((0, 0), (0, NOp - NO)))
+        if not packed:
+            lens = jnp.pad(lens, ((0, 0), (0, NOp - NO)))
     if B2 % tile_b:
         B2p = ((B2 + tile_b - 1) // tile_b) * tile_b
         ops = jnp.pad(ops, ((0, B2p - B2), (0, 0)))
-        lens = jnp.pad(lens, ((0, B2p - B2), (0, 0)))
+        if not packed:
+            lens = jnp.pad(lens, ((0, B2p - B2), (0, 0)))
     else:
         B2p = B2
 
@@ -233,14 +332,9 @@ def classify_liftover_fused(
         Bp = nb * tile_b
     if B2p < nb * tile_b:
         ops = jnp.pad(ops, ((0, nb * tile_b - B2p), (0, 0)))
-        lens = jnp.pad(lens, ((0, nb * tile_b - B2p), (0, 0)))
+        if not packed:
+            lens = jnp.pad(lens, ((0, nb * tile_b - B2p), (0, 0)))
         B2p = nb * tile_b
-
-    tri_n = scan_chunk or tile_lo
-    assert tile_lo % tri_n == 0, "scan_chunk must divide tile_lo"
-    ir = jax.lax.broadcasted_iota(jnp.int32, (tri_n, tri_n), 0)
-    ic = jax.lax.broadcasted_iota(jnp.int32, (tri_n, tri_n), 1)
-    tri = jnp.clip(ir - ic, 0, 1).astype(jnp.bfloat16)
 
     word_spec = pl.BlockSpec(
         (tile_b, tile_lw), lambda i, j: (i, j), memory_space=pltpu.VMEM
@@ -248,46 +342,75 @@ def classify_liftover_fused(
     op_spec = pl.BlockSpec(
         (tile_b, tile_lo), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
-    out, edges, t_off, q_off = pl.pallas_call(
-        functools.partial(_fused_kernel, caller=caller, chunk=scan_chunk),
-        grid=(nb, ns),
-        in_specs=[
-            word_spec,
-            word_spec,
-            op_spec,
-            op_spec,
-            pl.BlockSpec(
-                (tri_n, tri_n),
-                lambda i, j: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (tile_b, N_STATS),
-                lambda i, j: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (tile_b, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM
-            ),
-            op_spec,
-            op_spec,
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bp, N_STATS), jnp.int32),
-            jax.ShapeDtypeStruct((Bp, 128 * ns), jnp.int32),
-            jax.ShapeDtypeStruct((B2p, NOp), jnp.int32),
-            jax.ShapeDtypeStruct((B2p, NOp), jnp.int32),
-        ],
-        scratch_shapes=[pltpu.VMEM((tile_b, 2), jnp.int32)],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=14 * Bp * LW + 4 * B2p * NOp * tri_n,
-            bytes_accessed=8 * Bp * LW + 13 * B2p * NOp,
-            transcendentals=0,
+    out_specs = [
+        pl.BlockSpec(
+            (tile_b, N_STATS),
+            lambda i, j: (i, 0),
+            memory_space=pltpu.VMEM,
         ),
-    )(tw, qw, ops, lens.astype(jnp.int32), tri)
+        pl.BlockSpec(
+            (tile_b, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        op_spec,
+        op_spec,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Bp, N_STATS), jnp.int32),
+        jax.ShapeDtypeStruct((Bp, 128 * ns), jnp.int32),
+        jax.ShapeDtypeStruct((B2p, NOp), jnp.int32),
+        jax.ShapeDtypeStruct((B2p, NOp), jnp.int32),
+    ]
+    if packed:
+        out, edges, t_off, q_off = pl.pallas_call(
+            functools.partial(_fused_kernel_packed, caller=caller),
+            grid=(nb, ns),
+            in_specs=[word_spec, word_spec, op_spec],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((tile_b, 2), jnp.int32)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=14 * Bp * LW + 30 * B2p * NOp,
+                bytes_accessed=8 * Bp * LW + 12 * B2p * NOp,
+                transcendentals=0,
+            ),
+        )(tw, qw, ops)
+    else:
+        if scan_mode == "vpu":
+            tri_n = 8  # unused by the vpu scan; keep the input tiny
+        else:
+            tri_n = scan_chunk or tile_lo
+            assert tile_lo % tri_n == 0, "scan_chunk must divide tile_lo"
+        ir = jax.lax.broadcasted_iota(jnp.int32, (tri_n, tri_n), 0)
+        ic = jax.lax.broadcasted_iota(jnp.int32, (tri_n, tri_n), 1)
+        tri = jnp.clip(ir - ic, 0, 1).astype(jnp.bfloat16)
+        out, edges, t_off, q_off = pl.pallas_call(
+            functools.partial(
+                _fused_kernel, caller=caller, chunk=scan_chunk,
+                scan_mode=scan_mode,
+            ),
+            grid=(nb, ns),
+            in_specs=[
+                word_spec,
+                word_spec,
+                op_spec,
+                op_spec,
+                pl.BlockSpec(
+                    (tri_n, tri_n),
+                    lambda i, j: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((tile_b, 2), jnp.int32)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=14 * Bp * LW + 4 * B2p * NOp * tri_n,
+                bytes_accessed=8 * Bp * LW + 13 * B2p * NOp,
+                transcendentals=0,
+            ),
+        )(tw, qw, ops, lens.astype(jnp.int32), tri)
 
     # classify finish: exact tile-boundary + padding corrections
     L = 4 * LW

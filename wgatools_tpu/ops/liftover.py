@@ -350,3 +350,16 @@ def pack_ops_batch(op_arrays, len_arrays, align=128):
         ops[k, : len(o)] = o
         lens[k, : len(o)] = l
     return ops, lens
+
+
+def pack_ops_words(ops, lens):
+    """Packed op words: (op byte << 24) | len, int32 [B, N].
+
+    One device input stream instead of two (4 instead of 5 bytes per op
+    of DMA) for the fused kernel's packed path; requires every length
+    < 2^16 (the same bound as the 2-limb scan).  Padding (op 0, len 0)
+    packs to 0."""
+    ops = np.asarray(ops, dtype=np.uint8)
+    lens = np.asarray(lens)
+    assert lens.max(initial=0) < (1 << 16), "packed op words need len < 2^16"
+    return (ops.astype(np.int32) << 24) | lens.astype(np.int32)
