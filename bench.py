@@ -67,7 +67,11 @@ def main():
 
     from jax import lax
 
-    B, L = (32, 1 << 22) if on_tpu else (4, 1 << 16)
+    # 134M columns per iteration; the [B, L] aspect is a layout choice
+    # like tile sizes -- (128, 1M) beat (32, 4M) 235 vs 194 Gcol/s in the
+    # constant-volume sweep (scripts/ab_shapes.py: more row-blocks in the
+    # grid pipeline better than longer column chains)
+    B, L = (128, 1 << 20) if on_tpu else (4, 1 << 16)
     rng = np.random.default_rng(0)
     alphabet = np.frombuffer(b"ACGT-", dtype=np.uint8)
     lens_d = jax.device_put(jnp.full(B, L, dtype=jnp.int32))
@@ -104,7 +108,8 @@ def main():
         # VERDICT r2).  Packed op words + the pure-VPU Hillis scan won
         # the same-process A/Bs (scripts/ab_fused.py, ab_fused_diag.py)
         combined = lambda tw, qw, opw: classify_liftover_fused(
-            tw, qw, lens_d, opw, None, tile_lw=8192, tile_lo=1024,
+            tw, qw, lens_d, opw, None,
+            tile_b=64, tile_lw=8192, tile_lo=1024,
         )
     else:
 

@@ -33,9 +33,11 @@ def main():
     alpha = np.frombuffer(b"ACGT-", np.uint8)
     op_chars = np.frombuffer(b"M=XID", np.uint8)
 
-    shapes = [(32, TOTAL // 32), (16, TOTAL // 16), (8, TOTAL // 8)]
+    shapes = [(64, TOTAL // 64)]
     if on_tpu:
-        shapes.append((64, TOTAL // 64))
+        shapes.append((128, TOTAL // 128))
+        shapes.append((256, TOTAL // 256))
+        shapes.append((512, TOTAL // 512))
 
     cases = {}
     for B, L in shapes:

@@ -360,6 +360,12 @@ def classify_liftover_fused(
         jax.ShapeDtypeStruct((B2p, NOp), jnp.int32),
         jax.ShapeDtypeStruct((B2p, NOp), jnp.int32),
     ]
+    # the row-block axis is embarrassingly parallel (carry/accumulator
+    # state is per row-block and resets at j == 0); telling Mosaic lets
+    # the pipeline overlap across row-block transitions
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary")
+    )
     if packed:
         out, edges, t_off, q_off = pl.pallas_call(
             functools.partial(_fused_kernel_packed, caller=caller),
@@ -369,6 +375,7 @@ def classify_liftover_fused(
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((tile_b, 2), jnp.int32)],
             interpret=interpret,
+            compiler_params=compiler_params,
             cost_estimate=pl.CostEstimate(
                 flops=14 * Bp * LW + 30 * B2p * NOp,
                 bytes_accessed=8 * Bp * LW + 12 * B2p * NOp,
@@ -405,6 +412,7 @@ def classify_liftover_fused(
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((tile_b, 2), jnp.int32)],
             interpret=interpret,
+            compiler_params=compiler_params,
             cost_estimate=pl.CostEstimate(
                 flops=14 * Bp * LW + 4 * B2p * NOp * tri_n,
                 bytes_accessed=8 * Bp * LW + 13 * B2p * NOp,
