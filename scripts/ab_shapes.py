@@ -33,9 +33,8 @@ def main():
     alpha = np.frombuffer(b"ACGT-", np.uint8)
     op_chars = np.frombuffer(b"M=XID", np.uint8)
 
-    shapes = [(64, TOTAL // 64)]
+    shapes = [(128, TOTAL // 128)]
     if on_tpu:
-        shapes.append((128, TOTAL // 128))
         shapes.append((256, TOTAL // 256))
         shapes.append((512, TOTAL // 512))
 
@@ -57,7 +56,7 @@ def main():
         )
 
     def make_runner(c):
-        tile_b = min(32, c["B"])
+        tile_b = min(64, c["B"])
 
         def combined(tw, qw, o, ln):
             return classify_liftover_fused(

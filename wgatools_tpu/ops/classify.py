@@ -192,9 +192,10 @@ def _kernel(t_ref, q_ref, out_ref, edge_ref, *, caller=False):
         is_eq = eq
     gg = ti & qi
     TL = cat.shape[1]
+    # prev wraps within the tile (roll); column 0's start/continuation
+    # accounting happens exactly in _finish_stats from the edge output
     prev_cat = pltpu.roll(cat, 1, axis=1)
-    first_col = jax.lax.broadcasted_iota(jnp.int32, t32.shape, 1) == 0
-    run_start = first_col | (cat != prev_cat)
+    run_start = cat != prev_cat
     is_i = cat == I
     is_d = cat == D
     one = jnp.int32(1)
@@ -331,11 +332,20 @@ def _finish_stats(out, edges, nl, L, lengths, last_real_cat, caller, pad_rows):
     """Exact tile-boundary + padding corrections shared by the byte and
     word kernels.
 
-    Cross-tile: a run continuing across a tile edge was double-counted as
-    a start inside the kernel; the boundary categories come from the
+    Cross-tile (round 3): the kernels count a run start at a tile's
+    column 0 only when its category differs from the tile's LAST column
+    (pltpu.roll wraps within the tile -- no per-word start forcing at
+    all).  The truth is: tile 0's column 0 always starts a run; tile
+    j>0's column 0 starts one iff its category differs from tile j-1's
+    last.  Both the counted and the true boundary terms derive from the
     kernel's tiny edge side output (gathering the edge columns from the
     full [B, L] HBM arrays instead cost ~35% of the whole call at L=4M,
-    scripts/bench_split.py 2026-08-17).
+    scripts/bench_split.py 2026-08-17), so the correction is
+
+        corr_j = [F_j != L_j] - (j == 0 ? 1 : [F_j != L_{j-1}])
+
+    summed per row (possibly negative), with the same gating for the
+    I/D run-start counters.
 
     Padding: columns >= len are '-'/'-' => gap/gap, which classifies '='
     in ext mode (also counted in matched) and W in caller mode (gapgap
@@ -343,20 +353,26 @@ def _finish_stats(out, edges, nl, L, lengths, last_real_cat, caller, pad_rows):
     trailing real run of the padding's category."""
     B = out.shape[0]
     corr = jnp.zeros((B, N_STATS), dtype=jnp.int32)
-    if nl > 1:
-        e3 = edges.reshape(B, nl, 128)
-        last_cat = e3[:, :-1, 1]
-        first_cat = e3[:, 1:, 0]
-        cont = last_cat == first_cat
-        corr = corr.at[:, STAT_RUNS].add(
-            jnp.sum(cont, axis=1, dtype=jnp.int32)
-        )
-        corr = corr.at[:, STAT_INS_EVENT].add(
-            jnp.sum(cont & (first_cat == I), axis=1, dtype=jnp.int32)
-        )
-        corr = corr.at[:, STAT_DEL_EVENT].add(
-            jnp.sum(cont & (first_cat == D), axis=1, dtype=jnp.int32)
-        )
+    e3 = edges.reshape(B, nl, 128)
+    first_cat = e3[:, :, 0]
+    last_cat = e3[:, :, 1]
+    counted = (first_cat != last_cat).astype(jnp.int32)
+    prev_last = jnp.concatenate(
+        # tile 0's "previous last" is a sentinel no category equals, so
+        # its true term is always 1
+        [jnp.full((B, 1), _NO_CAT, jnp.int32), last_cat[:, :-1]], axis=1
+    )
+    true_start = (first_cat != prev_last).astype(jnp.int32)
+    delta = counted - true_start
+    corr = corr.at[:, STAT_RUNS].add(jnp.sum(delta, axis=1, dtype=jnp.int32))
+    is_i_first = (first_cat == I).astype(jnp.int32)
+    is_d_first = (first_cat == D).astype(jnp.int32)
+    corr = corr.at[:, STAT_INS_EVENT].add(
+        jnp.sum(delta * is_i_first, axis=1, dtype=jnp.int32)
+    )
+    corr = corr.at[:, STAT_DEL_EVENT].add(
+        jnp.sum(delta * is_d_first, axis=1, dtype=jnp.int32)
+    )
 
     pad = (L - lengths).astype(jnp.int32)
     if not caller:
@@ -441,12 +457,13 @@ def _kernel_words(t_ref, q_ref, out_ref, edge_ref, *, caller=False):
         d_hi = qi_hi & ne
         is_eq_hi = eq_hi
         catw = lsr(is_eq_hi, 7) | lsr(i_hi, 6) | lsr(d_hi, 5)
+    # prev wraps within the tile (roll): byte0 of word0 compares against
+    # the tile's LAST byte; _finish_stats reconstructs the true tile-edge
+    # run starts from the edge output (cheaper than forcing a start on
+    # every word with an iota compare)
     carried = lsr(pltpu.roll(catw, 1, axis=1), 24) & jnp.int32(0xFF)
     prevw = (catw << 8) | carried
     diff = catw ^ prevw
-    first_word = jax.lax.broadcasted_iota(jnp.int32, tw.shape, 1) == 0
-    # force a run start at byte0 of word0 (column 0 of the tile row)
-    diff = diff | jnp.where(first_word, jnp.int32(0x80), jnp.int32(0))
     rs_hi = nz_hi(diff)
 
     def cnt(m):
