@@ -218,7 +218,7 @@ def main():
         assert checksum != 0
         return time.perf_counter() - start
 
-    lo_iters, hi_iters = (4, 36) if on_tpu else (2, 6)
+    lo_iters, hi_iters = (4, 68) if on_tpu else (2, 6)
     # warm compiles for both batch shapes
     stage("compiling lo batch")
     run_batch(lo_iters)
