@@ -35,7 +35,7 @@ from .classify import (
     _finish_stats,
     _kernel_words,
 )
-from .liftover import OP_D, OP_I, OP_S
+from .liftover import OP_D, OP_I, OP_S, _hillis_scan_pair
 
 
 def _advances_from_refs(ops, lens):
@@ -56,29 +56,6 @@ def _advances_from_refs(ops, lens):
     adv_t = jnp.where(pad | is_i | is_s, 0, lens)
     adv_q = jnp.where(pad | is_d, 0, lens)
     return adv_t, adv_q
-
-
-def _hillis_scan_pair(adv_t, adv_q, carry):
-    """EXCLUSIVE scans of both advance tiles as one pure-VPU
-    Hillis-Steele ladder: log2(TLO) shift+add steps on int32 (exact --
-    no bf16 limbs, reshapes, or MXU; measured faster than every matmul
-    formulation once the classify stage stopped hiding the scan,
-    scripts/ab_fused_diag.py round 3)."""
-    i32 = jnp.int32
-    TB, TLO = adv_t.shape
-    both = jnp.concatenate([adv_t, adv_q], axis=0)
-    x = both
-    k = 1
-    while k < TLO:
-        shifted = jnp.concatenate(
-            [jnp.zeros((2 * TB, k), i32), x[:, :-k]], axis=1
-        )
-        x = x + shifted
-        k *= 2
-    ex = x - both
-    ex_t = ex[:TB] + carry[:, 0:1]
-    ex_q = ex[TB:] + carry[:, 1:2]
-    return ex_t, ex_q
 
 
 def _liftover_block(

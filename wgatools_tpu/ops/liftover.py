@@ -99,8 +99,32 @@ def cumsum_last(x, T=256, wide=False, use_mm=None):
 # ---------------------------------------------------------------------------
 
 
+def _hillis_scan_pair(adv_t, adv_q, carry):
+    """EXCLUSIVE scans of both advance tiles as one pure-VPU
+    Hillis-Steele ladder: log2(TLO) shift+add steps on int32 (exact --
+    no bf16 limbs, reshapes, or MXU; beat every matmul formulation once
+    the classify stage stopped hiding the scan,
+    scripts/ab_fused_diag.py round 3)."""
+    i32 = jnp.int32
+    TB, TLO = adv_t.shape
+    both = jnp.concatenate([adv_t, adv_q], axis=0)
+    x = both
+    k = 1
+    while k < TLO:
+        shifted = jnp.concatenate(
+            [jnp.zeros((2 * TB, k), i32), x[:, :-k]], axis=1
+        )
+        x = x + shifted
+        k *= 2
+    ex = x - both
+    ex_t = ex[:TB] + carry[:, 0:1]
+    ex_q = ex[TB:] + carry[:, 1:2]
+    return ex_t, ex_q
+
+
 def _liftover_kernel(
-    ops_ref, lens_ref, tri_ref, t_ref, q_ref, carry_ref, *, mode="liftover"
+    ops_ref, lens_ref, tri_ref, t_ref, q_ref, carry_ref, *, mode="liftover",
+    scan_mode="mm",
 ):
     j = pl.program_id(1)
     ops = ops_ref[:]
@@ -118,6 +142,26 @@ def _liftover_kernel(
     else:
         adv_t = jnp.where(pad | is_i | is_s, 0, lens)
         adv_q = jnp.where(pad | is_d, 0, lens)
+
+    if scan_mode == "vpu":
+        TB, TL = adv_t.shape
+
+        @pl.when(j == 0)
+        def _():
+            carry_ref[:] = jnp.zeros_like(carry_ref)
+
+        carry = carry_ref[:]
+        ex_t, ex_q = _hillis_scan_pair(adv_t, adv_q, carry)
+        t_ref[:] = ex_t
+        q_ref[:] = ex_q
+        carry_ref[:] = jnp.concatenate(
+            [
+                ex_t[:, TL - 1 : TL] + adv_t[:, TL - 1 : TL],
+                ex_q[:, TL - 1 : TL] + adv_q[:, TL - 1 : TL],
+            ],
+            axis=1,
+        )
+        return
 
     # strictly-lower-triangular ones, passed in with a constant block
     # index: it stays VMEM-resident across grid steps instead of being
@@ -167,10 +211,12 @@ def _liftover_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_b", "tile_l", "interpret", "mode")
+    jax.jit,
+    static_argnames=("tile_b", "tile_l", "interpret", "mode", "scan_mode"),
 )
 def liftover_scan_pallas(
-    ops, lens, tile_b=32, tile_l=512, interpret=False, mode="liftover"
+    ops, lens, tile_b=32, tile_l=1024, interpret=False, mode="liftover",
+    scan_mode="vpu",
 ):
     """Fused exclusive liftover scan (TPU Pallas).
 
@@ -178,9 +224,11 @@ def liftover_scan_pallas(
     < 2^16 (callers guard; the wide path uses the jnp/mm formulation).
     Returns (t_off, q_off) int32 [B, N], identical to liftover_scan.
 
-    Tile choice: (32, 512) beat (8/32, 256) and the jnp/mm formulation
-    ~3x in same-process A/B on the v5e chip (2026-08-17); at TL=512 the
-    kernel sits at its MXU roofline (~2048 bf16 MACs/element).
+    scan_mode="vpu" (round-3 default) runs the exact int32 Hillis-Steele
+    ladder (_hillis_scan_pair) -- the bf16-limb matmul chain's cost was
+    its reshapes/converts, not MACs (scripts/ab_fused_diag.py); "mm"
+    keeps the round-2 triangle-matmul formulation (tile (32, 512) beat
+    (8/32, 256) and the jnp/mm form ~3x in the 2026-08-17 A/Bs).
     """
     B, N = ops.shape
     tile_b = min(tile_b, B)
@@ -198,17 +246,19 @@ def liftover_scan_pallas(
     spec = pl.BlockSpec(
         (tile_b, tile_l), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
-    ir = jax.lax.broadcasted_iota(jnp.int32, (tile_l, tile_l), 0)
-    ic = jax.lax.broadcasted_iota(jnp.int32, (tile_l, tile_l), 1)
+    # the vpu scan never touches the triangle; keep its input tiny
+    tri_n = 8 if scan_mode == "vpu" else tile_l
+    ir = jax.lax.broadcasted_iota(jnp.int32, (tri_n, tri_n), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (tri_n, tri_n), 1)
     tri = jnp.clip(ir - ic, 0, 1).astype(jnp.bfloat16)
     t_off, q_off = pl.pallas_call(
-        functools.partial(_liftover_kernel, mode=mode),
+        functools.partial(_liftover_kernel, mode=mode, scan_mode=scan_mode),
         grid=grid,
         in_specs=[
             spec,
             spec,
             pl.BlockSpec(
-                (tile_l, tile_l),
+                (tri_n, tri_n),
                 lambda i, j: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -220,8 +270,12 @@ def liftover_scan_pallas(
         ],
         scratch_shapes=[pltpu.VMEM((tile_b, 2), jnp.int32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * Bp * Np * tile_l,
+            flops=(4 * Bp * Np * tri_n) if scan_mode != "vpu"
+            else 30 * Bp * Np,
             bytes_accessed=13 * Bp * Np,
             transcendentals=0,
         ),
