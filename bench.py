@@ -233,7 +233,9 @@ def main():
     # above state); the roofline guard below rejects timing-noise ghosts.
     marginal = 0.0
     t_hi_all = []
-    for _ in range(3):
+    for rd in range(3):
+        if rd:
+            time.sleep(8)  # sample a different ambient-load window
         t_lo = min(run_batch(lo_iters) for _ in range(3))
         t_hi = min(run_batch(hi_iters) for _ in range(3))
         t_hi_all.append(t_hi)

@@ -141,7 +141,7 @@ def _lift_variant(ops_or_advs, lens_or_advq, tri, toff_ref, qoff_ref,
     )
 
 
-def make_fused_diag(B, LW, NO, mode, chunk=256, tile_b=32, tile_lw=8192,
+def make_fused_diag(B, LW, NO, mode, chunk=256, tile_b=64, tile_lw=8192,
                     tile_lo=1024):
     ns = LW // tile_lw
     assert NO == ns * tile_lo
@@ -221,7 +221,7 @@ def main():
     if jax.default_backend() != "tpu":
         print("diagnostic is TPU-only")
         return
-    B, L = 32, 1 << 22
+    B, L = 128, 1 << 20
     LW, NO = L // 4, L // 32
     rng = np.random.default_rng(0)
     alpha = np.frombuffer(b"ACGT-", np.uint8)
