@@ -95,32 +95,49 @@ def main():
     lens_np = np.full((B, N_OPS), 32, np.int32)
     o_d = jax.device_put(jnp.asarray(ops_np))
     ln_d = jax.device_put(jnp.asarray(lens_np))
-    # packed op words for the production fused path (host-packed like the
-    # SWAR column words: 4 instead of 5 bytes/op over the link)
-    from wgatools_tpu.ops.liftover import pack_ops_words
+    # 16-bit packed op words for the production fused fast path (two ops
+    # per i32, 3-bit advance class + 13-bit length; every bench run
+    # length is 32 << 8192 -- production falls back to the 32-bit path
+    # past that bound)
+    from wgatools_tpu.ops.liftover import pack_ops_words16
 
-    opw_d = jax.device_put(jnp.asarray(pack_ops_words(ops_np, lens_np)))
+    opw_d = jax.device_put(jnp.asarray(pack_ops_words16(ops_np, lens_np)))
 
     if on_tpu:
         # production path: ONE fused kernel runs the word-packed SWAR
         # classify AND the liftover op-scan per grid step (ops/fused.py;
         # round 3 -- the separate kernels serialized their two stages,
-        # VERDICT r2).  Packed op words + the pure-VPU Hillis scan won
-        # the same-process A/Bs (scripts/ab_fused.py, ab_fused_diag.py)
-        combined = lambda tw, qw, opw: classify_liftover_fused(
-            tw, qw, lens_d, opw, None,
-            tile_b=64, tile_lw=8192, tile_lo=1024,
+        # VERDICT r2).  16-bit packed op words halve both the op DMA and
+        # the scan-ladder width; offsets return as even/odd halves
+        # (scripts/ab_fused.py, ab_fused_diag.py)
+        from wgatools_tpu.ops.fused import classify_liftover_fused16
+
+        combined = lambda tw, qw, opw: classify_liftover_fused16(
+            tw, qw, lens_d, opw, tile_b=64, tile_lw=8192,
         )
     else:
 
         def combined(tw, qw, opw):
-            from wgatools_tpu.ops.liftover import _liftover_scan_impl
-
             stats = classify_stat_jnp(tw, qw, lens_d)
-            o = jax.lax.shift_right_logical(opw, 24).astype(jnp.uint8)
-            ln = opw & jnp.int32(0xFFFF)
-            t_off, q_off = _liftover_scan_impl(o, ln, False, False)
-            return stats, t_off, q_off
+            m13 = jnp.int32(0x1FFF)
+            len0 = opw & m13
+            cls0 = jax.lax.shift_right_logical(opw, 13) & jnp.int32(7)
+            len1 = jax.lax.shift_right_logical(opw, 16) & m13
+            cls1 = jax.lax.shift_right_logical(opw, 29)
+
+            def adv(cls, ln):
+                at = jnp.where((cls == 1) | (cls == 4), ln, 0)
+                aq = jnp.where(
+                    (cls == 1) | (cls == 2) | (cls == 3), ln, 0
+                )
+                return at, aq
+
+            at0, aq0 = adv(cls0, len0)
+            at1, aq1 = adv(cls1, len1)
+            ct, cq = at0 + at1, aq0 + aq1
+            pt = jnp.cumsum(ct, axis=1) - ct
+            pq = jnp.cumsum(cq, axis=1) - cq
+            return stats, pt, pt + at0, pq, pq + aq0
 
     import functools
 
@@ -134,12 +151,14 @@ def main():
 
         def body(_, carry):
             t, opw, acc = carry
-            stats, t_off, q_off = combined(t, q, opw)
+            stats, te, to, qe, qo = combined(t, q, opw)
             acc = (
                 acc
                 + jnp.sum(stats)
-                + jnp.sum(t_off[:, ::1024])
-                + jnp.sum(q_off[:, ::1024])
+                + jnp.sum(te[:, ::512])
+                + jnp.sum(to[:, ::512])
+                + jnp.sum(qe[:, ::512])
+                + jnp.sum(qo[:, ::512])
             )
             if on_tpu:
                 # byte0 stays a valid base letter (A..D)
@@ -148,9 +167,10 @@ def main():
                 t = t.at[0, 0].set(
                     (acc & 3).astype(jnp.uint8) + jnp.uint8(65)
                 )
-            # op word 0 becomes an M with a checksum-fed length
+            # op pair 0 becomes one both-advancing op with a checksum-fed
+            # length (class 1 << 13 | len)
             opw = opw.at[0, 0].set(
-                jnp.int32(ord("M") << 24) + jnp.int32(1) + (acc & 7)
+                jnp.int32(1 << 13) + jnp.int32(1) + (acc & 7)
             )
             return (t, opw, acc)
 
@@ -195,17 +215,18 @@ def main():
         print("on-chip shard_map(pallas) 1-device A/B: OK", file=sys.stderr)
         # the timed kernel itself: fused stats AND offsets must equal the
         # jnp references bit-for-bit on this backend
-        from wgatools_tpu.ops.liftover import _liftover_scan_impl
+        from wgatools_tpu.ops.liftover import (
+            _liftover_scan_impl,
+            interleave_halves,
+        )
 
-        f_stats, f_t, f_q = combined(tw_d, qw_d, opw_d)
+        f_stats, f_te, f_to, f_qe, f_qo = combined(tw_d, qw_d, opw_d)
         want_t, want_q = _liftover_scan_impl(o_d, ln_d, False, False)
         assert np.array_equal(np.asarray(f_stats), want), "fused stats"
-        assert np.array_equal(np.asarray(f_t), np.asarray(want_t)), (
-            "fused t_off"
-        )
-        assert np.array_equal(np.asarray(f_q), np.asarray(want_q)), (
-            "fused q_off"
-        )
+        got_t = interleave_halves(f_te, f_to)[:, :N_OPS]
+        got_q = interleave_halves(f_qe, f_qo)[:, :N_OPS]
+        assert np.array_equal(got_t, np.asarray(want_t)), "fused t_off"
+        assert np.array_equal(got_q, np.asarray(want_q)), "fused q_off"
         print("on-chip fused stats+offsets parity gate: OK", file=sys.stderr)
 
     def run_batch(iters: int) -> float:
@@ -245,11 +266,11 @@ def main():
             )
     # whole-batch rate is a strict lower bound (includes dispatch/transfer)
     lower_bound = B * L * hi_iters / min(t_hi_all)
-    # v5e HBM is ~819 GB/s; the combined loop moves ~2.4 bytes per column
-    # (2 input bytes for classify + ~0.16 op-table bytes + ~0.25 offset
-    # output bytes at mean run 32), so nothing real can stream faster than
-    # ~340 Gcol/s -- a marginal estimate beyond that is timing noise, so
-    # fall back to the lower bound
+    # v5e HBM is ~819 GB/s; the combined loop moves ~2.31 bytes per
+    # column (2 input bytes for classify + ~0.06 packed-op bytes + 0.25
+    # offset output bytes at mean run 32), so nothing real can stream
+    # faster than ~354 Gcol/s -- a marginal estimate beyond that is
+    # timing noise, so fall back to the lower bound
     phys_bound = 350e9
     if 0 < marginal <= phys_bound:
         gbps = marginal / 1e9

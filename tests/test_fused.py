@@ -94,3 +94,52 @@ def test_pack_ops_words_roundtrip():
     assert np.array_equal(w & 0xFFFF, lens)
     with pytest.raises(AssertionError):
         pack_ops_words(ops, lens + 0x10000)
+
+
+@pytest.mark.parametrize("caller", [False, True])
+def test_fused16_parity(caller):
+    """16-bit packed path (two ops/word, half-width ladder, even/odd
+    offset halves) must match the jnp references bit-for-bit."""
+    import jax.numpy as jnp
+
+    from wgatools_tpu.ops.fused import classify_liftover_fused16
+    from wgatools_tpu.ops.liftover import interleave_halves, pack_ops_words16
+
+    rng = np.random.default_rng(7)
+    tw, qw, t, q, lengths, _, _ = _case(rng, 5, 2048, 1, 2)
+    op_chars = np.frombuffer(b"M=XIDS", np.uint8)
+    op_arrays, len_arrays = [], []
+    for _ in range(7):
+        n = int(rng.integers(1, 300))
+        op_arrays.append(op_chars[rng.integers(0, 6, n)])
+        len_arrays.append(rng.integers(0, 8192, n).astype(np.int32))
+    ops, lens = pack_ops_batch(op_arrays, len_arrays)
+    opw16 = jnp.asarray(pack_ops_words16(ops, lens))
+
+    want_stats = np.asarray(classify_stat_jnp(t, q, lengths, caller=caller))
+    want_t, want_q = (
+        np.asarray(a)
+        for a in _liftover_scan_impl(
+            jnp.asarray(ops), jnp.asarray(lens), False, False
+        )
+    )
+    stats, te, to, qe, qo = classify_liftover_fused16(
+        tw, qw, lengths, opw16,
+        tile_b=4, tile_lw=256, interpret=True, caller=caller,
+    )
+    assert np.array_equal(np.asarray(stats), want_stats)
+    got_t = interleave_halves(te, to)[:, : ops.shape[1]]
+    got_q = interleave_halves(qe, qo)[:, : ops.shape[1]]
+    assert np.array_equal(got_t, want_t)
+    assert np.array_equal(got_q, want_q)
+
+
+def test_pack_ops_words16_bounds():
+    from wgatools_tpu.ops.liftover import pack_ops_words16
+
+    ops = np.frombuffer(b"MIDS=X", np.uint8).reshape(1, 6)
+    lens = np.array([[1, 8191, 0, 5, 7, 2]], np.int32)
+    w = pack_ops_words16(ops, lens)
+    assert w.shape == (1, 3)
+    with pytest.raises(AssertionError):
+        pack_ops_words16(ops, lens + 8192)

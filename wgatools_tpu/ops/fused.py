@@ -180,6 +180,76 @@ def _fused_kernel(
     )
 
 
+def _fused_kernel_packed16(
+    tw_ref,
+    qw_ref,
+    opw_ref,
+    out_ref,
+    edge_ref,
+    te_ref,
+    to_ref,
+    qe_ref,
+    qo_ref,
+    carry_ref,
+    *,
+    caller=False,
+):
+    """16-bit packed-op variant: TWO ops per int32 (3-bit advance class +
+    13-bit length per half, liftover.pack_ops_words16).  The Hillis
+    ladder scans PAIR SUMS at half the lane width (9 steps instead of
+    10 on half the vregs), then derives the even/odd offsets:
+
+        te[l] = P[l]            to[l] = P[l] + adv_even[l]
+
+    where P is the exclusive pair-sum prefix.  Offsets return as
+    even/odd half-arrays (interleaving on SIMD lanes is a relayout;
+    hosts zip them in O(1) numpy, and strided consumers index halves
+    directly)."""
+    _kernel_words(tw_ref, qw_ref, out_ref, edge_ref, caller=caller)
+    j = pl.program_id(1)
+    i32 = jnp.int32
+    w = opw_ref[:]
+
+    def lsr(x, k):
+        return jax.lax.shift_right_logical(x, jnp.int32(k))
+
+    m13 = jnp.int32(0x1FFF)
+    len0 = w & m13
+    cls0 = lsr(w, 13) & jnp.int32(7)
+    len1 = lsr(w, 16) & m13
+    cls1 = lsr(w, 29)
+
+    def advances(cls, ln):
+        # ADV_BOTH=1, ADV_I=2, ADV_S=3, ADV_D=4 (liftover._ADV_CLASS)
+        adv_t = jnp.where((cls == 1) | (cls == 4), ln, 0)
+        adv_q = jnp.where((cls == 1) | (cls == 2) | (cls == 3), ln, 0)
+        return adv_t, adv_q
+
+    at0, aq0 = advances(cls0, len0)
+    at1, aq1 = advances(cls1, len1)
+    ct = at0 + at1
+    cq = aq0 + aq1
+    TB, TLOH = ct.shape
+
+    @pl.when(j == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    carry = carry_ref[:]
+    p_t, p_q = _hillis_scan_pair(ct, cq, carry)
+    te_ref[:] = p_t
+    to_ref[:] = p_t + at0
+    qe_ref[:] = p_q
+    qo_ref[:] = p_q + aq0
+    carry_ref[:] = jnp.concatenate(
+        [
+            p_t[:, TLOH - 1 : TLOH] + ct[:, TLOH - 1 : TLOH],
+            p_q[:, TLOH - 1 : TLOH] + cq[:, TLOH - 1 : TLOH],
+        ],
+        axis=1,
+    )
+
+
 def _fused_kernel_packed(
     tw_ref,
     qw_ref,
@@ -199,6 +269,144 @@ def _fused_kernel_packed(
     _liftover_block(
         opw_ref[:], None, None, toff_ref, qoff_ref, carry_ref, j,
         scan_mode="vpu",
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_b", "tile_lw", "tile_loh", "interpret", "caller"
+    ),
+)
+def classify_liftover_fused16(
+    tw,
+    qw,
+    lengths,
+    opw16,
+    tile_b=64,
+    tile_lw=8192,
+    tile_loh=None,
+    interpret=False,
+    caller=False,
+):
+    """One-pass classify stats + liftover offsets, 16-bit packed ops.
+
+    opw16: int32 [B2, NOH] from liftover.pack_ops_words16 (two ops per
+    word, every length < 2^13 -- callers guard and fall back to the
+    32-bit path).  Returns (stats [B, 8], t_even, t_odd, q_even, q_odd)
+    with the offset of op 2k at *_even[:, k] and op 2k+1 at *_odd[:, k];
+    liftover.interleave_halves zips them when a flat [B2, 2*NOH] table
+    is needed.  Bit-identical to the 32-bit paths (tested)."""
+    B, LW = tw.shape
+    B2, NOH = opw16.shape
+    tile_b = min(tile_b, max(B, B2))
+    tile_lw = min(tile_lw, max(LW, 128))
+    gapw = jnp.int32(int(np.int32(np.uint32(0x2D2D2D2D))))
+    assert tile_lw * 4 < (1 << 16), "tile_lw*4 must be < 2^16"
+
+    if LW % tile_lw or LW == 0:
+        LW2 = max(((LW + tile_lw - 1) // tile_lw) * tile_lw, tile_lw)
+        tw = jnp.pad(tw, ((0, 0), (0, LW2 - LW)), constant_values=gapw)
+        qw = jnp.pad(qw, ((0, 0), (0, LW2 - LW)), constant_values=gapw)
+        LW = LW2
+    if B % tile_b:
+        Bp = ((B + tile_b - 1) // tile_b) * tile_b
+        tw = jnp.pad(tw, ((0, Bp - B), (0, 0)), constant_values=gapw)
+        qw = jnp.pad(qw, ((0, Bp - B), (0, 0)), constant_values=gapw)
+        lengths = jnp.pad(lengths, (0, Bp - B))
+        pad_rows = Bp - B
+    else:
+        Bp = B
+        pad_rows = 0
+
+    ns = LW // tile_lw
+    if tile_loh is None:
+        tile_loh = max(((NOH + ns - 1) // ns + 127) // 128 * 128, 128)
+    NOHp = ns * tile_loh
+    if NOHp != NOH:
+        opw16 = jnp.pad(opw16, ((0, 0), (0, NOHp - NOH)))
+    if B2 % tile_b:
+        B2p = ((B2 + tile_b - 1) // tile_b) * tile_b
+        opw16 = jnp.pad(opw16, ((0, B2p - B2), (0, 0)))
+    else:
+        B2p = B2
+    nb = max(Bp, B2p) // tile_b
+    if Bp < nb * tile_b:
+        tw = jnp.pad(
+            tw, ((0, nb * tile_b - Bp), (0, 0)), constant_values=gapw
+        )
+        qw = jnp.pad(
+            qw, ((0, nb * tile_b - Bp), (0, 0)), constant_values=gapw
+        )
+        lengths = jnp.pad(lengths, (0, nb * tile_b - Bp))
+        pad_rows += nb * tile_b - Bp
+        Bp = nb * tile_b
+    if B2p < nb * tile_b:
+        opw16 = jnp.pad(opw16, ((0, nb * tile_b - B2p), (0, 0)))
+        B2p = nb * tile_b
+
+    word_spec = pl.BlockSpec(
+        (tile_b, tile_lw), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    op_spec = pl.BlockSpec(
+        (tile_b, tile_loh), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    out, edges, te, to, qe, qo = pl.pallas_call(
+        functools.partial(_fused_kernel_packed16, caller=caller),
+        grid=(nb, ns),
+        in_specs=[word_spec, word_spec, op_spec],
+        out_specs=[
+            pl.BlockSpec(
+                (tile_b, N_STATS),
+                lambda i, j: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_b, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            op_spec,
+            op_spec,
+            op_spec,
+            op_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, N_STATS), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 128 * ns), jnp.int32),
+            jax.ShapeDtypeStruct((B2p, NOHp), jnp.int32),
+            jax.ShapeDtypeStruct((B2p, NOHp), jnp.int32),
+            jax.ShapeDtypeStruct((B2p, NOHp), jnp.int32),
+            jax.ShapeDtypeStruct((B2p, NOHp), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile_b, 2), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=14 * Bp * LW + 45 * B2p * NOHp,
+            bytes_accessed=8 * Bp * LW + 20 * B2p * NOHp,
+            transcendentals=0,
+        ),
+    )(tw, qw, opw16)
+
+    L = 4 * LW
+    last_idx = jnp.maximum(lengths - 1, 0)
+    widx = last_idx // 4
+    shift = ((last_idx % 4) * 8).astype(jnp.int32)
+    wv_t = jnp.take_along_axis(tw, widx[:, None], axis=1)[:, 0]
+    wv_q = jnp.take_along_axis(qw, widx[:, None], axis=1)[:, 0]
+    bt = jax.lax.shift_right_logical(wv_t, shift) & jnp.int32(0xFF)
+    bq = jax.lax.shift_right_logical(wv_q, shift) & jnp.int32(0xFF)
+    last_real_cat = _classify(bt, bq, caller).astype(jnp.int32)
+    stats = _finish_stats(
+        out, edges, ns, L, lengths, last_real_cat, caller, pad_rows
+    )
+    return (
+        stats,
+        te[:B2, :NOH],
+        to[:B2, :NOH],
+        qe[:B2, :NOH],
+        qo[:B2, :NOH],
     )
 
 

@@ -393,6 +393,17 @@ def chain_advance_table(ops, lens):
     return ex_i + ins, ex_d + dele
 
 
+def interleave_halves(even, odd):
+    """Zip even/odd half-arrays ([B, N/2] each) back to [B, N] --
+    the host-side inverse of the fused16 kernel's split offsets."""
+    even = np.asarray(even)
+    odd = np.asarray(odd)
+    out = np.empty((even.shape[0], even.shape[1] * 2), even.dtype)
+    out[:, 0::2] = even
+    out[:, 1::2] = odd
+    return out
+
+
 def pack_ops_batch(op_arrays, len_arrays, align=128):
     """Pad per-record (ops, lens) arrays to [B, N] (0-padded)."""
     B = len(op_arrays)
@@ -417,3 +428,38 @@ def pack_ops_words(ops, lens):
     lens = np.asarray(lens)
     assert lens.max(initial=0) < (1 << 16), "packed op words need len < 2^16"
     return (ops.astype(np.int32) << 24) | lens.astype(np.int32)
+
+
+# advance classes for the 16-bit packing: the scan only needs which of
+# (target, query) an op advances (cigar.rs:718-726), not the op byte
+ADV_PAD, ADV_BOTH, ADV_I, ADV_S, ADV_D = 0, 1, 2, 3, 4
+_ADV_CLASS = np.zeros(256, dtype=np.int32)
+for _b in b"M=X":
+    _ADV_CLASS[_b] = ADV_BOTH
+_ADV_CLASS[OP_I] = ADV_I
+_ADV_CLASS[OP_S] = ADV_S
+_ADV_CLASS[OP_D] = ADV_D
+
+
+def pack_ops_words16(ops, lens):
+    """TWO ops per int32: 3-bit advance class + 13-bit length per half
+    ([0:13) len0, [13:16) cls0, [16:29) len1, [29:32) cls1).
+
+    The short-run fast path of the fused kernel: halves both the op DMA
+    (2 bytes/op) and the scan-ladder width.  Requires every length
+    < 2^13 = 8192 (callers guard and fall back to pack_ops_words; real
+    whole-genome run lengths sit far below -- test.maf measures mean 48
+    -- with SV outliers routed to the 32-bit path).  ops: uint8 [B, N]
+    (0 = padding, packs to class 0); N is padded to even.  Returns
+    int32 [B, N//2]."""
+    ops = np.asarray(ops, dtype=np.uint8)
+    lens = np.asarray(lens)
+    assert lens.max(initial=0) < (1 << 13), "packed16 needs len < 8192"
+    B, N = ops.shape
+    if N % 2:
+        ops = np.pad(ops, ((0, 0), (0, 1)))
+        lens = np.pad(lens, ((0, 0), (0, 1)))
+        N += 1
+    cls = _ADV_CLASS[ops]
+    half = (cls << 13) | lens.astype(np.int32)
+    return half[:, 0::2] | (half[:, 1::2] << 16)
