@@ -143,3 +143,71 @@ def test_pack_ops_words16_bounds():
     assert w.shape == (1, 3)
     with pytest.raises(AssertionError):
         pack_ops_words16(ops, lens + 8192)
+
+
+def test_fused16_row_mismatch_and_multiblock():
+    """fused16 with B2 != B and multiple row blocks (nb > 1): offsets and
+    stats stay exact."""
+    import jax.numpy as jnp
+
+    from wgatools_tpu.ops.fused import classify_liftover_fused16
+    from wgatools_tpu.ops.liftover import interleave_halves, pack_ops_words16
+
+    rng = np.random.default_rng(9)
+    tw, qw, t, q, lengths, _, _ = _case(rng, 9, 1024, 1, 2)
+    op_chars = np.frombuffer(b"M=XIDS", np.uint8)
+    op_arrays = [op_chars[rng.integers(0, 6, 77)] for _ in range(3)]
+    len_arrays = [rng.integers(0, 8192, 77).astype(np.int32) for _ in range(3)]
+    ops, lens = pack_ops_batch(op_arrays, len_arrays)
+    opw16 = jnp.asarray(pack_ops_words16(ops, lens))
+
+    want_stats = np.asarray(classify_stat_jnp(t, q, lengths))
+    want_t, want_q = (
+        np.asarray(a)
+        for a in _liftover_scan_impl(
+            jnp.asarray(ops), jnp.asarray(lens), False, False
+        )
+    )
+    # tile_b=2 -> nb = ceil(9/2)=5 row blocks; op rows pad from 3
+    stats, te, to, qe, qo = classify_liftover_fused16(
+        tw, qw, lengths, opw16, tile_b=2, tile_lw=128, interpret=True
+    )
+    assert np.array_equal(np.asarray(stats), want_stats)
+    assert np.array_equal(
+        interleave_halves(te, to)[:, : ops.shape[1]], want_t
+    )
+    assert np.array_equal(
+        interleave_halves(qe, qo)[:, : ops.shape[1]], want_q
+    )
+
+
+def test_fused16_odd_op_count_and_empty_rows():
+    import jax.numpy as jnp
+
+    from wgatools_tpu.ops.fused import classify_liftover_fused16
+    from wgatools_tpu.ops.liftover import interleave_halves, pack_ops_words16
+
+    rng = np.random.default_rng(3)
+    tw, qw, t, q, lengths, _, _ = _case(rng, 2, 512, 1, 2)
+    # odd op counts (pack pads to even) and an all-padding row
+    ops = np.zeros((2, 5), np.uint8)
+    lens = np.zeros((2, 5), np.int32)
+    ops[0] = np.frombuffer(b"M=IDM", np.uint8)
+    lens[0] = [3, 4, 5, 6, 7]
+    opw16 = jnp.asarray(pack_ops_words16(ops, lens))
+    want_t, want_q = (
+        np.asarray(a)
+        for a in _liftover_scan_impl(
+            jnp.asarray(ops), jnp.asarray(lens), False, False
+        )
+    )
+    stats, te, to, qe, qo = classify_liftover_fused16(
+        tw, qw, lengths, opw16, tile_b=2, tile_lw=128, interpret=True
+    )
+    got_t = interleave_halves(te, to)[:, :5]
+    got_q = interleave_halves(qe, qo)[:, :5]
+    assert np.array_equal(got_t, want_t)
+    assert np.array_equal(got_q, want_q)
+    assert np.array_equal(
+        np.asarray(stats), np.asarray(classify_stat_jnp(t, q, lengths))
+    )
