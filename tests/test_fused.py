@@ -211,3 +211,40 @@ def test_fused16_odd_op_count_and_empty_rows():
     assert np.array_equal(
         np.asarray(stats), np.asarray(classify_stat_jnp(t, q, lengths))
     )
+
+
+def test_sharded_fused16_matches_direct():
+    """The flagship fused16 kernel through shard_map on the 8-device
+    virtual mesh must reproduce the direct call exactly (record-axis
+    data parallelism, no collectives)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wgatools_tpu.ops.fused import classify_liftover_fused16
+    from wgatools_tpu.ops.liftover import pack_ops_words16
+    from wgatools_tpu.parallel.mesh import make_mesh, sharded_fused16
+
+    rng = np.random.default_rng(5)
+    B = 16  # 2 records per device
+    tw, qw, t, q, lengths, _, _ = _case(rng, B, 1024, 1, 2)
+    op_chars = np.frombuffer(b"M=XID", np.uint8)
+    op_arrays = [op_chars[rng.integers(0, 5, 50)] for _ in range(B)]
+    len_arrays = [rng.integers(0, 4000, 50).astype(np.int32) for _ in range(B)]
+    ops, lens = pack_ops_batch(op_arrays, len_arrays)
+    opw16 = jnp.asarray(pack_ops_words16(ops, lens))
+
+    direct = classify_liftover_fused16(
+        tw, qw, lengths, opw16, tile_b=2, tile_lw=256, interpret=True
+    )
+    mesh = make_mesh(8)
+    sharded = sharded_fused16(mesh, tw, qw, lengths, opw16)
+    for d, s in zip(direct, sharded):
+        assert np.array_equal(np.asarray(d), np.asarray(s))
+
+    # and zero collective bytes: pure record-axis data parallelism
+    from test_comm_volume import _collective_bytes
+
+    jaxpr = jax.make_jaxpr(
+        lambda a, b, l, o: sharded_fused16(mesh, a, b, l, o)
+    )(tw, qw, lengths, opw16)
+    assert _collective_bytes(jaxpr.jaxpr) == 0

@@ -144,6 +144,40 @@ def sharded_coverage(mesh: Mesh, starts, ends, genome_len: int):
     return fn(starts, ends)
 
 
+def sharded_fused16(mesh: Mesh, tw, qw, lengths, opw16, use_pallas=None):
+    """The flagship fused CIGAR-engine kernel (classify + 16-bit packed
+    op scan, ops.fused.classify_liftover_fused16) with records sharded
+    over the mesh -- pure data parallelism, outputs stay record-sharded
+    (stats [B,8]; even/odd offset halves [B2, NOH]).
+
+    Row counts per shard follow the same padding rules as the direct
+    call; column/op batches must shard evenly over the record axis
+    (pad_to_multiple)."""
+    from ..ops.fused import classify_liftover_fused16
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    interpret = jax.default_backend() != "tpu"
+    n = mesh.devices.size
+
+    def body(a, b, l, o):
+        return classify_liftover_fused16(
+            a, b, l, o,
+            tile_b=min(64, max(a.shape[0], o.shape[0])),
+            interpret=interpret,
+        )
+
+    spec = P(RECORDS_AXIS, None)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec, spec, P(RECORDS_AXIS), spec),
+        out_specs=(spec, spec, spec, spec, spec),
+        check_vma=False,
+    )
+    return fn(tw, qw, lengths, opw16)
+
+
 def pad_to_multiple(arr, multiple, axis=0, fill=0):
     """Pad an array along axis to a multiple (for even sharding)."""
     n = arr.shape[axis]
