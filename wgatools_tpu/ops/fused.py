@@ -272,6 +272,89 @@ def _fused_kernel_packed(
     )
 
 
+def _pad_fused_inputs(tw, qw, lengths, op_planes, tile_b, tile_lw, tile_lo):
+    """Shared batch padding for the fused wrappers.
+
+    Word planes pad to tile multiples with gap words (the padding
+    corrections in _finish_stats account for them exactly); op planes
+    pad with zeros, split over the same number of column-axis steps;
+    every row count pads to a common row-block multiple (the two stages
+    never mix rows, so the extra tiles just compute zeros).
+
+    Returns (tw, qw, lengths, op_planes, dims) with dims =
+    (Bp, B2p, LW, NOp, ns, nb, tile_lo, pad_rows)."""
+    B, LW = tw.shape
+    B2, NO = op_planes[0].shape
+    gapw = jnp.int32(int(np.int32(np.uint32(0x2D2D2D2D))))
+    if LW % tile_lw or LW == 0:
+        LW2 = max(((LW + tile_lw - 1) // tile_lw) * tile_lw, tile_lw)
+        tw = jnp.pad(tw, ((0, 0), (0, LW2 - LW)), constant_values=gapw)
+        qw = jnp.pad(qw, ((0, 0), (0, LW2 - LW)), constant_values=gapw)
+        LW = LW2
+    if B % tile_b:
+        Bp = ((B + tile_b - 1) // tile_b) * tile_b
+        tw = jnp.pad(tw, ((0, Bp - B), (0, 0)), constant_values=gapw)
+        qw = jnp.pad(qw, ((0, Bp - B), (0, 0)), constant_values=gapw)
+        lengths = jnp.pad(lengths, (0, Bp - B))
+        pad_rows = Bp - B
+    else:
+        Bp = B
+        pad_rows = 0
+
+    ns = LW // tile_lw
+    if tile_lo is None:
+        tile_lo = max(((NO + ns - 1) // ns + 127) // 128 * 128, 128)
+    NOp = ns * tile_lo
+    if NOp != NO:
+        op_planes = [
+            jnp.pad(o, ((0, 0), (0, NOp - NO))) for o in op_planes
+        ]
+    if B2 % tile_b:
+        B2p = ((B2 + tile_b - 1) // tile_b) * tile_b
+        op_planes = [
+            jnp.pad(o, ((0, B2p - B2), (0, 0))) for o in op_planes
+        ]
+    else:
+        B2p = B2
+
+    nb = max(Bp, B2p) // tile_b
+    if Bp < nb * tile_b:
+        tw = jnp.pad(
+            tw, ((0, nb * tile_b - Bp), (0, 0)), constant_values=gapw
+        )
+        qw = jnp.pad(
+            qw, ((0, nb * tile_b - Bp), (0, 0)), constant_values=gapw
+        )
+        lengths = jnp.pad(lengths, (0, nb * tile_b - Bp))
+        pad_rows += nb * tile_b - Bp
+        Bp = nb * tile_b
+    if B2p < nb * tile_b:
+        op_planes = [
+            jnp.pad(o, ((0, nb * tile_b - B2p), (0, 0))) for o in op_planes
+        ]
+        B2p = nb * tile_b
+    dims = (Bp, B2p, LW, NOp, ns, nb, tile_lo, pad_rows)
+    return tw, qw, lengths, op_planes, dims
+
+
+def _finish_fused_stats(out, edges, ns, LW, tw, qw, lengths, caller,
+                        pad_rows):
+    """Shared classify finish: last real column from the word planes +
+    the exact tile-boundary / padding corrections."""
+    L = 4 * LW
+    last_idx = jnp.maximum(lengths - 1, 0)
+    widx = last_idx // 4
+    shift = ((last_idx % 4) * 8).astype(jnp.int32)
+    wv_t = jnp.take_along_axis(tw, widx[:, None], axis=1)[:, 0]
+    wv_q = jnp.take_along_axis(qw, widx[:, None], axis=1)[:, 0]
+    bt = jax.lax.shift_right_logical(wv_t, shift) & jnp.int32(0xFF)
+    bq = jax.lax.shift_right_logical(wv_q, shift) & jnp.int32(0xFF)
+    last_real_cat = _classify(bt, bq, caller).astype(jnp.int32)
+    return _finish_stats(
+        out, edges, ns, L, lengths, last_real_cat, caller, pad_rows
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -297,53 +380,15 @@ def classify_liftover_fused16(
     with the offset of op 2k at *_even[:, k] and op 2k+1 at *_odd[:, k];
     liftover.interleave_halves zips them when a flat [B2, 2*NOH] table
     is needed.  Bit-identical to the 32-bit paths (tested)."""
-    B, LW = tw.shape
+    B, LW0 = tw.shape
     B2, NOH = opw16.shape
     tile_b = min(tile_b, max(B, B2))
-    tile_lw = min(tile_lw, max(LW, 128))
-    gapw = jnp.int32(int(np.int32(np.uint32(0x2D2D2D2D))))
+    tile_lw = min(tile_lw, max(LW0, 128))
     assert tile_lw * 4 < (1 << 16), "tile_lw*4 must be < 2^16"
-
-    if LW % tile_lw or LW == 0:
-        LW2 = max(((LW + tile_lw - 1) // tile_lw) * tile_lw, tile_lw)
-        tw = jnp.pad(tw, ((0, 0), (0, LW2 - LW)), constant_values=gapw)
-        qw = jnp.pad(qw, ((0, 0), (0, LW2 - LW)), constant_values=gapw)
-        LW = LW2
-    if B % tile_b:
-        Bp = ((B + tile_b - 1) // tile_b) * tile_b
-        tw = jnp.pad(tw, ((0, Bp - B), (0, 0)), constant_values=gapw)
-        qw = jnp.pad(qw, ((0, Bp - B), (0, 0)), constant_values=gapw)
-        lengths = jnp.pad(lengths, (0, Bp - B))
-        pad_rows = Bp - B
-    else:
-        Bp = B
-        pad_rows = 0
-
-    ns = LW // tile_lw
-    if tile_loh is None:
-        tile_loh = max(((NOH + ns - 1) // ns + 127) // 128 * 128, 128)
-    NOHp = ns * tile_loh
-    if NOHp != NOH:
-        opw16 = jnp.pad(opw16, ((0, 0), (0, NOHp - NOH)))
-    if B2 % tile_b:
-        B2p = ((B2 + tile_b - 1) // tile_b) * tile_b
-        opw16 = jnp.pad(opw16, ((0, B2p - B2), (0, 0)))
-    else:
-        B2p = B2
-    nb = max(Bp, B2p) // tile_b
-    if Bp < nb * tile_b:
-        tw = jnp.pad(
-            tw, ((0, nb * tile_b - Bp), (0, 0)), constant_values=gapw
-        )
-        qw = jnp.pad(
-            qw, ((0, nb * tile_b - Bp), (0, 0)), constant_values=gapw
-        )
-        lengths = jnp.pad(lengths, (0, nb * tile_b - Bp))
-        pad_rows += nb * tile_b - Bp
-        Bp = nb * tile_b
-    if B2p < nb * tile_b:
-        opw16 = jnp.pad(opw16, ((0, nb * tile_b - B2p), (0, 0)))
-        B2p = nb * tile_b
+    tw, qw, lengths, (opw16,), dims = _pad_fused_inputs(
+        tw, qw, lengths, [opw16], tile_b, tile_lw, tile_loh
+    )
+    Bp, B2p, LW, NOHp, ns, nb, tile_loh, pad_rows = dims
 
     word_spec = pl.BlockSpec(
         (tile_b, tile_lw), lambda i, j: (i, j), memory_space=pltpu.VMEM
@@ -389,17 +434,8 @@ def classify_liftover_fused16(
         ),
     )(tw, qw, opw16)
 
-    L = 4 * LW
-    last_idx = jnp.maximum(lengths - 1, 0)
-    widx = last_idx // 4
-    shift = ((last_idx % 4) * 8).astype(jnp.int32)
-    wv_t = jnp.take_along_axis(tw, widx[:, None], axis=1)[:, 0]
-    wv_q = jnp.take_along_axis(qw, widx[:, None], axis=1)[:, 0]
-    bt = jax.lax.shift_right_logical(wv_t, shift) & jnp.int32(0xFF)
-    bq = jax.lax.shift_right_logical(wv_q, shift) & jnp.int32(0xFF)
-    last_real_cat = _classify(bt, bq, caller).astype(jnp.int32)
-    stats = _finish_stats(
-        out, edges, ns, L, lengths, last_real_cat, caller, pad_rows
+    stats = _finish_fused_stats(
+        out, edges, ns, LW, tw, qw, lengths, caller, pad_rows
     )
     return (
         stats,
@@ -461,65 +497,20 @@ def classify_liftover_fused(
     packed = lens is None
     if packed:
         scan_mode = "vpu"
-    B, LW = tw.shape
+    B, LW0 = tw.shape
     B2, NO = ops.shape
     tile_b = min(tile_b, max(B, B2))
-    tile_lw = min(tile_lw, max(LW, 128))
-    gapw = jnp.int32(int(np.int32(np.uint32(0x2D2D2D2D))))
+    tile_lw = min(tile_lw, max(LW0, 128))
     assert tile_lw * 4 < (1 << 16), "tile_lw*4 must be < 2^16"
 
-    # pad the word planes to tile multiples (gap words: the padding
-    # corrections in _finish_stats account for them exactly)
-    if LW % tile_lw or LW == 0:
-        LW2 = max(((LW + tile_lw - 1) // tile_lw) * tile_lw, tile_lw)
-        tw = jnp.pad(tw, ((0, 0), (0, LW2 - LW)), constant_values=gapw)
-        qw = jnp.pad(qw, ((0, 0), (0, LW2 - LW)), constant_values=gapw)
-        LW = LW2
-    if B % tile_b:
-        Bp = ((B + tile_b - 1) // tile_b) * tile_b
-        tw = jnp.pad(tw, ((0, Bp - B), (0, 0)), constant_values=gapw)
-        qw = jnp.pad(qw, ((0, Bp - B), (0, 0)), constant_values=gapw)
-        lengths = jnp.pad(lengths, (0, Bp - B))
-        pad_rows = Bp - B
-    else:
-        Bp = B
-        pad_rows = 0
-
-    ns = LW // tile_lw
-    # op tile: split NO over the same ns steps, 128-lane aligned
-    if tile_lo is None:
-        tile_lo = max(((NO + ns - 1) // ns + 127) // 128 * 128, 128)
-    NOp = ns * tile_lo
-    if NOp != NO:
-        ops = jnp.pad(ops, ((0, 0), (0, NOp - NO)))
-        if not packed:
-            lens = jnp.pad(lens, ((0, 0), (0, NOp - NO)))
-    if B2 % tile_b:
-        B2p = ((B2 + tile_b - 1) // tile_b) * tile_b
-        ops = jnp.pad(ops, ((0, B2p - B2), (0, 0)))
-        if not packed:
-            lens = jnp.pad(lens, ((0, B2p - B2), (0, 0)))
-    else:
-        B2p = B2
-
-    # the grid's row axis must cover both row counts; the smaller input
-    # is row-padded (its extra tiles compute zeros)
-    nb = max(Bp, B2p) // tile_b
-    if Bp < nb * tile_b:
-        tw = jnp.pad(
-            tw, ((0, nb * tile_b - Bp), (0, 0)), constant_values=gapw
-        )
-        qw = jnp.pad(
-            qw, ((0, nb * tile_b - Bp), (0, 0)), constant_values=gapw
-        )
-        lengths = jnp.pad(lengths, (0, nb * tile_b - Bp))
-        pad_rows += nb * tile_b - Bp
-        Bp = nb * tile_b
-    if B2p < nb * tile_b:
-        ops = jnp.pad(ops, ((0, nb * tile_b - B2p), (0, 0)))
-        if not packed:
-            lens = jnp.pad(lens, ((0, nb * tile_b - B2p), (0, 0)))
-        B2p = nb * tile_b
+    op_planes = [ops] if packed else [ops, lens.astype(jnp.int32)]
+    tw, qw, lengths, op_planes, dims = _pad_fused_inputs(
+        tw, qw, lengths, op_planes, tile_b, tile_lw, tile_lo
+    )
+    Bp, B2p, LW, NOp, ns, nb, tile_lo, pad_rows = dims
+    ops = op_planes[0]
+    if not packed:
+        lens = op_planes[1]
 
     word_spec = pl.BlockSpec(
         (tile_b, tile_lw), lambda i, j: (i, j), memory_space=pltpu.VMEM
@@ -605,17 +596,7 @@ def classify_liftover_fused(
             ),
         )(tw, qw, ops, lens.astype(jnp.int32), tri)
 
-    # classify finish: exact tile-boundary + padding corrections
-    L = 4 * LW
-    last_idx = jnp.maximum(lengths - 1, 0)
-    widx = last_idx // 4
-    shift = ((last_idx % 4) * 8).astype(jnp.int32)
-    wv_t = jnp.take_along_axis(tw, widx[:, None], axis=1)[:, 0]
-    wv_q = jnp.take_along_axis(qw, widx[:, None], axis=1)[:, 0]
-    bt = jax.lax.shift_right_logical(wv_t, shift) & jnp.int32(0xFF)
-    bq = jax.lax.shift_right_logical(wv_q, shift) & jnp.int32(0xFF)
-    last_real_cat = _classify(bt, bq, caller).astype(jnp.int32)
-    stats = _finish_stats(
-        out, edges, ns, L, lengths, last_real_cat, caller, pad_rows
+    stats = _finish_fused_stats(
+        out, edges, ns, LW, tw, qw, lengths, caller, pad_rows
     )
     return stats, t_off[:B2, :NO], q_off[:B2, :NO]
