@@ -381,15 +381,19 @@ def chain_scan(ops, lens, wide=False):
     return _chain_scan_impl(ops, lens, bool(wide), on_tpu)
 
 
-@jax.jit
-def chain_advance_table(ops, lens):
-    """INCLUSIVE per-op cumulative (ins, del) sizes (chain_scan + adv)."""
-    lens = lens.astype(jnp.int32)
+def chain_advance_table(ops, lens, wide=False):
+    """INCLUSIVE per-op cumulative (ins, del) sizes (chain_scan + adv).
+
+    Routes through chain_scan, so the exactness rules are identical: the
+    TPU Pallas path is exact int32 for any op length; the jnp/mm fallback
+    needs wide=True when any length reaches 2^16 (cumsum_last's 2-limb
+    bound) -- callers that can see >= 2^16 lengths must pass wide=True.
+    """
+    ops = jnp.asarray(ops)
+    lens = jnp.asarray(lens).astype(jnp.int32)
     ins = jnp.where(ops == OP_I, lens, 0)
     dele = jnp.where(ops == OP_D, lens, 0)
-    ex_i, ex_d = _chain_scan_impl(
-        ops, lens, False, jax.default_backend() == "tpu"
-    )
+    ex_i, ex_d = chain_scan(ops, lens, wide=wide)
     return ex_i + ins, ex_d + dele
 
 
@@ -439,6 +443,14 @@ for _b in b"M=X":
 _ADV_CLASS[OP_I] = ADV_I
 _ADV_CLASS[OP_S] = ADV_S
 _ADV_CLASS[OP_D] = ADV_D
+# ops the packer accepts: padding plus the classes above.  Anything else
+# (N, H, corrupt bytes) must NOT silently pack to class 0 = padding --
+# it would advance nothing, diverging from the 32-bit paths; callers
+# with such ops stay on pack_ops_words/pack_ops_batch.
+_VALID_PACK16 = np.zeros(256, dtype=bool)
+_VALID_PACK16[0] = True
+for _b in b"M=XIDS":
+    _VALID_PACK16[_b] = True
 
 
 def pack_ops_words16(ops, lens):
@@ -450,11 +462,20 @@ def pack_ops_words16(ops, lens):
     < 2^13 = 8192 (callers guard and fall back to pack_ops_words; real
     whole-genome run lengths sit far below -- test.maf measures mean 48
     -- with SV outliers routed to the 32-bit path).  ops: uint8 [B, N]
-    (0 = padding, packs to class 0); N is padded to even.  Returns
-    int32 [B, N//2]."""
+    (0 = padding, packs to class 0); every op byte must be one of
+    M/=/X/I/S/D (ValueError otherwise -- an unknown op would silently
+    pack to the padding class and advance nothing).  N is padded to
+    even.  Returns int32 [B, N//2]."""
     ops = np.asarray(ops, dtype=np.uint8)
     lens = np.asarray(lens)
     assert lens.max(initial=0) < (1 << 13), "packed16 needs len < 8192"
+    if not _VALID_PACK16[ops].all():
+        bad = np.unique(ops[~_VALID_PACK16[ops]])
+        raise ValueError(
+            "pack_ops_words16: unsupported op byte(s) "
+            f"{[chr(b) for b in bad]}; only M/=/X/I/S/D pack to advance "
+            "classes (use the 32-bit op paths for other ops)"
+        )
     B, N = ops.shape
     if N % 2:
         ops = np.pad(ops, ((0, 0), (0, 1)))

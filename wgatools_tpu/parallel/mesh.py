@@ -144,21 +144,20 @@ def sharded_coverage(mesh: Mesh, starts, ends, genome_len: int):
     return fn(starts, ends)
 
 
-def sharded_fused16(mesh: Mesh, tw, qw, lengths, opw16, use_pallas=None):
+def sharded_fused16(mesh: Mesh, tw, qw, lengths, opw16):
     """The flagship fused CIGAR-engine kernel (classify + 16-bit packed
     op scan, ops.fused.classify_liftover_fused16) with records sharded
     over the mesh -- pure data parallelism, outputs stay record-sharded
     (stats [B,8]; even/odd offset halves [B2, NOH]).
 
-    Row counts per shard follow the same padding rules as the direct
-    call; column/op batches must shard evenly over the record axis
+    The kernel is Pallas-only (interpret mode off-TPU -- there is no jnp
+    fallback body to choose, unlike sharded_column_stats).  Row counts
+    per shard follow the same padding rules as the direct call;
+    column/op batches must shard evenly over the record axis
     (pad_to_multiple)."""
     from ..ops.fused import classify_liftover_fused16
 
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
     interpret = jax.default_backend() != "tpu"
-    n = mesh.devices.size
 
     def body(a, b, l, o):
         return classify_liftover_fused16(
