@@ -84,6 +84,14 @@ def main():
     # the device-side bitcast lowers catastrophically, ops/classify.py)
     tw_d = jax.device_put(jnp.asarray(t0.view("<i4")))
     qw_d = jax.device_put(jnp.asarray(q0.view("<i4")))
+    # nibble-packed planes for the round-4 flagship: 4-bit dictionary
+    # codes, 8 columns per int32 lane -- half the column DMA and 1.88x
+    # the standalone classify rate on-chip (scripts/ab_nibble.py)
+    from wgatools_tpu.ops.classify import pack_nibble_words
+
+    tn0, qn0 = pack_nibble_words(t0, q0)
+    tn_d = jax.device_put(jnp.asarray(tn0))
+    qn_d = jax.device_put(jnp.asarray(qn0))
 
     # matching op tables for the liftover stage: each record's op lengths
     # sum to L (same column volume as the byte tiles).  Mean run length 32
@@ -104,16 +112,16 @@ def main():
     opw_d = jax.device_put(jnp.asarray(pack_ops_words16(ops_np, lens_np)))
 
     if on_tpu:
-        # production path: ONE fused kernel runs the word-packed SWAR
+        # production path: ONE fused kernel runs the nibble-packed SWAR
         # classify AND the liftover op-scan per grid step (ops/fused.py;
-        # round 3 -- the separate kernels serialized their two stages,
-        # VERDICT r2).  16-bit packed op words halve both the op DMA and
-        # the scan-ladder width; offsets return as even/odd halves
-        # (scripts/ab_fused.py, ab_fused_diag.py)
+        # round 3 fused the two stages, round 4 dictionary-packs the
+        # column planes to 4 bits).  16-bit packed op words halve both
+        # the op DMA and the scan-ladder width; offsets return as
+        # even/odd halves (scripts/ab_fused.py, ab_nibble.py)
         from wgatools_tpu.ops.fused import classify_liftover_fused16
 
-        combined = lambda tw, qw, opw: classify_liftover_fused16(
-            tw, qw, lens_d, opw, tile_b=64, tile_lw=8192,
+        combined = lambda tn, qn, opw: classify_liftover_fused16(
+            tn, qn, lens_d, opw, tile_b=64, tile_lw=4096, nibble=True,
         )
     else:
 
@@ -161,8 +169,8 @@ def main():
                 + jnp.sum(qo[:, ::512])
             )
             if on_tpu:
-                # byte0 stays a valid base letter (A..D)
-                t = t.at[0, 0].set(jnp.int32(0x41414141) + (acc & 3))
+                # all 8 nibbles stay valid dictionary codes (1..4)
+                t = t.at[0, 0].set(jnp.int32(0x11111111) + (acc & 3))
             else:
                 t = t.at[0, 0].set(
                     (acc & 3).astype(jnp.uint8) + jnp.uint8(65)
@@ -220,21 +228,24 @@ def main():
             interleave_halves,
         )
 
-        f_stats, f_te, f_to, f_qe, f_qo = combined(tw_d, qw_d, opw_d)
+        f_stats, f_te, f_to, f_qe, f_qo = combined(tn_d, qn_d, opw_d)
         want_t, want_q = _liftover_scan_impl(o_d, ln_d, False, False)
         assert np.array_equal(np.asarray(f_stats), want), "fused stats"
         got_t = interleave_halves(f_te, f_to)[:, :N_OPS]
         got_q = interleave_halves(f_qe, f_qo)[:, :N_OPS]
         assert np.array_equal(got_t, np.asarray(want_t)), "fused t_off"
         assert np.array_equal(got_q, np.asarray(want_q)), "fused q_off"
-        print("on-chip fused stats+offsets parity gate: OK", file=sys.stderr)
+        print(
+            "on-chip fused16-nibble stats+offsets parity gate: OK",
+            file=sys.stderr,
+        )
 
     def run_batch(iters: int) -> float:
         """Wall seconds for `iters` executions of classify+stat AND
         liftover over the same column volume: one dispatch, one forced
         host fetch of the accumulated checksum."""
         start = time.perf_counter()
-        a, b = (tw_d, qw_d) if on_tpu else (t_d, q_d)
+        a, b = (tn_d, qn_d) if on_tpu else (t_d, q_d)
         checksum = int(np.asarray(run_iters(a, b, opw_d, iters)))
         assert checksum != 0
         return time.perf_counter() - start
@@ -266,12 +277,14 @@ def main():
             )
     # whole-batch rate is a strict lower bound (includes dispatch/transfer)
     lower_bound = B * L * hi_iters / min(t_hi_all)
-    # v5e HBM is ~819 GB/s; the combined loop moves ~2.31 bytes per
-    # column (2 input bytes for classify + ~0.06 packed-op bytes + 0.25
-    # offset output bytes at mean run 32), so nothing real can stream
-    # faster than ~354 Gcol/s -- a marginal estimate beyond that is
-    # timing noise, so fall back to the lower bound
-    phys_bound = 350e9
+    # v5e HBM is ~819 GB/s; the combined loop moves ~0.56 bytes per
+    # column (0.25 input bytes for the two nibble planes + ~0.06
+    # packed-op bytes + 0.25 offset output bytes at mean run 32), so
+    # nothing real can stream faster than ~1456 Gcol/s -- a marginal
+    # estimate beyond that is timing noise, so fall back to the lower
+    # bound.  (The kernel is VPU-bound well before that: the standalone
+    # nibble classify measures ~565 Gcol/s, scripts/ab_nibble.py.)
+    phys_bound = 1450e9
     if 0 < marginal <= phys_bound:
         gbps = marginal / 1e9
     else:

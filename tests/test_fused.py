@@ -248,3 +248,110 @@ def test_sharded_fused16_matches_direct():
         lambda a, b, l, o: sharded_fused16(mesh, a, b, l, o)
     )(tw, qw, lengths, opw16)
     assert _collective_bytes(jaxpr.jaxpr) == 0
+
+
+@pytest.mark.parametrize("caller", [False, True])
+def test_fused16_nibble_parity(caller):
+    """Nibble-plane fused16 (4-bit dictionary classify + packed16 scan)
+    must match the byte-plane jnp references bit-for-bit, including
+    padded rows and the edge corrections."""
+    import jax.numpy as jnp
+
+    from wgatools_tpu.ops.classify import pack_nibble_words
+    from wgatools_tpu.ops.fused import classify_liftover_fused16
+    from wgatools_tpu.ops.liftover import interleave_halves, pack_ops_words16
+
+    rng = np.random.default_rng(17)
+    _, _, t, q, lengths, _, _ = _case(rng, 9, 2048, 1, 2)
+    tn, qn = pack_nibble_words(np.asarray(t), np.asarray(q))
+    op_chars = np.frombuffer(b"M=XIDS", np.uint8)
+    op_arrays, len_arrays = [], []
+    for _ in range(6):
+        n = int(rng.integers(1, 300))
+        op_arrays.append(op_chars[rng.integers(0, 6, n)])
+        len_arrays.append(rng.integers(0, 8192, n).astype(np.int32))
+    ops, lens = pack_ops_batch(op_arrays, len_arrays)
+    opw16 = jnp.asarray(pack_ops_words16(ops, lens))
+
+    want_stats = np.asarray(classify_stat_jnp(t, q, lengths, caller=caller))
+    want_t, want_q = (
+        np.asarray(a)
+        for a in _liftover_scan_impl(
+            jnp.asarray(ops), jnp.asarray(lens), False, False
+        )
+    )
+    stats, te, to, qe, qo = classify_liftover_fused16(
+        jnp.asarray(tn), jnp.asarray(qn), lengths, opw16,
+        tile_b=4, tile_lw=128, interpret=True, caller=caller, nibble=True,
+    )
+    assert np.array_equal(np.asarray(stats), want_stats)
+    got_t = interleave_halves(te, to)[:, : ops.shape[1]]
+    got_q = interleave_halves(qe, qo)[:, : ops.shape[1]]
+    assert np.array_equal(got_t, want_t)
+    assert np.array_equal(got_q, want_q)
+
+
+def test_fused16_nibble_vs_words_identical():
+    """The nibble and byte-word fused16 forms of the SAME batch must
+    agree exactly (the packing is a bijection on its domain)."""
+    import jax.numpy as jnp
+
+    from wgatools_tpu.ops.classify import pack_nibble_words
+    from wgatools_tpu.ops.fused import classify_liftover_fused16
+    from wgatools_tpu.ops.liftover import pack_ops_words16
+
+    rng = np.random.default_rng(23)
+    tw, qw, t, q, lengths, _, _ = _case(rng, 5, 1024, 1, 2)
+    tn, qn = pack_nibble_words(np.asarray(t), np.asarray(q))
+    ops = np.frombuffer(b"M=XID" * 10, np.uint8).reshape(1, 50).copy()
+    lens = rng.integers(0, 8192, (1, 50)).astype(np.int32)
+    opw16 = jnp.asarray(pack_ops_words16(ops, lens))
+
+    a = classify_liftover_fused16(
+        tw, qw, lengths, opw16, tile_b=4, tile_lw=256, interpret=True
+    )
+    b = classify_liftover_fused16(
+        jnp.asarray(tn), jnp.asarray(qn), lengths, opw16,
+        tile_b=4, tile_lw=128, interpret=True, nibble=True,
+    )
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_sharded_fused16_nibble_matches_direct():
+    """Nibble-plane fused16 through shard_map on the 8-device virtual
+    mesh == direct call, still with zero collective bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    from wgatools_tpu.ops.classify import pack_nibble_words
+    from wgatools_tpu.ops.fused import classify_liftover_fused16
+    from wgatools_tpu.ops.liftover import pack_ops_words16
+    from wgatools_tpu.parallel.mesh import make_mesh, sharded_fused16
+
+    rng = np.random.default_rng(31)
+    B = 16
+    _, _, t, q, lengths, _, _ = _case(rng, B, 1024, 1, 2)
+    tn, qn = pack_nibble_words(np.asarray(t), np.asarray(q))
+    tn, qn = jnp.asarray(tn), jnp.asarray(qn)
+    op_chars = np.frombuffer(b"M=XID", np.uint8)
+    op_arrays = [op_chars[rng.integers(0, 5, 50)] for _ in range(B)]
+    len_arrays = [rng.integers(0, 4000, 50).astype(np.int32) for _ in range(B)]
+    ops, lens = pack_ops_batch(op_arrays, len_arrays)
+    opw16 = jnp.asarray(pack_ops_words16(ops, lens))
+
+    direct = classify_liftover_fused16(
+        tn, qn, lengths, opw16, tile_b=2, tile_lw=128, interpret=True,
+        nibble=True,
+    )
+    mesh = make_mesh(8)
+    sharded = sharded_fused16(mesh, tn, qn, lengths, opw16, nibble=True)
+    for d, s in zip(direct, sharded):
+        assert np.array_equal(np.asarray(d), np.asarray(s))
+
+    from test_comm_volume import _collective_bytes
+
+    jaxpr = jax.make_jaxpr(
+        lambda a, b, l, o: sharded_fused16(mesh, a, b, l, o, nibble=True)
+    )(tn, qn, lengths, opw16)
+    assert _collective_bytes(jaxpr.jaxpr) == 0

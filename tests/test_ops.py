@@ -335,3 +335,121 @@ def test_classify_stat_words_fuzz(seed):
             )
         )
         np.testing.assert_array_equal(got, want, err_msg=f"caller={caller}")
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("caller", [False, True])
+def test_classify_stat_nibbles_vs_jnp(seed, caller):
+    """Nibble-packed (8 cols/word) SWAR kernel == jnp on random ragged
+    batches, both category tables (dictionary-coded equality is exact:
+    the 15-symbol map is a bijection on its domain)."""
+    from wgatools_tpu.ops.classify import (
+        classify_stat_pallas_nibbles,
+        pack_nibble_words,
+    )
+
+    pairs = _random_pairs(6, 900, seed)
+    pairs.append((b"AC--G" + b"-" * 300, b"AC--G" + b"-" * 300))
+    t, q, lens = pack_pairs(pairs, align=256)
+    want = np.array(classify_stat_jnp(t, q, lens, caller=caller))
+    tw, qw = pack_nibble_words(t, q)
+    got = np.array(
+        classify_stat_pallas_nibbles(
+            jnp.asarray(tw), jnp.asarray(qw), jnp.asarray(lens),
+            tile_b=2, tile_lw=32, interpret=True, caller=caller,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_classify_stat_nibbles_tile_boundaries():
+    """Runs spanning nibble-word AND tile boundaries count once; the
+    trailing-padding merge sees the true last column inside a word
+    (8 columns per word: all 8 in-word end positions exercised)."""
+    from wgatools_tpu.ops.classify import (
+        classify_stat_pallas_nibbles,
+        pack_nibble_words,
+    )
+
+    pairs = [
+        (b"A" * 258 + b"C" * 254 + b"G" * 3, b"A" * 258 + b"-" * 254 + b"T" * 3),
+        (b"AAAA", b"AAAA"),
+        (b"ACG", b"AC-"),
+    ]
+    # every end-position mod 8
+    for k in range(1, 9):
+        pairs.append((b"ACGTACGTA"[:k], b"ACGTACGTA"[:k]))
+        pairs.append((b"ACGTACGTA"[:k], b"ACG-ACG-A"[:k]))
+    tb, qb, lens = pack_pairs(pairs, align=256)
+    want = np.array(classify_stat_jnp(tb, qb, lens))
+    tw, qw = pack_nibble_words(tb, qb)
+    got = np.array(
+        classify_stat_pallas_nibbles(
+            jnp.asarray(tw), jnp.asarray(qw), jnp.asarray(lens),
+            tile_b=1, tile_lw=32, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", range(3, 8))
+def test_classify_stat_nibbles_fuzz(seed):
+    """Profile-mixed fuzz for the nibble kernel (mirrors the words-kernel
+    fuzz), plus dictionary-fallback coverage for out-of-alphabet bytes."""
+    from wgatools_tpu.ops.classify import (
+        classify_stat_pallas_nibbles,
+        pack_nibble_words,
+    )
+
+    rng = random.Random(seed)
+    pairs = []
+    for _ in range(rng.randint(2, 9)):
+        n = rng.randint(1, 1200)
+        profile = rng.choice(["uniform", "gappy", "snpy", "equal"])
+        t = []
+        q = []
+        for _ in range(n):
+            if profile == "uniform":
+                a, b = rng.choice("ACGT-"), rng.choice("ACGT-")
+            elif profile == "gappy":
+                a = rng.choice("A---")
+                b = rng.choice("C---")
+            elif profile == "snpy":
+                a, b = rng.choice("AC"), rng.choice("AG")
+            else:
+                a = rng.choice("ACGTNacgtn.")
+                b = a
+            t.append(a)
+            q.append(b)
+        pairs.append(("".join(t).encode(), "".join(q).encode()))
+    t, q, lens = pack_pairs(pairs, align=128)
+    packed = pack_nibble_words(t, q)
+    assert packed is not None
+    tw, qw = packed
+    for caller in (False, True):
+        want = np.array(classify_stat_jnp(t, q, lens, caller=caller))
+        got = np.array(
+            classify_stat_pallas_nibbles(
+                jnp.asarray(tw), jnp.asarray(qw), jnp.asarray(lens),
+                tile_b=2, tile_lw=32, interpret=True, caller=caller,
+            )
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"caller={caller}")
+
+
+def test_pack_nibble_words_fallback():
+    """Out-of-dictionary bytes (IUPAC R etc.) must return None, never a
+    lossy packing; misaligned widths also fall back."""
+    from wgatools_tpu.ops.classify import pack_nibble_words
+
+    t, q, _ = pack_pairs([(b"ACGTR", b"ACGTA")])
+    assert pack_nibble_words(t, q) is None
+    t, q, _ = pack_pairs([(b"ACGT", b"ACGY")])
+    assert pack_nibble_words(t, q) is None
+    # aligned, in-dictionary -> packs; nibble 0 is the gap
+    t, q, _ = pack_pairs([(b"-ACGTNacgtn.", b"-ACGTNacgtn.")])
+    packed = pack_nibble_words(t, q)
+    assert packed is not None
+    tw, qw = packed
+    assert tw.dtype == np.int32 and tw.shape[1] == t.shape[1] // 8
+    assert (tw[0, 0] & 0xF) == 0  # '-' -> code 0

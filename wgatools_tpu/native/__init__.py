@@ -73,6 +73,8 @@ def load():
         lib.format_runs.restype = _i64
         lib.reverse_complement.argtypes = [_ptr, _i64, _ptr]
         lib.reverse_complement.restype = _i64
+        lib.pack_nibbles.argtypes = [_ptr, _i64, _ptr, _ptr]
+        lib.pack_nibbles.restype = ctypes.c_int32
         lib.format_bed_lines.argtypes = [
             _charp, _i64, _i64, _ptr, _i64, _ptr, _i64,
         ]
@@ -673,6 +675,28 @@ def format_snp_rows(chrom: bytes, qchro: bytes, suffix: bytes, pos, qpos,
         return None
     blob = out[: int(w)].tobytes()
     return (blob, row_end) if want_offsets else blob
+
+
+def pack_nibbles(arr: np.ndarray, lut256: np.ndarray):
+    """4-bit dictionary packing of a contiguous uint8 [B, L] plane
+    (L % 8 == 0) into int32 [B, L//8] nibble words.
+
+    lut256: uint8[256] byte->code map with 0xFF = out-of-dictionary
+    (ops.classify._NIB_LUT -- Python owns the alphabet).  Returns the
+    packed array or None (library unavailable / out-of-dictionary bytes;
+    callers fall back to numpy packing or the byte-word kernel)."""
+    lib = load()
+    if lib is None:
+        return None
+    assert arr.dtype == np.uint8 and arr.flags.c_contiguous
+    assert arr.ndim == 2 and arr.shape[1] % 8 == 0
+    out = np.empty((arr.shape[0], arr.shape[1] // 2), dtype=np.uint8)
+    rc = lib.pack_nibbles(
+        arr.ctypes.data, arr.size, lut256.ctypes.data, out.ctypes.data
+    )
+    if rc != 0:
+        return None
+    return out.view("<i4")
 
 
 def reverse_complement(seq: np.ndarray):

@@ -1036,4 +1036,24 @@ int64_t format_snp_rows(const char* chrom, int64_t chrom_len,
     return w;
 }
 
+// 4-bit dictionary packing for the nibble classify kernel
+// (ops/classify.py pack_nibble_words; the device kernel covers 8 columns
+// per int32 lane).  lut256 maps byte -> 4-bit code with 0xFF marking
+// out-of-dictionary bytes (the Python side owns the alphabet so the two
+// can never drift).  Packs byte pairs low-nibble-first -- the same
+// little-endian nibble order as numpy's c[:,0::2] | (c[:,1::2] << 4).
+// n must be even.  Returns 0 on success, -1 on any out-of-dictionary
+// byte (callers fall back to the byte-word kernel).
+int32_t pack_nibbles(const uint8_t* src, int64_t n, const uint8_t* lut256,
+                     uint8_t* dst) {
+    uint8_t bad = 0;
+    for (int64_t i = 0; i + 1 < n; i += 2) {
+        uint8_t a = lut256[src[i]];
+        uint8_t b = lut256[src[i + 1]];
+        bad |= a | b;
+        dst[i >> 1] = (uint8_t)((a & 0x0F) | (b << 4));
+    }
+    return (bad & 0x80) ? -1 : 0;
+}
+
 }  // extern "C"

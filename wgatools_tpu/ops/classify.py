@@ -621,6 +621,283 @@ def classify_stat_pallas_words(
     )
 
 
+# ---------------------------------------------------------------------------
+# Nibble-packed (4-bit SWAR) variant: genomic alphabets fit 4 bits, so the
+# host maps bytes through a fixed 15-symbol dictionary ('-' -> 0, ACGTNacgtn
+# and '.' -> 1..11) and packs EIGHT columns per int32 word.  Classification
+# only needs byte equality and gap identity, and the dictionary is a
+# bijection on its domain, so code equality <=> byte equality exactly.
+# Halves the classify HBM traffic (1 byte/column total for both planes) and
+# doubles the columns covered per VPU op; gap code 0 makes gap detection a
+# plain nonzero test (no xor against a gap pattern at all).  Batches with
+# bytes outside the dictionary (rare IUPAC codes) stay on the byte/word
+# kernels -- pack_nibble_words returns None and column_stats falls back.
+# ---------------------------------------------------------------------------
+
+_HI4 = int(np.int32(np.uint32(0x88888888)))
+_M7_4 = 0x77777777
+_NIB_ALPHABET = b"-ACGTNacgtn."  # '-' FIRST: gap must take code 0
+_NIB_LUT = np.full(256, 255, dtype=np.uint8)
+for _k, _b in enumerate(_NIB_ALPHABET):
+    _NIB_LUT[_b] = _k
+
+
+def pack_nibble_words(t, q, use_native=True):
+    """Pack uint8 [B, L] byte planes into int32 [B, L//8] nibble words.
+
+    Returns (tw, qw) with column j of a row in bits [4j, 4j+4) of word
+    j//8 (little-endian nibble order), or None when any byte falls
+    outside the 15-symbol dictionary (callers fall back to the byte/word
+    kernels).  L must be a multiple of 8 (pack_pairs aligns to 128).
+    Padding columns ('-'/'-', the pack_pairs contract) pack to 0x0/0x0.
+
+    The hot path is the C++ one-pass validate+pack (native.pack_nibbles,
+    fed this module's LUT so the alphabet cannot drift); the numpy
+    fallback gathers the LUT then combines nibble pairs.
+    """
+    if t.shape[1] % 8:
+        return None
+    if use_native and t.flags.c_contiguous and q.flags.c_contiguous:
+        from .. import native
+
+        if native.available():
+            tw = native.pack_nibbles(t, _NIB_LUT)
+            if tw is None:
+                return None
+            qw = native.pack_nibbles(q, _NIB_LUT)
+            if qw is None:
+                return None
+            return tw, qw
+    ct = _NIB_LUT[t]
+    cq = _NIB_LUT[q]
+    if int(ct.max(initial=0)) == 255 or int(cq.max(initial=0)) == 255:
+        return None
+
+    def pack(c):
+        b = c[:, 0::2] | (c[:, 1::2] << 4)
+        return np.ascontiguousarray(b).view("<i4")
+
+    return pack(ct), pack(cq)
+
+
+def _kernel_nibbles(t_ref, q_ref, out_ref, edge_ref, *, caller=False):
+    """4-bit SWAR body: one (TB, TLW) int32 nibble-word tile (8 columns
+    per lane) -> [TB, 8] stats + edge slot.
+
+    Same structure as _kernel_words at nibble width: per-column
+    indicators ride bit 3 of each nibble (mask 0x88888888); the nonzero
+    trick masks 0x77777777 and adds (carries cannot cross nibbles:
+    (x&7)+7 <= 14 < 16); per-word counts (0..8) come from a 0x11111111
+    multiply accumulating in the top nibble.  Gap code 0 means the gap
+    indicators are plain nonzero tests of the planes themselves.  The
+    boundary code word is one-hot per nibble (eq=1, i=2, d=4[, gg=8],
+    x=0) diffed against its 4-bit shift with the previous word's top
+    nibble carried via pltpu.roll."""
+    j = pl.program_id(1)
+    tw = t_ref[:]
+    qw = q_ref[:]
+    HI = jnp.int32(_HI4)
+    M7 = jnp.int32(_M7_4)
+
+    def lsr(x, k):
+        return jax.lax.shift_right_logical(x, jnp.int32(k))
+
+    def nz_hi(x):
+        y = (x & M7) + M7
+        return (y | x) & HI
+
+    eq_hi = HI & ~nz_hi(tw ^ qw)
+    # gap code is 0: "is gap" = nibble == 0 = NOT nonzero
+    t_nz = nz_hi(tw)
+    q_nz = nz_hi(qw)
+    ti_hi = HI & ~t_nz
+    qi_hi = HI & ~q_nz
+    gg_hi = ti_hi & qi_hi
+    if caller:
+        i_hi = ti_hi & ~qi_hi
+        d_hi = qi_hi & ~ti_hi
+        is_eq_hi = eq_hi & ~ti_hi
+        catw = (
+            lsr(is_eq_hi, 3) | lsr(i_hi, 2) | lsr(d_hi, 1) | gg_hi
+        )
+    else:
+        ne = HI & ~eq_hi
+        i_hi = ti_hi & ne
+        d_hi = qi_hi & ne
+        is_eq_hi = eq_hi
+        catw = lsr(is_eq_hi, 3) | lsr(i_hi, 2) | lsr(d_hi, 1)
+    carried = lsr(pltpu.roll(catw, 1, axis=1), 28) & jnp.int32(0xF)
+    prevw = (catw << 4) | carried
+    diff = catw ^ prevw
+    rs_hi = nz_hi(diff)
+
+    def cnt(m):
+        # per-word count (0..8) of set high bits in an 0x8-nibble mask
+        return lsr(lsr(m, 3) * jnp.int32(0x11111111), 28)
+
+    f0 = cnt(is_eq_hi) + (cnt(gg_hi) << 16)
+    f1 = cnt(i_hi) + (cnt(d_hi) << 16)
+    f2 = cnt(i_hi & rs_hi) + (cnt(d_hi & rs_hi) << 16)
+    f3 = cnt(rs_hi)
+    i32 = jnp.int32
+    s0 = jnp.sum(f0, axis=1, dtype=i32)
+    s1 = jnp.sum(f1, axis=1, dtype=i32)
+    s2 = jnp.sum(f2, axis=1, dtype=i32)
+    s3 = jnp.sum(f3, axis=1, dtype=i32)
+    mask = jnp.int32(0xFFFF)
+    s_eq = s0 & mask
+    s_gg = (s0 >> 16) & mask
+    s_i = s1 & mask
+    s_d = (s1 >> 16) & mask
+    LW = tw.shape[1]
+    s_x = jnp.int32(8 * LW) - s_eq - s_i - s_d
+    if caller:
+        s_x = s_x - s_gg
+    stats = jnp.stack(
+        [
+            s_eq,
+            s_x,
+            s_i,
+            s_d,
+            (s2 & mask),
+            (s2 >> 16) & mask,
+            s_gg,
+            s3 & mask,
+        ],
+        axis=1,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += stats
+    first_c = catw[:, 0:1] & jnp.int32(0xF)
+    last_c = lsr(catw[:, LW - 1 : LW], 28) & jnp.int32(0xF)
+
+    def to_std(c):
+        return jnp.where(
+            c == 1,
+            jnp.int32(EQ),
+            jnp.where(
+                c == 2,
+                jnp.int32(I),
+                jnp.where(
+                    c == 4,
+                    jnp.int32(D),
+                    jnp.where(c == 8, jnp.int32(W), jnp.int32(X)),
+                ),
+            ),
+        )
+
+    pad_lanes = jnp.zeros((tw.shape[0], 126), jnp.int32)
+    edge_ref[:] = jnp.concatenate(
+        [to_std(first_c), to_std(last_c), pad_lanes], axis=1
+    )
+
+
+def _classify_codes(ct, cq, caller):
+    """_classify in nibble-code space (gap code 0; bijection => code
+    equality == byte equality)."""
+    eq = ct == cq
+    ti = ct == 0
+    qi = cq == 0
+    if caller:
+        return jnp.where(
+            ti,
+            jnp.where(qi, W, I),
+            jnp.where(qi, D, jnp.where(eq, EQ, X)),
+        ).astype(jnp.int32)
+    return jnp.where(eq, EQ, jnp.where(ti, I, jnp.where(qi, D, X))).astype(
+        jnp.int32
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_b", "tile_lw", "interpret", "caller")
+)
+def classify_stat_pallas_nibbles(
+    tw, qw, lengths, tile_b=64, tile_lw=4096, interpret=False, caller=False
+):
+    """Nibble-packed Pallas kernel.  tw, qw: int32 [B, L//8] from
+    pack_nibble_words (8 columns per lane, gap code 0); lengths: int32
+    [B] in COLUMNS.  Identical output to classify_stat_jnp on the
+    original byte planes (tested).
+
+    Padding contract: columns >= lengths[b] pack to nibble 0 in both
+    planes (gap/gap), the same shape the corrections in _finish_stats
+    expect.  tile_lw*8 must stay < 2^16 for the packed 16-bit counter
+    fields, hence the 4096 default (32768 columns per tile -- the same
+    column footprint as the word kernel's 8192 at half the VMEM bytes).
+    """
+    B, LW = tw.shape
+    tile_b = min(tile_b, B)
+    tile_lw = min(tile_lw, LW)
+    assert tile_lw * 8 < (1 << 16), "tile_lw*8 must be < 2^16"
+    if LW % tile_lw:
+        LW2 = ((LW + tile_lw - 1) // tile_lw) * tile_lw
+        tw = jnp.pad(tw, ((0, 0), (0, LW2 - LW)))
+        qw = jnp.pad(qw, ((0, 0), (0, LW2 - LW)))
+        LW = LW2
+    if B % tile_b:
+        B2 = ((B + tile_b - 1) // tile_b) * tile_b
+        tw = jnp.pad(tw, ((0, B2 - B), (0, 0)))
+        qw = jnp.pad(qw, ((0, B2 - B), (0, 0)))
+        lengths = jnp.pad(lengths, (0, B2 - B))
+        pad_rows = B2 - B
+        B = B2
+    else:
+        pad_rows = 0
+    L = 8 * LW
+    nb = pl.cdiv(B, tile_b)
+    nl = pl.cdiv(LW, tile_lw)
+
+    out, edges = pl.pallas_call(
+        functools.partial(_kernel_nibbles, caller=caller),
+        grid=(nb, nl),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_b, tile_lw), lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_b, tile_lw), lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile_b, N_STATS), lambda i, j: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_b, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N_STATS), jnp.int32),
+            jax.ShapeDtypeStruct((B, 128 * nl), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=14 * B * LW, bytes_accessed=8 * B * LW + 4 * B * N_STATS,
+            transcendentals=0,
+        ),
+    )(tw, qw)
+
+    last_idx = jnp.maximum(lengths - 1, 0)
+    widx = last_idx // 8
+    shift = ((last_idx % 8) * 4).astype(jnp.int32)
+    wv_t = jnp.take_along_axis(tw, widx[:, None], axis=1)[:, 0]
+    wv_q = jnp.take_along_axis(qw, widx[:, None], axis=1)[:, 0]
+    ct = jax.lax.shift_right_logical(wv_t, shift) & jnp.int32(0xF)
+    cq = jax.lax.shift_right_logical(wv_q, shift) & jnp.int32(0xF)
+    last_real_cat = _classify_codes(ct, cq, caller)
+    return _finish_stats(
+        out, edges, nl, L, lengths, last_real_cat, caller, pad_rows
+    )
+
+
 def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -628,8 +905,10 @@ def _default_interpret() -> bool:
 def column_stats(t, q, lengths, use_pallas=None, caller=False):
     """Dispatch: Pallas on TPU, jnp elsewhere.  Arrays may be numpy.
 
-    Host numpy byte inputs take the word-packed kernel via a zero-copy
-    little-endian view (1.75x the byte kernel; see _kernel_words)."""
+    Host numpy byte inputs in the 15-symbol genomic dictionary take the
+    nibble-packed kernel (8 cols/lane: half the transfer, 1.88x the word
+    kernel on-chip, scripts/ab_nibble.py); other alphabets fall back to
+    the word-packed kernel via a zero-copy little-endian view."""
     # int32 counter bound: per-record counts are <= the padded row width,
     # so rows below 2^31 columns cannot wrap the int32 counters.  Wider
     # rows (4 GB-per-plane records) must take the int64 host engine --
@@ -650,9 +929,15 @@ def column_stats(t, q, lengths, use_pallas=None, caller=False):
         and q.flags.c_contiguous
         and t.shape[1] % 4 == 0
     ):
+        lengths = jnp.asarray(lengths, dtype=jnp.int32)
+        packed = pack_nibble_words(t, q)
+        if packed is not None:
+            return classify_stat_pallas_nibbles(
+                jnp.asarray(packed[0]), jnp.asarray(packed[1]), lengths,
+                caller=caller,
+            )
         tw = jnp.asarray(t.view("<i4"))
         qw = jnp.asarray(q.view("<i4"))
-        lengths = jnp.asarray(lengths, dtype=jnp.int32)
         return classify_stat_pallas_words(tw, qw, lengths, caller=caller)
     t = jnp.asarray(t, dtype=jnp.uint8)
     q = jnp.asarray(q, dtype=jnp.uint8)

@@ -32,7 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .classify import (
     N_STATS,
     _classify,
+    _classify_codes,
     _finish_stats,
+    _kernel_nibbles,
     _kernel_words,
 )
 from .liftover import OP_D, OP_I, OP_S, _hillis_scan_pair
@@ -193,6 +195,7 @@ def _fused_kernel_packed16(
     carry_ref,
     *,
     caller=False,
+    nibble=False,
 ):
     """16-bit packed-op variant: TWO ops per int32 (3-bit advance class +
     13-bit length per half, liftover.pack_ops_words16).  The Hillis
@@ -204,8 +207,14 @@ def _fused_kernel_packed16(
     where P is the exclusive pair-sum prefix.  Offsets return as
     even/odd half-arrays (interleaving on SIMD lanes is a relayout;
     hosts zip them in O(1) numpy, and strided consumers index halves
-    directly)."""
-    _kernel_words(tw_ref, qw_ref, out_ref, edge_ref, caller=caller)
+    directly).
+
+    nibble=True runs the classify stage on 4-bit dictionary-packed
+    planes (classify._kernel_nibbles, 8 columns per lane -- half the
+    column DMA, 1.88x the standalone classify rate on-chip,
+    scripts/ab_nibble.py)."""
+    body = _kernel_nibbles if nibble else _kernel_words
+    body(tw_ref, qw_ref, out_ref, edge_ref, caller=caller)
     j = pl.program_id(1)
     i32 = jnp.int32
     w = opw_ref[:]
@@ -272,7 +281,9 @@ def _fused_kernel_packed(
     )
 
 
-def _pad_fused_inputs(tw, qw, lengths, op_planes, tile_b, tile_lw, tile_lo):
+def _pad_fused_inputs(
+    tw, qw, lengths, op_planes, tile_b, tile_lw, tile_lo, nibble=False
+):
     """Shared batch padding for the fused wrappers.
 
     Word planes pad to tile multiples with gap words (the padding
@@ -281,11 +292,18 @@ def _pad_fused_inputs(tw, qw, lengths, op_planes, tile_b, tile_lw, tile_lo):
     every row count pads to a common row-block multiple (the two stages
     never mix rows, so the extra tiles just compute zeros).
 
+    nibble=True: planes are 4-bit dictionary words where the gap code
+    is 0, so the pad word is 0 instead of '----'.
+
     Returns (tw, qw, lengths, op_planes, dims) with dims =
     (Bp, B2p, LW, NOp, ns, nb, tile_lo, pad_rows)."""
     B, LW = tw.shape
     B2, NO = op_planes[0].shape
-    gapw = jnp.int32(int(np.int32(np.uint32(0x2D2D2D2D))))
+    gapw = (
+        jnp.int32(0)
+        if nibble
+        else jnp.int32(int(np.int32(np.uint32(0x2D2D2D2D))))
+    )
     if LW % tile_lw or LW == 0:
         LW2 = max(((LW + tile_lw - 1) // tile_lw) * tile_lw, tile_lw)
         tw = jnp.pad(tw, ((0, 0), (0, LW2 - LW)), constant_values=gapw)
@@ -338,18 +356,26 @@ def _pad_fused_inputs(tw, qw, lengths, op_planes, tile_b, tile_lw, tile_lo):
 
 
 def _finish_fused_stats(out, edges, ns, LW, tw, qw, lengths, caller,
-                        pad_rows):
+                        pad_rows, nibble=False):
     """Shared classify finish: last real column from the word planes +
-    the exact tile-boundary / padding corrections."""
-    L = 4 * LW
+    the exact tile-boundary / padding corrections.  nibble=True
+    extracts 4-bit dictionary codes (8 per word, gap code 0) instead of
+    bytes."""
+    cpw = 8 if nibble else 4
+    L = cpw * LW
     last_idx = jnp.maximum(lengths - 1, 0)
-    widx = last_idx // 4
-    shift = ((last_idx % 4) * 8).astype(jnp.int32)
+    widx = last_idx // cpw
+    bits = 4 if nibble else 8
+    shift = ((last_idx % cpw) * bits).astype(jnp.int32)
     wv_t = jnp.take_along_axis(tw, widx[:, None], axis=1)[:, 0]
     wv_q = jnp.take_along_axis(qw, widx[:, None], axis=1)[:, 0]
-    bt = jax.lax.shift_right_logical(wv_t, shift) & jnp.int32(0xFF)
-    bq = jax.lax.shift_right_logical(wv_q, shift) & jnp.int32(0xFF)
-    last_real_cat = _classify(bt, bq, caller).astype(jnp.int32)
+    m = jnp.int32(0xF if nibble else 0xFF)
+    bt = jax.lax.shift_right_logical(wv_t, shift) & m
+    bq = jax.lax.shift_right_logical(wv_q, shift) & m
+    if nibble:
+        last_real_cat = _classify_codes(bt, bq, caller)
+    else:
+        last_real_cat = _classify(bt, bq, caller).astype(jnp.int32)
     return _finish_stats(
         out, edges, ns, L, lengths, last_real_cat, caller, pad_rows
     )
@@ -358,7 +384,7 @@ def _finish_fused_stats(out, edges, ns, LW, tw, qw, lengths, caller,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tile_b", "tile_lw", "tile_loh", "interpret", "caller"
+        "tile_b", "tile_lw", "tile_loh", "interpret", "caller", "nibble"
     ),
 )
 def classify_liftover_fused16(
@@ -367,10 +393,11 @@ def classify_liftover_fused16(
     lengths,
     opw16,
     tile_b=64,
-    tile_lw=8192,
+    tile_lw=None,
     tile_loh=None,
     interpret=False,
     caller=False,
+    nibble=False,
 ):
     """One-pass classify stats + liftover offsets, 16-bit packed ops.
 
@@ -379,14 +406,23 @@ def classify_liftover_fused16(
     32-bit path).  Returns (stats [B, 8], t_even, t_odd, q_even, q_odd)
     with the offset of op 2k at *_even[:, k] and op 2k+1 at *_odd[:, k];
     liftover.interleave_halves zips them when a flat [B2, 2*NOH] table
-    is needed.  Bit-identical to the 32-bit paths (tested)."""
+    is needed.  Bit-identical to the 32-bit paths (tested).
+
+    nibble=True: tw/qw are 4-bit dictionary-packed planes from
+    classify.pack_nibble_words (8 columns per lane, gap code 0) -- half
+    the column DMA of the byte-word form; default tile_lw drops to 4096
+    (the same 32768 columns per tile at half the VMEM bytes, and
+    tile_lw*8 must stay < 2^16 for the packed counter fields)."""
+    if tile_lw is None:
+        tile_lw = 4096 if nibble else 8192
+    cpw = 8 if nibble else 4
     B, LW0 = tw.shape
     B2, NOH = opw16.shape
     tile_b = min(tile_b, max(B, B2))
     tile_lw = min(tile_lw, max(LW0, 128))
-    assert tile_lw * 4 < (1 << 16), "tile_lw*4 must be < 2^16"
+    assert tile_lw * cpw < (1 << 16), "tile columns must be < 2^16"
     tw, qw, lengths, (opw16,), dims = _pad_fused_inputs(
-        tw, qw, lengths, [opw16], tile_b, tile_lw, tile_loh
+        tw, qw, lengths, [opw16], tile_b, tile_lw, tile_loh, nibble=nibble
     )
     Bp, B2p, LW, NOHp, ns, nb, tile_loh, pad_rows = dims
 
@@ -397,7 +433,9 @@ def classify_liftover_fused16(
         (tile_b, tile_loh), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
     out, edges, te, to, qe, qo = pl.pallas_call(
-        functools.partial(_fused_kernel_packed16, caller=caller),
+        functools.partial(
+            _fused_kernel_packed16, caller=caller, nibble=nibble
+        ),
         grid=(nb, ns),
         in_specs=[word_spec, word_spec, op_spec],
         out_specs=[
@@ -435,7 +473,8 @@ def classify_liftover_fused16(
     )(tw, qw, opw16)
 
     stats = _finish_fused_stats(
-        out, edges, ns, LW, tw, qw, lengths, caller, pad_rows
+        out, edges, ns, LW, tw, qw, lengths, caller, pad_rows,
+        nibble=nibble,
     )
     return (
         stats,

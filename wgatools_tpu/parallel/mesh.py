@@ -144,15 +144,16 @@ def sharded_coverage(mesh: Mesh, starts, ends, genome_len: int):
     return fn(starts, ends)
 
 
-def sharded_fused16(mesh: Mesh, tw, qw, lengths, opw16):
+def sharded_fused16(mesh: Mesh, tw, qw, lengths, opw16, nibble=False):
     """The flagship fused CIGAR-engine kernel (classify + 16-bit packed
     op scan, ops.fused.classify_liftover_fused16) with records sharded
     over the mesh -- pure data parallelism, outputs stay record-sharded
     (stats [B,8]; even/odd offset halves [B2, NOH]).
 
     The kernel is Pallas-only (interpret mode off-TPU -- there is no jnp
-    fallback body to choose, unlike sharded_column_stats).  Row counts
-    per shard follow the same padding rules as the direct call;
+    fallback body to choose, unlike sharded_column_stats).  nibble=True
+    takes 4-bit dictionary planes (classify.pack_nibble_words).  Row
+    counts per shard follow the same padding rules as the direct call;
     column/op batches must shard evenly over the record axis
     (pad_to_multiple)."""
     from ..ops.fused import classify_liftover_fused16
@@ -164,6 +165,7 @@ def sharded_fused16(mesh: Mesh, tw, qw, lengths, opw16):
             a, b, l, o,
             tile_b=min(64, max(a.shape[0], o.shape[0])),
             interpret=interpret,
+            nibble=nibble,
         )
 
     spec = P(RECORDS_AXIS, None)
