@@ -134,6 +134,111 @@ def test_fused16_parity(caller):
     assert np.array_equal(got_q, want_q)
 
 
+@pytest.mark.parametrize("nibble", [False, True])
+def test_fused16_scan_mm_parity(nibble):
+    """The MXU triangle-matmul scan mode (scan_mode="mm") must be
+    bit-identical to the VPU ladder: 2-limb bf16 decomposition is exact
+    for packed16 pair sums < 2^14 (limbs <= 255 are bf16-exact,
+    within-tile partial sums < 2^24 are f32-exact)."""
+    import jax.numpy as jnp
+
+    from wgatools_tpu.ops.classify import pack_nibble_words
+    from wgatools_tpu.ops.fused import classify_liftover_fused16
+    from wgatools_tpu.ops.liftover import pack_ops_words16
+
+    rng = np.random.default_rng(21)
+    _, _, t, q, lengths, _, _ = _case(rng, 5, 2048, 1, 2)
+    if nibble:
+        tw, qw = (
+            jnp.asarray(a)
+            for a in pack_nibble_words(np.asarray(t), np.asarray(q))
+        )
+    else:
+        tw = jnp.asarray(np.asarray(t).view("<i4"))
+        qw = jnp.asarray(np.asarray(q).view("<i4"))
+    op_chars = np.frombuffer(b"M=XIDS", np.uint8)
+    op_arrays, len_arrays = [], []
+    for _ in range(7):
+        n = int(rng.integers(1, 300))
+        op_arrays.append(op_chars[rng.integers(0, 6, n)])
+        # hit the 8191 length bound explicitly
+        ls = rng.integers(0, 8192, n).astype(np.int32)
+        ls[0] = 8191
+        len_arrays.append(ls)
+    ops, lens = pack_ops_batch(op_arrays, len_arrays)
+    opw16 = jnp.asarray(pack_ops_words16(ops, lens))
+
+    kw = dict(tile_b=4, tile_lw=128 if nibble else 256, interpret=True,
+              nibble=nibble)
+    a = classify_liftover_fused16(tw, qw, lengths, opw16,
+                                  scan_mode="vpu", **kw)
+    b = classify_liftover_fused16(tw, qw, lengths, opw16,
+                                  scan_mode="mm", **kw)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("scan_mode", ["vpu", "mm"])
+@pytest.mark.parametrize("caller", [False, True])
+def test_fused_adv16_parity(caller, scan_mode):
+    """Advance-packed path (pack_ops_adv16: host-side class decode,
+    kernel does two shift/mask ops per direction) must match the jnp
+    references bit-for-bit in both scan modes."""
+    import jax.numpy as jnp
+
+    from wgatools_tpu.ops.fused import classify_liftover_fused_adv16
+    from wgatools_tpu.ops.liftover import interleave_halves, pack_ops_adv16
+
+    rng = np.random.default_rng(13)
+    tw, qw, t, q, lengths, _, _ = _case(rng, 5, 2048, 1, 2)
+    op_chars = np.frombuffer(b"M=XIDS", np.uint8)
+    op_arrays, len_arrays = [], []
+    for _ in range(7):
+        n = int(rng.integers(1, 300))
+        op_arrays.append(op_chars[rng.integers(0, 6, n)])
+        ls = rng.integers(0, 8192, n).astype(np.int32)
+        ls[0] = 8191
+        len_arrays.append(ls)
+    ops, lens = pack_ops_batch(op_arrays, len_arrays)
+    wt, wq = (jnp.asarray(a) for a in pack_ops_adv16(ops, lens))
+
+    want_stats = np.asarray(classify_stat_jnp(t, q, lengths, caller=caller))
+    want_t, want_q = (
+        np.asarray(a)
+        for a in _liftover_scan_impl(
+            jnp.asarray(ops), jnp.asarray(lens), False, False
+        )
+    )
+    stats, te, to, qe, qo = classify_liftover_fused_adv16(
+        tw, qw, lengths, wt, wq,
+        tile_b=4, tile_lw=256, interpret=True, caller=caller,
+        scan_mode=scan_mode,
+    )
+    assert np.array_equal(np.asarray(stats), want_stats)
+    got_t = interleave_halves(te, to)[:, : ops.shape[1]]
+    got_q = interleave_halves(qe, qo)[:, : ops.shape[1]]
+    assert np.array_equal(got_t, want_t)
+    assert np.array_equal(got_q, want_q)
+
+
+def test_pack_ops_adv16_bounds():
+    from wgatools_tpu.ops.liftover import pack_ops_adv16
+
+    ops = np.frombuffer(b"MIDS=X", np.uint8).reshape(1, 6)
+    lens = np.array([[1, 8191, 0, 5, 7, 2]], np.int32)
+    wt, wq = pack_ops_adv16(ops, lens)
+    assert wt.shape == (1, 3) and wq.shape == (1, 3)
+    # M pair (1, I 8191): target advances 1 on even, pair sum 1
+    assert wt[0, 0] == (1 << 14) | 1
+    # query advances on M and I: even 1, pair sum 8192
+    assert wq[0, 0] == (1 << 14) | 8192
+    with pytest.raises(AssertionError):
+        pack_ops_adv16(ops, lens + 8192)
+    with pytest.raises(ValueError):
+        pack_ops_adv16(np.frombuffer(b"NH", np.uint8).reshape(1, 2),
+                       np.array([[1, 2]], np.int32))
+
+
 def test_pack_ops_words16_bounds():
     from wgatools_tpu.ops.liftover import pack_ops_words16
 

@@ -186,21 +186,15 @@ def _fused_kernel_packed16(
     tw_ref,
     qw_ref,
     opw_ref,
-    out_ref,
-    edge_ref,
-    te_ref,
-    to_ref,
-    qe_ref,
-    qo_ref,
-    carry_ref,
-    *,
+    *rest,
     caller=False,
     nibble=False,
+    scan_mode="vpu",
 ):
     """16-bit packed-op variant: TWO ops per int32 (3-bit advance class +
-    13-bit length per half, liftover.pack_ops_words16).  The Hillis
-    ladder scans PAIR SUMS at half the lane width (9 steps instead of
-    10 on half the vregs), then derives the even/odd offsets:
+    13-bit length per half, liftover.pack_ops_words16).  The scan runs
+    over PAIR SUMS at half the lane width, then derives the even/odd
+    offsets:
 
         te[l] = P[l]            to[l] = P[l] + adv_even[l]
 
@@ -209,10 +203,26 @@ def _fused_kernel_packed16(
     hosts zip them in O(1) numpy, and strided consumers index halves
     directly).
 
+    scan_mode="vpu": int32 Hillis-Steele ladder (9 steps at TLOH=512) --
+    pure VPU, which SERIALIZES behind the classify stage's VPU work.
+    scan_mode="mm": 2-limb bf16 triangle matmul on the idle MXU (exact:
+    pair sums < 2^14, limbs <= 255 are bf16-exact, within-tile partial
+    sums < 2^24 are f32-exact); the VPU only decodes/selects/converts,
+    so most of the scan hides under the classify's VPU time.  A tri_ref
+    input (strictly-lower (TLOH, TLOH) bf16 triangle) precedes the
+    output refs in that mode.
+
     nibble=True runs the classify stage on 4-bit dictionary-packed
     planes (classify._kernel_nibbles, 8 columns per lane -- half the
     column DMA, 1.88x the standalone classify rate on-chip,
     scripts/ab_nibble.py)."""
+    if scan_mode == "mm":
+        (tri_ref, out_ref, edge_ref, te_ref, to_ref, qe_ref, qo_ref,
+         carry_ref) = rest
+    else:
+        (out_ref, edge_ref, te_ref, to_ref, qe_ref, qo_ref,
+         carry_ref) = rest
+        tri_ref = None
     body = _kernel_nibbles if nibble else _kernel_words
     body(tw_ref, qw_ref, out_ref, edge_ref, caller=caller)
     j = pl.program_id(1)
@@ -245,7 +255,113 @@ def _fused_kernel_packed16(
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
     carry = carry_ref[:]
-    p_t, p_q = _hillis_scan_pair(ct, cq, carry)
+    if scan_mode == "mm":
+        # exclusive pair-sum prefixes via ONE stacked (4*TB, TLOH) x
+        # (TLOH, TLOH) bf16 limb matmul (both streams x both limbs,
+        # full MXU rows -- the round-2 stacking trick, ab_liftover.py)
+        stacked = jnp.concatenate(
+            [
+                (ct & 0xFF).astype(jnp.bfloat16),
+                lsr(ct, 8).astype(jnp.bfloat16),
+                (cq & 0xFF).astype(jnp.bfloat16),
+                lsr(cq, 8).astype(jnp.bfloat16),
+            ],
+            axis=0,
+        )
+        s = jax.lax.dot_general(
+            stacked,
+            tri_ref[:],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(i32)
+        p_t = s[:TB] + (s[TB : 2 * TB] << 8) + carry[:, 0:1]
+        p_q = s[2 * TB : 3 * TB] + (s[3 * TB :] << 8) + carry[:, 1:2]
+    else:
+        p_t, p_q = _hillis_scan_pair(ct, cq, carry)
+    te_ref[:] = p_t
+    to_ref[:] = p_t + at0
+    qe_ref[:] = p_q
+    qo_ref[:] = p_q + aq0
+    carry_ref[:] = jnp.concatenate(
+        [
+            p_t[:, TLOH - 1 : TLOH] + ct[:, TLOH - 1 : TLOH],
+            p_q[:, TLOH - 1 : TLOH] + cq[:, TLOH - 1 : TLOH],
+        ],
+        axis=1,
+    )
+
+
+def _fused_kernel_adv16(
+    tw_ref,
+    qw_ref,
+    wt_ref,
+    wq_ref,
+    *rest,
+    caller=False,
+    nibble=False,
+    scan_mode="vpu",
+):
+    """Advance-packed variant (liftover.pack_ops_adv16): per op pair and
+    per direction one int32 word (adv_even << 14) | pair_sum.  The
+    on-chip A/B (scripts/ab_scan_mm.py) showed the packed16 kernel's
+    op-scan cost was the per-word class decode + advance SELECTS (~20
+    vreg-ops/word), not the ladder -- here the host packer did all of
+    that, and the kernel decode is two shift/mask ops per direction:
+
+        ct = wt & 0x3FFF      at0 = wt >> 14
+        te = P                to = P + at0      (P = exclusive scan of ct)
+
+    scan_mode as in _fused_kernel_packed16 ("vpu" ladder / "mm" MXU
+    triangle; pair sums < 2^14 keep the 2-limb bf16 form exact)."""
+    if scan_mode == "mm":
+        (tri_ref, out_ref, edge_ref, te_ref, to_ref, qe_ref, qo_ref,
+         carry_ref) = rest
+    else:
+        (out_ref, edge_ref, te_ref, to_ref, qe_ref, qo_ref,
+         carry_ref) = rest
+        tri_ref = None
+    body = _kernel_nibbles if nibble else _kernel_words
+    body(tw_ref, qw_ref, out_ref, edge_ref, caller=caller)
+    j = pl.program_id(1)
+    i32 = jnp.int32
+
+    def lsr(x, k):
+        return jax.lax.shift_right_logical(x, jnp.int32(k))
+
+    wt = wt_ref[:]
+    wq = wq_ref[:]
+    m14 = jnp.int32(0x3FFF)
+    ct = wt & m14
+    at0 = lsr(wt, 14)
+    cq = wq & m14
+    aq0 = lsr(wq, 14)
+    TB, TLOH = ct.shape
+
+    @pl.when(j == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    carry = carry_ref[:]
+    if scan_mode == "mm":
+        stacked = jnp.concatenate(
+            [
+                (ct & 0xFF).astype(jnp.bfloat16),
+                lsr(ct, 8).astype(jnp.bfloat16),
+                (cq & 0xFF).astype(jnp.bfloat16),
+                lsr(cq, 8).astype(jnp.bfloat16),
+            ],
+            axis=0,
+        )
+        s = jax.lax.dot_general(
+            stacked,
+            tri_ref[:],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(i32)
+        p_t = s[:TB] + (s[TB : 2 * TB] << 8) + carry[:, 0:1]
+        p_q = s[2 * TB : 3 * TB] + (s[3 * TB :] << 8) + carry[:, 1:2]
+    else:
+        p_t, p_q = _hillis_scan_pair(ct, cq, carry)
     te_ref[:] = p_t
     to_ref[:] = p_t + at0
     qe_ref[:] = p_q
@@ -384,7 +500,8 @@ def _finish_fused_stats(out, edges, ns, LW, tw, qw, lengths, caller,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tile_b", "tile_lw", "tile_loh", "interpret", "caller", "nibble"
+        "tile_b", "tile_lw", "tile_loh", "interpret", "caller", "nibble",
+        "scan_mode",
     ),
 )
 def classify_liftover_fused16(
@@ -398,6 +515,7 @@ def classify_liftover_fused16(
     interpret=False,
     caller=False,
     nibble=False,
+    scan_mode="vpu",
 ):
     """One-pass classify stats + liftover offsets, 16-bit packed ops.
 
@@ -412,7 +530,11 @@ def classify_liftover_fused16(
     classify.pack_nibble_words (8 columns per lane, gap code 0) -- half
     the column DMA of the byte-word form; default tile_lw drops to 4096
     (the same 32768 columns per tile at half the VMEM bytes, and
-    tile_lw*8 must stay < 2^16 for the packed counter fields)."""
+    tile_lw*8 must stay < 2^16 for the packed counter fields).
+
+    scan_mode: "vpu" (Hillis ladder) or "mm" (2-limb bf16 triangle
+    matmul on the otherwise-idle MXU -- exact for packed16 pair sums,
+    see _fused_kernel_packed16)."""
     if tile_lw is None:
         tile_lw = 4096 if nibble else 8192
     cpw = 8 if nibble else 4
@@ -432,12 +554,29 @@ def classify_liftover_fused16(
     op_spec = pl.BlockSpec(
         (tile_b, tile_loh), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
+    in_specs = [word_spec, word_spec, op_spec]
+    inputs = [tw, qw, opw16]
+    if scan_mode == "mm":
+        # strictly-lower (TLOH, TLOH) triangle, VMEM-resident across
+        # grid steps (constant block index)
+        ir = jax.lax.broadcasted_iota(jnp.int32, (tile_loh, tile_loh), 0)
+        ic = jax.lax.broadcasted_iota(jnp.int32, (tile_loh, tile_loh), 1)
+        tri = jnp.clip(ir - ic, 0, 1).astype(jnp.bfloat16)
+        in_specs.append(
+            pl.BlockSpec(
+                (tile_loh, tile_loh),
+                lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(tri)
     out, edges, te, to, qe, qo = pl.pallas_call(
         functools.partial(
-            _fused_kernel_packed16, caller=caller, nibble=nibble
+            _fused_kernel_packed16, caller=caller, nibble=nibble,
+            scan_mode=scan_mode,
         ),
         grid=(nb, ns),
-        in_specs=[word_spec, word_spec, op_spec],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (tile_b, N_STATS),
@@ -470,7 +609,124 @@ def classify_liftover_fused16(
             bytes_accessed=8 * Bp * LW + 20 * B2p * NOHp,
             transcendentals=0,
         ),
-    )(tw, qw, opw16)
+    )(*inputs)
+
+    stats = _finish_fused_stats(
+        out, edges, ns, LW, tw, qw, lengths, caller, pad_rows,
+        nibble=nibble,
+    )
+    return (
+        stats,
+        te[:B2, :NOH],
+        to[:B2, :NOH],
+        qe[:B2, :NOH],
+        qo[:B2, :NOH],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_b", "tile_lw", "tile_loh", "interpret", "caller", "nibble",
+        "scan_mode",
+    ),
+)
+def classify_liftover_fused_adv16(
+    tw,
+    qw,
+    lengths,
+    wt,
+    wq,
+    tile_b=64,
+    tile_lw=None,
+    tile_loh=None,
+    interpret=False,
+    caller=False,
+    nibble=False,
+    scan_mode="vpu",
+):
+    """One-pass classify stats + liftover offsets, ADVANCE-packed ops.
+
+    wt, wq: int32 [B2, NOH] from liftover.pack_ops_adv16 (per op pair
+    and direction: (adv_even << 14) | pair_sum) -- the decode-free fast
+    path; same guards as the packed16 form (every length < 2^13,
+    M/=/X/I/S/D ops only).  Returns the same (stats, t_even, t_odd,
+    q_even, q_odd) contract as classify_liftover_fused16, bit-identical
+    to it and to the 32-bit paths (tested)."""
+    if tile_lw is None:
+        tile_lw = 4096 if nibble else 8192
+    cpw = 8 if nibble else 4
+    B, LW0 = tw.shape
+    B2, NOH = wt.shape
+    tile_b = min(tile_b, max(B, B2))
+    tile_lw = min(tile_lw, max(LW0, 128))
+    assert tile_lw * cpw < (1 << 16), "tile columns must be < 2^16"
+    tw, qw, lengths, (wt, wq), dims = _pad_fused_inputs(
+        tw, qw, lengths, [wt, wq], tile_b, tile_lw, tile_loh,
+        nibble=nibble,
+    )
+    Bp, B2p, LW, NOHp, ns, nb, tile_loh, pad_rows = dims
+
+    word_spec = pl.BlockSpec(
+        (tile_b, tile_lw), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    op_spec = pl.BlockSpec(
+        (tile_b, tile_loh), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    in_specs = [word_spec, word_spec, op_spec, op_spec]
+    inputs = [tw, qw, wt, wq]
+    if scan_mode == "mm":
+        ir = jax.lax.broadcasted_iota(jnp.int32, (tile_loh, tile_loh), 0)
+        ic = jax.lax.broadcasted_iota(jnp.int32, (tile_loh, tile_loh), 1)
+        tri = jnp.clip(ir - ic, 0, 1).astype(jnp.bfloat16)
+        in_specs.append(
+            pl.BlockSpec(
+                (tile_loh, tile_loh),
+                lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(tri)
+    out, edges, te, to, qe, qo = pl.pallas_call(
+        functools.partial(
+            _fused_kernel_adv16, caller=caller, nibble=nibble,
+            scan_mode=scan_mode,
+        ),
+        grid=(nb, ns),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (tile_b, N_STATS),
+                lambda i, j: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_b, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            op_spec,
+            op_spec,
+            op_spec,
+            op_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, N_STATS), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 128 * ns), jnp.int32),
+            jax.ShapeDtypeStruct((B2p, NOHp), jnp.int32),
+            jax.ShapeDtypeStruct((B2p, NOHp), jnp.int32),
+            jax.ShapeDtypeStruct((B2p, NOHp), jnp.int32),
+            jax.ShapeDtypeStruct((B2p, NOHp), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile_b, 2), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=14 * Bp * LW + 25 * B2p * NOHp,
+            bytes_accessed=8 * Bp * LW + 24 * B2p * NOHp,
+            transcendentals=0,
+        ),
+    )(*inputs)
 
     stats = _finish_fused_stats(
         out, edges, ns, LW, tw, qw, lengths, caller, pad_rows,

@@ -484,3 +484,46 @@ def pack_ops_words16(ops, lens):
     cls = _ADV_CLASS[ops]
     half = (cls << 13) | lens.astype(np.int32)
     return half[:, 0::2] | (half[:, 1::2] << 16)
+
+
+def pack_ops_adv16(ops, lens):
+    """Advance-packed op-pair words: per op PAIR and per direction,
+    (adv_even << 14) | (adv_even + adv_odd) -- the even op's advance in
+    the high bits and the PAIR SUM in the low 14.
+
+    The decode-free fast path of the fused kernel
+    (ops.fused.classify_liftover_fused_adv16): the on-chip A/B
+    (scripts/ab_scan_mm.py) showed the packed16 scan's cost is its
+    per-word class decode + advance SELECTS, not the scan ladder --
+    this packing moves all of that into vectorized host numpy, leaving
+    the kernel two shift/mask ops per direction.  Same bounds as
+    pack_ops_words16 (every length < 2^13, ops in M/=/X/I/S/D; pair
+    sums < 2^14 and words < 2^27, so no sign issues).  Returns
+    (wt, wq) int32 [B, N//2]; padding packs to 0."""
+    ops = np.asarray(ops, dtype=np.uint8)
+    lens = np.asarray(lens)
+    assert lens.max(initial=0) < (1 << 13), "packed adv16 needs len < 8192"
+    if not _VALID_PACK16[ops].all():
+        bad = np.unique(ops[~_VALID_PACK16[ops]])
+        raise ValueError(
+            "pack_ops_adv16: unsupported op byte(s) "
+            f"{[chr(b) for b in bad]}; only M/=/X/I/S/D pack to advance "
+            "classes (use the 32-bit op paths for other ops)"
+        )
+    B, N = ops.shape
+    if N % 2:
+        ops = np.pad(ops, ((0, 0), (0, 1)))
+        lens = np.pad(lens, ((0, 0), (0, 1)))
+        N += 1
+    cls = _ADV_CLASS[ops]
+    lens = lens.astype(np.int32)
+    adv_t = np.where((cls == ADV_BOTH) | (cls == ADV_D), lens, 0)
+    adv_q = np.where(
+        (cls == ADV_BOTH) | (cls == ADV_I) | (cls == ADV_S), lens, 0
+    )
+
+    def pack(a):
+        even = a[:, 0::2]
+        return (even << 14) | (even + a[:, 1::2])
+
+    return pack(adv_t), pack(adv_q)
