@@ -107,25 +107,34 @@ def main():
     # per i32, 3-bit advance class + 13-bit length; every bench run
     # length is 32 << 8192 -- production falls back to the 32-bit path
     # past that bound)
-    from wgatools_tpu.ops.liftover import pack_ops_words16
+    from wgatools_tpu.ops.liftover import pack_ops_adv16, pack_ops_words16
 
     opw_d = jax.device_put(jnp.asarray(pack_ops_words16(ops_np, lens_np)))
+    # advance-packed op-pair words for the round-4 production path: the
+    # class decode + advance selects move into the host packer, leaving
+    # the kernel two shift/mask ops per direction (scripts/ab_scan_mm.py:
+    # advmm 414.9 vs vpu 360.5 Gcol/s on-chip)
+    wt_np, wq_np = pack_ops_adv16(ops_np, lens_np)
+    wt_d = jax.device_put(jnp.asarray(wt_np))
+    wq_d = jax.device_put(jnp.asarray(wq_np))
 
     if on_tpu:
         # production path: ONE fused kernel runs the nibble-packed SWAR
         # classify AND the liftover op-scan per grid step (ops/fused.py;
         # round 3 fused the two stages, round 4 dictionary-packs the
-        # column planes to 4 bits).  16-bit packed op words halve both
-        # the op DMA and the scan-ladder width; offsets return as
-        # even/odd halves (scripts/ab_fused.py, ab_nibble.py)
-        from wgatools_tpu.ops.fused import classify_liftover_fused16
+        # column planes to 4 bits and ADVANCE-packs the op words --
+        # host-side class decode, MXU triangle pair-sum scan riding the
+        # otherwise-idle matrix unit).  Offsets return as even/odd
+        # halves (scripts/ab_fused.py, ab_nibble.py, ab_scan_mm.py)
+        from wgatools_tpu.ops.fused import classify_liftover_fused_adv16
 
-        combined = lambda tn, qn, opw: classify_liftover_fused16(
-            tn, qn, lens_d, opw, tile_b=64, tile_lw=4096, nibble=True,
+        combined = lambda tn, qn, wt, wq: classify_liftover_fused_adv16(
+            tn, qn, lens_d, wt, wq, tile_b=64, tile_lw=4096, nibble=True,
+            scan_mode="mm",
         )
     else:
 
-        def combined(tw, qw, opw):
+        def combined(tw, qw, opw, _unused):
             stats = classify_stat_jnp(tw, qw, lens_d)
             m13 = jnp.int32(0x1FFF)
             len0 = opw & m13
@@ -150,16 +159,16 @@ def main():
     import functools
 
     @functools.partial(jax.jit, static_argnames=("iters",))
-    def run_iters(t, q, opw, iters):
+    def run_iters(t, q, ow1, ow2, iters):
         """`iters` classify+liftover rounds in ONE dispatch.  The checksum
-        feeds one sequence word and one op word of the NEXT iteration,
-        so nothing is loop-invariant and nothing can be elided; strided
-        slices keep the per-iteration reduction from re-reading all 64 MB
-        of offsets."""
+        feeds one sequence word and one op word per direction of the NEXT
+        iteration, so nothing is loop-invariant and nothing can be
+        elided; strided slices keep the per-iteration reduction from
+        re-reading all 64 MB of offsets."""
 
         def body(_, carry):
-            t, opw, acc = carry
-            stats, te, to, qe, qo = combined(t, q, opw)
+            t, ow1, ow2, acc = carry
+            stats, te, to, qe, qo = combined(t, q, ow1, ow2)
             acc = (
                 acc
                 + jnp.sum(stats)
@@ -171,19 +180,26 @@ def main():
             if on_tpu:
                 # all 8 nibbles stay valid dictionary codes (1..4)
                 t = t.at[0, 0].set(jnp.int32(0x11111111) + (acc & 3))
+                # adv word 0 of each direction becomes a valid
+                # even-op-only advance with a checksum-fed length
+                # ((e << 14) | pair_sum, odd advance 0)
+                e1 = jnp.int32(1) + (acc & 7)
+                ow1 = ow1.at[0, 0].set((e1 << 14) | e1)
+                e2 = jnp.int32(1) + ((acc >> 3) & 7)
+                ow2 = ow2.at[0, 0].set((e2 << 14) | e2)
             else:
                 t = t.at[0, 0].set(
                     (acc & 3).astype(jnp.uint8) + jnp.uint8(65)
                 )
-            # op pair 0 becomes one both-advancing op with a checksum-fed
-            # length (class 1 << 13 | len)
-            opw = opw.at[0, 0].set(
-                jnp.int32(1 << 13) + jnp.int32(1) + (acc & 7)
-            )
-            return (t, opw, acc)
+                # op pair 0 becomes one both-advancing op with a
+                # checksum-fed length (class 1 << 13 | len)
+                ow1 = ow1.at[0, 0].set(
+                    jnp.int32(1 << 13) + jnp.int32(1) + (acc & 7)
+                )
+            return (t, ow1, ow2, acc)
 
-        _, _, acc = lax.fori_loop(
-            0, iters, body, (t, opw, jnp.int32(0))
+        _, _, _, acc = lax.fori_loop(
+            0, iters, body, (t, ow1, ow2, jnp.int32(0))
         )
         return acc
 
@@ -228,7 +244,7 @@ def main():
             interleave_halves,
         )
 
-        f_stats, f_te, f_to, f_qe, f_qo = combined(tn_d, qn_d, opw_d)
+        f_stats, f_te, f_to, f_qe, f_qo = combined(tn_d, qn_d, wt_d, wq_d)
         want_t, want_q = _liftover_scan_impl(o_d, ln_d, False, False)
         assert np.array_equal(np.asarray(f_stats), want), "fused stats"
         got_t = interleave_halves(f_te, f_to)[:, :N_OPS]
@@ -236,7 +252,7 @@ def main():
         assert np.array_equal(got_t, np.asarray(want_t)), "fused t_off"
         assert np.array_equal(got_q, np.asarray(want_q)), "fused q_off"
         print(
-            "on-chip fused16-nibble stats+offsets parity gate: OK",
+            "on-chip fused-adv16-nibble-mm stats+offsets parity gate: OK",
             file=sys.stderr,
         )
 
@@ -245,8 +261,11 @@ def main():
         liftover over the same column volume: one dispatch, one forced
         host fetch of the accumulated checksum."""
         start = time.perf_counter()
-        a, b = (tn_d, qn_d) if on_tpu else (t_d, q_d)
-        checksum = int(np.asarray(run_iters(a, b, opw_d, iters)))
+        if on_tpu:
+            a, b, o1, o2 = tn_d, qn_d, wt_d, wq_d
+        else:
+            a, b, o1, o2 = t_d, q_d, opw_d, opw_d
+        checksum = int(np.asarray(run_iters(a, b, o1, o2, iters)))
         assert checksum != 0
         return time.perf_counter() - start
 
@@ -277,14 +296,14 @@ def main():
             )
     # whole-batch rate is a strict lower bound (includes dispatch/transfer)
     lower_bound = B * L * hi_iters / min(t_hi_all)
-    # v5e HBM is ~819 GB/s; the combined loop moves ~0.56 bytes per
-    # column (0.25 input bytes for the two nibble planes + ~0.06
-    # packed-op bytes + 0.25 offset output bytes at mean run 32), so
-    # nothing real can stream faster than ~1456 Gcol/s -- a marginal
-    # estimate beyond that is timing noise, so fall back to the lower
-    # bound.  (The kernel is VPU-bound well before that: the standalone
-    # nibble classify measures ~565 Gcol/s, scripts/ab_nibble.py.)
-    phys_bound = 1450e9
+    # v5e HBM is ~819 GB/s; the combined loop moves ~0.63 bytes per
+    # column (0.25 input bytes for the two nibble planes + ~0.13
+    # advance-packed op bytes + 0.25 offset output bytes at mean run
+    # 32), so nothing real can stream faster than ~1300 Gcol/s -- a
+    # marginal estimate beyond that is timing noise, so fall back to the
+    # lower bound.  (The kernel is VPU-bound well before that: the
+    # standalone nibble classify measures ~565 Gcol/s, ab_nibble.py.)
+    phys_bound = 1300e9
     if 0 < marginal <= phys_bound:
         gbps = marginal / 1e9
     else:

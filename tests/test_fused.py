@@ -460,3 +460,48 @@ def test_sharded_fused16_nibble_matches_direct():
         lambda a, b, l, o: sharded_fused16(mesh, a, b, l, o, nibble=True)
     )(tn, qn, lengths, opw16)
     assert _collective_bytes(jaxpr.jaxpr) == 0
+
+
+def test_sharded_fused_adv16_matches_direct():
+    """The round-4 flagship (advance-packed ops + MXU triangle scan)
+    through shard_map on the 8-device virtual mesh == direct call,
+    still with zero collective bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    from wgatools_tpu.ops.classify import pack_nibble_words
+    from wgatools_tpu.ops.fused import classify_liftover_fused_adv16
+    from wgatools_tpu.ops.liftover import pack_ops_adv16
+    from wgatools_tpu.parallel.mesh import make_mesh, sharded_fused_adv16
+
+    rng = np.random.default_rng(37)
+    B = 16
+    _, _, t, q, lengths, _, _ = _case(rng, B, 1024, 1, 2)
+    tn, qn = pack_nibble_words(np.asarray(t), np.asarray(q))
+    tn, qn = jnp.asarray(tn), jnp.asarray(qn)
+    op_chars = np.frombuffer(b"M=XID", np.uint8)
+    op_arrays = [op_chars[rng.integers(0, 5, 50)] for _ in range(B)]
+    len_arrays = [rng.integers(0, 4000, 50).astype(np.int32) for _ in range(B)]
+    ops, lens = pack_ops_batch(op_arrays, len_arrays)
+    wt, wq = (jnp.asarray(a) for a in pack_ops_adv16(ops, lens))
+
+    mesh = make_mesh(8)
+    for mode in ("vpu", "mm"):
+        direct = classify_liftover_fused_adv16(
+            tn, qn, lengths, wt, wq, tile_b=2, tile_lw=128,
+            interpret=True, nibble=True, scan_mode=mode,
+        )
+        sharded = sharded_fused_adv16(
+            mesh, tn, qn, lengths, wt, wq, nibble=True, scan_mode=mode
+        )
+        for d, s in zip(direct, sharded):
+            assert np.array_equal(np.asarray(d), np.asarray(s))
+
+    from test_comm_volume import _collective_bytes
+
+    jaxpr = jax.make_jaxpr(
+        lambda a, b, l, o1, o2: sharded_fused_adv16(
+            mesh, a, b, l, o1, o2, nibble=True, scan_mode="mm"
+        )
+    )(tn, qn, lengths, wt, wq)
+    assert _collective_bytes(jaxpr.jaxpr) == 0

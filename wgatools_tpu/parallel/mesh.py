@@ -179,6 +179,38 @@ def sharded_fused16(mesh: Mesh, tw, qw, lengths, opw16, nibble=False):
     return fn(tw, qw, lengths, opw16)
 
 
+def sharded_fused_adv16(
+    mesh: Mesh, tw, qw, lengths, wt, wq, nibble=False, scan_mode="mm"
+):
+    """The round-4 flagship through shard_map: classify + ADVANCE-packed
+    op scan (ops.fused.classify_liftover_fused_adv16 -- host-side class
+    decode via liftover.pack_ops_adv16, MXU triangle pair-sum scan).
+    Record-axis data parallelism like sharded_fused16; zero collectives,
+    outputs stay record-sharded."""
+    from ..ops.fused import classify_liftover_fused_adv16
+
+    interpret = jax.default_backend() != "tpu"
+
+    def body(a, b, l, owt, owq):
+        return classify_liftover_fused_adv16(
+            a, b, l, owt, owq,
+            tile_b=min(64, max(a.shape[0], owt.shape[0])),
+            interpret=interpret,
+            nibble=nibble,
+            scan_mode=scan_mode,
+        )
+
+    spec = P(RECORDS_AXIS, None)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec, spec, P(RECORDS_AXIS), spec, spec),
+        out_specs=(spec, spec, spec, spec, spec),
+        check_vma=False,
+    )
+    return fn(tw, qw, lengths, wt, wq)
+
+
 def pad_to_multiple(arr, multiple, axis=0, fill=0):
     """Pad an array along axis to a multiple (for even sharding)."""
     n = arr.shape[axis]
