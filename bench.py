@@ -124,13 +124,19 @@ def main():
         # round 3 fused the two stages, round 4 dictionary-packs the
         # column planes to 4 bits and ADVANCE-packs the op words --
         # host-side class decode, MXU triangle pair-sum scan riding the
-        # otherwise-idle matrix unit).  Offsets return as even/odd
-        # halves (scripts/ab_fused.py, ab_nibble.py, ab_scan_mm.py)
+        # otherwise-idle matrix unit).  emit_odd=False stores only the
+        # even offsets -- consumers hold the adv words and derive
+        # odd = even + (w >> 14) for free while walking ops
+        # (liftover.adv16_odd_offsets), saving half the offset-output
+        # DMA (scripts/ab_adv2.py: eo 424-439 vs base 387.6 Gcol/s
+        # same-window; the chunk=128 two-level triangle lost the
+        # head-to-head 420.3 vs 439.3, so the full resident triangle
+        # stays)
         from wgatools_tpu.ops.fused import classify_liftover_fused_adv16
 
         combined = lambda tn, qn, wt, wq: classify_liftover_fused_adv16(
             tn, qn, lens_d, wt, wq, tile_b=64, tile_lw=4096, nibble=True,
-            scan_mode="mm",
+            scan_mode="mm", emit_odd=False,
         )
     else:
 
@@ -168,15 +174,10 @@ def main():
 
         def body(_, carry):
             t, ow1, ow2, acc = carry
-            stats, te, to, qe, qo = combined(t, q, ow1, ow2)
-            acc = (
-                acc
-                + jnp.sum(stats)
-                + jnp.sum(te[:, ::512])
-                + jnp.sum(to[:, ::512])
-                + jnp.sum(qe[:, ::512])
-                + jnp.sum(qo[:, ::512])
-            )
+            outs = combined(t, q, ow1, ow2)
+            acc = acc + jnp.sum(outs[0])
+            for o in outs[1:]:
+                acc = acc + jnp.sum(o[:, ::512])
             if on_tpu:
                 # all 8 nibbles stay valid dictionary codes (1..4)
                 t = t.at[0, 0].set(jnp.int32(0x11111111) + (acc & 3))
@@ -244,9 +245,14 @@ def main():
             interleave_halves,
         )
 
-        f_stats, f_te, f_to, f_qe, f_qo = combined(tn_d, qn_d, wt_d, wq_d)
+        from wgatools_tpu.ops.liftover import adv16_odd_offsets
+
+        f_stats, f_te, f_qe = combined(tn_d, qn_d, wt_d, wq_d)
         want_t, want_q = _liftover_scan_impl(o_d, ln_d, False, False)
         assert np.array_equal(np.asarray(f_stats), want), "fused stats"
+        f_te, f_qe = np.asarray(f_te), np.asarray(f_qe)
+        f_to = adv16_odd_offsets(f_te, wt_np)
+        f_qo = adv16_odd_offsets(f_qe, wq_np)
         got_t = interleave_halves(f_te, f_to)[:, :N_OPS]
         got_q = interleave_halves(f_qe, f_qo)[:, :N_OPS]
         assert np.array_equal(got_t, np.asarray(want_t)), "fused t_off"
@@ -296,14 +302,14 @@ def main():
             )
     # whole-batch rate is a strict lower bound (includes dispatch/transfer)
     lower_bound = B * L * hi_iters / min(t_hi_all)
-    # v5e HBM is ~819 GB/s; the combined loop moves ~0.63 bytes per
-    # column (0.25 input bytes for the two nibble planes + ~0.13
-    # advance-packed op bytes + 0.25 offset output bytes at mean run
-    # 32), so nothing real can stream faster than ~1300 Gcol/s -- a
-    # marginal estimate beyond that is timing noise, so fall back to the
-    # lower bound.  (The kernel is VPU-bound well before that: the
-    # standalone nibble classify measures ~565 Gcol/s, ab_nibble.py.)
-    phys_bound = 1300e9
+    # v5e HBM is ~819 GB/s; the combined loop moves ~1.25 bytes per
+    # column (two 4-bit nibble planes = 1.0 B/col + 0.125 B/col of
+    # advance-packed op words + 0.125 B/col of even-offset outputs at
+    # mean run 32), so nothing real can stream faster than ~655 Gcol/s
+    # -- a marginal estimate beyond that is timing noise, so fall back
+    # to the lower bound.  (The classify stage alone is VPU-bound at
+    # ~565 Gcol/s standalone, ab_nibble.py.)
+    phys_bound = 655e9
     if 0 < marginal <= phys_bound:
         gbps = marginal / 1e9
     else:

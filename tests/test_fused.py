@@ -505,3 +505,109 @@ def test_sharded_fused_adv16_matches_direct():
         )
     )(tn, qn, lengths, wt, wq)
     assert _collective_bytes(jaxpr.jaxpr) == 0
+
+
+@pytest.mark.parametrize("chunk", [None, 128])
+@pytest.mark.parametrize("emit_odd", [True, False])
+def test_fused_adv16_chunk_emit_odd_parity(chunk, emit_odd):
+    """adv16 kernel options: two-level (c, c) triangle scan and the
+    even-only output form (odd derived host-side via adv16_odd_offsets)
+    must stay bit-identical to the jnp references."""
+    import jax.numpy as jnp
+
+    from wgatools_tpu.ops.fused import classify_liftover_fused_adv16
+    from wgatools_tpu.ops.liftover import (
+        adv16_odd_offsets,
+        interleave_halves,
+        pack_ops_adv16,
+    )
+
+    rng = np.random.default_rng(41)
+    tw, qw, t, q, lengths, _, _ = _case(rng, 5, 2048, 1, 2)
+    op_chars = np.frombuffer(b"M=XIDS", np.uint8)
+    op_arrays, len_arrays = [], []
+    for _ in range(7):
+        n = int(rng.integers(1, 600))
+        op_arrays.append(op_chars[rng.integers(0, 6, n)])
+        ls = rng.integers(0, 8192, n).astype(np.int32)
+        ls[0] = 8191
+        len_arrays.append(ls)
+    ops, lens = pack_ops_batch(op_arrays, len_arrays)
+    wt_np, wq_np = pack_ops_adv16(ops, lens)
+    wt, wq = jnp.asarray(wt_np), jnp.asarray(wq_np)
+
+    want_stats = np.asarray(classify_stat_jnp(t, q, lengths))
+    want_t, want_q = (
+        np.asarray(a)
+        for a in _liftover_scan_impl(
+            jnp.asarray(ops), jnp.asarray(lens), False, False
+        )
+    )
+    outs = classify_liftover_fused_adv16(
+        tw, qw, lengths, wt, wq,
+        tile_b=4, tile_lw=256, tile_loh=256, interpret=True,
+        scan_mode="mm", chunk=chunk, emit_odd=emit_odd,
+    )
+    assert np.array_equal(np.asarray(outs[0]), want_stats)
+    if emit_odd:
+        _, te, to, qe, qo = outs
+    else:
+        _, te, qe = outs
+        to = adv16_odd_offsets(np.asarray(te), wt_np)
+        qo = adv16_odd_offsets(np.asarray(qe), wq_np)
+    got_t = interleave_halves(np.asarray(te), np.asarray(to))[:, : ops.shape[1]]
+    got_q = interleave_halves(np.asarray(qe), np.asarray(qo))[:, : ops.shape[1]]
+    assert np.array_equal(got_t, want_t)
+    assert np.array_equal(got_q, want_q)
+
+
+def test_sharded_fused_adv16_production_combo():
+    """The bench.py production combo (chunk=128, emit_odd=False)
+    through shard_map: 3 outputs, odd offsets derivable, zero
+    collectives."""
+    import jax
+    import jax.numpy as jnp
+
+    from wgatools_tpu.ops.classify import pack_nibble_words
+    from wgatools_tpu.ops.liftover import adv16_odd_offsets, pack_ops_adv16
+    from wgatools_tpu.parallel.mesh import make_mesh, sharded_fused_adv16
+
+    rng = np.random.default_rng(43)
+    B = 16
+    _, _, t, q, lengths, _, _ = _case(rng, B, 1024, 1, 2)
+    tn, qn = pack_nibble_words(np.asarray(t), np.asarray(q))
+    tn, qn = jnp.asarray(tn), jnp.asarray(qn)
+    op_chars = np.frombuffer(b"M=XID", np.uint8)
+    op_arrays = [op_chars[rng.integers(0, 5, 50)] for _ in range(B)]
+    len_arrays = [rng.integers(0, 4000, 50).astype(np.int32) for _ in range(B)]
+    ops, lens = pack_ops_batch(op_arrays, len_arrays)
+    wt_np, wq_np = pack_ops_adv16(ops, lens)
+    wt, wq = jnp.asarray(wt_np), jnp.asarray(wq_np)
+
+    mesh = make_mesh(8)
+    full = sharded_fused_adv16(
+        mesh, tn, qn, lengths, wt, wq, nibble=True, scan_mode="mm"
+    )
+    stats, te, qe = sharded_fused_adv16(
+        mesh, tn, qn, lengths, wt, wq, nibble=True, scan_mode="mm",
+        chunk=128, emit_odd=False,
+    )
+    assert np.array_equal(np.asarray(stats), np.asarray(full[0]))
+    assert np.array_equal(np.asarray(te), np.asarray(full[1]))
+    assert np.array_equal(
+        adv16_odd_offsets(np.asarray(te), wt_np), np.asarray(full[2])
+    )
+    assert np.array_equal(np.asarray(qe), np.asarray(full[3]))
+    assert np.array_equal(
+        adv16_odd_offsets(np.asarray(qe), wq_np), np.asarray(full[4])
+    )
+
+    from test_comm_volume import _collective_bytes
+
+    jaxpr = jax.make_jaxpr(
+        lambda a, b, l, o1, o2: sharded_fused_adv16(
+            mesh, a, b, l, o1, o2, nibble=True, scan_mode="mm",
+            chunk=128, emit_odd=False,
+        )
+    )(tn, qn, lengths, wt, wq)
+    assert _collective_bytes(jaxpr.jaxpr) == 0

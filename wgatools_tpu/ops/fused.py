@@ -300,6 +300,8 @@ def _fused_kernel_adv16(
     caller=False,
     nibble=False,
     scan_mode="vpu",
+    chunk=None,
+    emit_odd=True,
 ):
     """Advance-packed variant (liftover.pack_ops_adv16): per op pair and
     per direction one int32 word (adv_even << 14) | pair_sum.  The
@@ -312,14 +314,23 @@ def _fused_kernel_adv16(
         te = P                to = P + at0      (P = exclusive scan of ct)
 
     scan_mode as in _fused_kernel_packed16 ("vpu" ladder / "mm" MXU
-    triangle; pair sums < 2^14 keep the 2-limb bf16 form exact)."""
+    triangle; pair sums < 2^14 keep the 2-limb bf16 form exact).
+    chunk=c (mm only): two-level scan against a (c, c) triangle --
+    TLOH/c x fewer MACs and a c^2 instead of TLOH^2 resident triangle,
+    recombined with an unrolled (TLOH/c - 1)-add prefix over chunk
+    totals.  emit_odd=False skips the to/qo stores entirely: consumers
+    hold the adv words and derive odd = even + (w >> 14) for free while
+    walking ops (liftover.adv16_odd_offsets), so the kernel saves half
+    its offset-output DMA."""
+    n_off = 4 if emit_odd else 2
     if scan_mode == "mm":
-        (tri_ref, out_ref, edge_ref, te_ref, to_ref, qe_ref, qo_ref,
-         carry_ref) = rest
+        tri_ref = rest[0]
+        rest = rest[1:]
     else:
-        (out_ref, edge_ref, te_ref, to_ref, qe_ref, qo_ref,
-         carry_ref) = rest
         tri_ref = None
+    out_ref, edge_ref = rest[0], rest[1]
+    off_refs = rest[2 : 2 + n_off]
+    carry_ref = rest[2 + n_off]
     body = _kernel_nibbles if nibble else _kernel_words
     body(tw_ref, qw_ref, out_ref, edge_ref, caller=caller)
     j = pl.program_id(1)
@@ -332,9 +343,7 @@ def _fused_kernel_adv16(
     wq = wq_ref[:]
     m14 = jnp.int32(0x3FFF)
     ct = wt & m14
-    at0 = lsr(wt, 14)
     cq = wq & m14
-    aq0 = lsr(wq, 14)
     TB, TLOH = ct.shape
 
     @pl.when(j == 0)
@@ -343,12 +352,16 @@ def _fused_kernel_adv16(
 
     carry = carry_ref[:]
     if scan_mode == "mm":
+        c = chunk or TLOH
+        ns2 = TLOH // c
+        at = ct.reshape(TB * ns2, c)
+        aq = cq.reshape(TB * ns2, c)
         stacked = jnp.concatenate(
             [
-                (ct & 0xFF).astype(jnp.bfloat16),
-                lsr(ct, 8).astype(jnp.bfloat16),
-                (cq & 0xFF).astype(jnp.bfloat16),
-                lsr(cq, 8).astype(jnp.bfloat16),
+                (at & 0xFF).astype(jnp.bfloat16),
+                lsr(at, 8).astype(jnp.bfloat16),
+                (aq & 0xFF).astype(jnp.bfloat16),
+                lsr(aq, 8).astype(jnp.bfloat16),
             ],
             axis=0,
         )
@@ -358,14 +371,42 @@ def _fused_kernel_adv16(
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(i32)
-        p_t = s[:TB] + (s[TB : 2 * TB] << 8) + carry[:, 0:1]
-        p_q = s[2 * TB : 3 * TB] + (s[3 * TB :] << 8) + carry[:, 1:2]
+        R = TB * ns2
+        p_t = s[:R] + (s[R : 2 * R] << 8)
+        p_q = s[2 * R : 3 * R] + (s[3 * R :] << 8)
+        if ns2 > 1:
+            tot_t = (p_t[:, c - 1 : c] + at[:, c - 1 : c]).reshape(TB, ns2)
+            tot_q = (p_q[:, c - 1 : c] + aq[:, c - 1 : c]).reshape(TB, ns2)
+            offs_t = [jnp.zeros((TB, 1), i32)]
+            offs_q = [jnp.zeros((TB, 1), i32)]
+            for k in range(1, ns2):
+                offs_t.append(offs_t[-1] + tot_t[:, k - 1 : k])
+                offs_q.append(offs_q[-1] + tot_q[:, k - 1 : k])
+            off_t = jnp.concatenate(offs_t, axis=1)
+            off_q = jnp.concatenate(offs_q, axis=1)
+            p_t = (
+                p_t.reshape(TB, ns2, c) + off_t[:, :, None]
+            ).reshape(TB, TLOH)
+            p_q = (
+                p_q.reshape(TB, ns2, c) + off_q[:, :, None]
+            ).reshape(TB, TLOH)
+        else:
+            p_t = p_t.reshape(TB, TLOH)
+            p_q = p_q.reshape(TB, TLOH)
+        p_t = p_t + carry[:, 0:1]
+        p_q = p_q + carry[:, 1:2]
     else:
         p_t, p_q = _hillis_scan_pair(ct, cq, carry)
-    te_ref[:] = p_t
-    to_ref[:] = p_t + at0
-    qe_ref[:] = p_q
-    qo_ref[:] = p_q + aq0
+    if emit_odd:
+        te_ref, to_ref, qe_ref, qo_ref = off_refs
+        te_ref[:] = p_t
+        to_ref[:] = p_t + lsr(wt, 14)
+        qe_ref[:] = p_q
+        qo_ref[:] = p_q + lsr(wq, 14)
+    else:
+        te_ref, qe_ref = off_refs
+        te_ref[:] = p_t
+        qe_ref[:] = p_q
     carry_ref[:] = jnp.concatenate(
         [
             p_t[:, TLOH - 1 : TLOH] + ct[:, TLOH - 1 : TLOH],
@@ -628,7 +669,7 @@ def classify_liftover_fused16(
     jax.jit,
     static_argnames=(
         "tile_b", "tile_lw", "tile_loh", "interpret", "caller", "nibble",
-        "scan_mode",
+        "scan_mode", "chunk", "emit_odd",
     ),
 )
 def classify_liftover_fused_adv16(
@@ -644,6 +685,8 @@ def classify_liftover_fused_adv16(
     caller=False,
     nibble=False,
     scan_mode="vpu",
+    chunk=None,
+    emit_odd=True,
 ):
     """One-pass classify stats + liftover offsets, ADVANCE-packed ops.
 
@@ -652,7 +695,13 @@ def classify_liftover_fused_adv16(
     path; same guards as the packed16 form (every length < 2^13,
     M/=/X/I/S/D ops only).  Returns the same (stats, t_even, t_odd,
     q_even, q_odd) contract as classify_liftover_fused16, bit-identical
-    to it and to the 32-bit paths (tested)."""
+    to it and to the 32-bit paths (tested).
+
+    chunk=c ("mm" only): two-level scan against a (c, c) triangle
+    (must divide tile_loh).  emit_odd=False returns (stats, t_even,
+    q_even) only -- callers derive the odd offsets from the adv words
+    they already hold (odd = even + (w >> 14),
+    liftover.adv16_odd_offsets), saving half the offset-output DMA."""
     if tile_lw is None:
         tile_lw = 4096 if nibble else 8192
     cpw = 8 if nibble else 4
@@ -676,21 +725,28 @@ def classify_liftover_fused_adv16(
     in_specs = [word_spec, word_spec, op_spec, op_spec]
     inputs = [tw, qw, wt, wq]
     if scan_mode == "mm":
-        ir = jax.lax.broadcasted_iota(jnp.int32, (tile_loh, tile_loh), 0)
-        ic = jax.lax.broadcasted_iota(jnp.int32, (tile_loh, tile_loh), 1)
+        tri_n = chunk or tile_loh
+        # Mosaic cannot reshape to a sub-lane-width minor dim (the
+        # (TB, TLOH) -> (TB*ns2, chunk) reshape needs chunk % 128 == 0)
+        assert tri_n % 128 == 0 and tile_loh % tri_n == 0, (
+            tile_loh, tri_n,
+        )
+        ir = jax.lax.broadcasted_iota(jnp.int32, (tri_n, tri_n), 0)
+        ic = jax.lax.broadcasted_iota(jnp.int32, (tri_n, tri_n), 1)
         tri = jnp.clip(ir - ic, 0, 1).astype(jnp.bfloat16)
         in_specs.append(
             pl.BlockSpec(
-                (tile_loh, tile_loh),
+                (tri_n, tri_n),
                 lambda i, j: (0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
         inputs.append(tri)
-    out, edges, te, to, qe, qo = pl.pallas_call(
+    n_off = 4 if emit_odd else 2
+    outs = pl.pallas_call(
         functools.partial(
             _fused_kernel_adv16, caller=caller, nibble=nibble,
-            scan_mode=scan_mode,
+            scan_mode=scan_mode, chunk=chunk, emit_odd=emit_odd,
         ),
         grid=(nb, ns),
         in_specs=in_specs,
@@ -703,19 +759,13 @@ def classify_liftover_fused_adv16(
             pl.BlockSpec(
                 (tile_b, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM
             ),
-            op_spec,
-            op_spec,
-            op_spec,
-            op_spec,
-        ],
+        ]
+        + [op_spec] * n_off,
         out_shape=[
             jax.ShapeDtypeStruct((Bp, N_STATS), jnp.int32),
             jax.ShapeDtypeStruct((Bp, 128 * ns), jnp.int32),
-            jax.ShapeDtypeStruct((B2p, NOHp), jnp.int32),
-            jax.ShapeDtypeStruct((B2p, NOHp), jnp.int32),
-            jax.ShapeDtypeStruct((B2p, NOHp), jnp.int32),
-            jax.ShapeDtypeStruct((B2p, NOHp), jnp.int32),
-        ],
+        ]
+        + [jax.ShapeDtypeStruct((B2p, NOHp), jnp.int32)] * n_off,
         scratch_shapes=[pltpu.VMEM((tile_b, 2), jnp.int32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -727,18 +777,13 @@ def classify_liftover_fused_adv16(
             transcendentals=0,
         ),
     )(*inputs)
+    out, edges = outs[0], outs[1]
 
     stats = _finish_fused_stats(
         out, edges, ns, LW, tw, qw, lengths, caller, pad_rows,
         nibble=nibble,
     )
-    return (
-        stats,
-        te[:B2, :NOH],
-        to[:B2, :NOH],
-        qe[:B2, :NOH],
-        qo[:B2, :NOH],
-    )
+    return (stats,) + tuple(o[:B2, :NOH] for o in outs[2:])
 
 
 @functools.partial(

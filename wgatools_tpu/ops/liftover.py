@@ -527,3 +527,12 @@ def pack_ops_adv16(ops, lens):
         return (even << 14) | (even + a[:, 1::2])
 
     return pack(adv_t), pack(adv_q)
+
+
+def adv16_odd_offsets(even, w):
+    """Odd-position liftover offsets from the even ones plus the adv
+    words the caller packed (pack_ops_adv16): odd = even + (w >> 14).
+    Consumers walking ops derive this for free inline; the fused kernel
+    with emit_odd=False skips storing them (half the offset-output
+    DMA).  Works on numpy or jnp arrays."""
+    return even + (w >> 14)

@@ -180,13 +180,16 @@ def sharded_fused16(mesh: Mesh, tw, qw, lengths, opw16, nibble=False):
 
 
 def sharded_fused_adv16(
-    mesh: Mesh, tw, qw, lengths, wt, wq, nibble=False, scan_mode="mm"
+    mesh: Mesh, tw, qw, lengths, wt, wq, nibble=False, scan_mode="mm",
+    chunk=None, emit_odd=True,
 ):
     """The round-4 flagship through shard_map: classify + ADVANCE-packed
     op scan (ops.fused.classify_liftover_fused_adv16 -- host-side class
     decode via liftover.pack_ops_adv16, MXU triangle pair-sum scan).
     Record-axis data parallelism like sharded_fused16; zero collectives,
-    outputs stay record-sharded."""
+    outputs stay record-sharded.  chunk/emit_odd as in the kernel
+    wrapper (emit_odd=False returns (stats, t_even, q_even); callers
+    derive odd = even + (w >> 14) via liftover.adv16_odd_offsets)."""
     from ..ops.fused import classify_liftover_fused_adv16
 
     interpret = jax.default_backend() != "tpu"
@@ -198,6 +201,8 @@ def sharded_fused_adv16(
             interpret=interpret,
             nibble=nibble,
             scan_mode=scan_mode,
+            chunk=chunk,
+            emit_odd=emit_odd,
         )
 
     spec = P(RECORDS_AXIS, None)
@@ -205,7 +210,7 @@ def sharded_fused_adv16(
         body,
         mesh=mesh,
         in_specs=(spec, spec, P(RECORDS_AXIS), spec, spec),
-        out_specs=(spec, spec, spec, spec, spec),
+        out_specs=(spec,) * (5 if emit_odd else 3),
         check_vma=False,
     )
     return fn(tw, qw, lengths, wt, wq)
