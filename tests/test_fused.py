@@ -611,3 +611,59 @@ def test_sharded_fused_adv16_production_combo():
         )
     )(tn, qn, lengths, wt, wq)
     assert _collective_bytes(jaxpr.jaxpr) == 0
+
+
+@pytest.mark.parametrize("group", [2, 4, 8])
+def test_fused_group_sums_parity(group):
+    """Raw group-sum path (pack_ops_sums -> kernel anchors ->
+    expand_group_prefix host reconstruction) must reproduce the full
+    offset tables bit-for-bit at every group size."""
+    import jax.numpy as jnp
+
+    from wgatools_tpu.ops.fused import classify_liftover_fused_adv16
+    from wgatools_tpu.ops.liftover import (
+        adv16_odd_offsets,
+        interleave_halves,
+        pack_ops_adv16,
+        pack_ops_sums,
+    )
+
+    rng = np.random.default_rng(47)
+    tw, qw, t, q, lengths, _, _ = _case(rng, 5, 2048, 1, 2)
+    op_chars = np.frombuffer(b"M=XIDS", np.uint8)
+    op_arrays, len_arrays = [], []
+    for _ in range(7):
+        n = int(rng.integers(1, 600))
+        op_arrays.append(op_chars[rng.integers(0, 6, n)])
+        ls = rng.integers(0, 8192, n).astype(np.int32)
+        ls[:min(8, n)] = 8191  # group sums at the 2^16 boundary (g=8)
+        len_arrays.append(ls)
+    ops, lens = pack_ops_batch(op_arrays, len_arrays)
+    wt16, wq16 = pack_ops_adv16(ops, lens)
+    st, sq = pack_ops_sums(ops, lens, group=group)
+    assert st.max() < (1 << 16) and sq.max() < (1 << 16)
+
+    want_stats = np.asarray(classify_stat_jnp(t, q, lengths))
+    want_t, want_q = (
+        np.asarray(a)
+        for a in _liftover_scan_impl(
+            jnp.asarray(ops), jnp.asarray(lens), False, False
+        )
+    )
+    for mode in ("vpu", "mm"):
+        stats, ta, qa = classify_liftover_fused_adv16(
+            tw, qw, lengths, jnp.asarray(st), jnp.asarray(sq),
+            tile_b=4, tile_lw=256, interpret=True,
+            scan_mode=mode, raw_sums=True,
+        )
+        assert np.array_equal(np.asarray(stats), want_stats)
+        from wgatools_tpu.ops.liftover import expand_group_prefix
+
+        te = expand_group_prefix(np.asarray(ta), wt16, group=group)
+        qe = expand_group_prefix(np.asarray(qa), wq16, group=group)
+        to = adv16_odd_offsets(te, wt16)
+        qo = adv16_odd_offsets(qe, wq16)
+        got_t = interleave_halves(te, to)[:, : ops.shape[1]]
+        got_q = interleave_halves(qe, qo)[:, : ops.shape[1]]
+        assert np.array_equal(got_t, want_t), mode
+        assert np.array_equal(got_q, want_q), mode

@@ -302,6 +302,7 @@ def _fused_kernel_adv16(
     scan_mode="vpu",
     chunk=None,
     emit_odd=True,
+    raw_sums=False,
 ):
     """Advance-packed variant (liftover.pack_ops_adv16): per op pair and
     per direction one int32 word (adv_even << 14) | pair_sum.  The
@@ -321,7 +322,12 @@ def _fused_kernel_adv16(
     totals.  emit_odd=False skips the to/qo stores entirely: consumers
     hold the adv words and derive odd = even + (w >> 14) for free while
     walking ops (liftover.adv16_odd_offsets), so the kernel saves half
-    its offset-output DMA."""
+    its offset-output DMA.  raw_sums=True (implies emit_odd=False):
+    words are raw GROUP sums (liftover.pack_ops_sums, values < 2^16 --
+    per-limb tile sums stay < 255 * TLOH << 2^24 so the 2-limb form
+    stays exact), no mask/shift at all; outputs are group-prefix
+    anchors (liftover.expand_group_prefix reconstructs per-op
+    offsets)."""
     n_off = 4 if emit_odd else 2
     if scan_mode == "mm":
         tri_ref = rest[0]
@@ -341,9 +347,13 @@ def _fused_kernel_adv16(
 
     wt = wt_ref[:]
     wq = wq_ref[:]
-    m14 = jnp.int32(0x3FFF)
-    ct = wt & m14
-    cq = wq & m14
+    if raw_sums:
+        assert not emit_odd
+        ct, cq = wt, wq
+    else:
+        m14 = jnp.int32(0x3FFF)
+        ct = wt & m14
+        cq = wq & m14
     TB, TLOH = ct.shape
 
     @pl.when(j == 0)
@@ -669,7 +679,7 @@ def classify_liftover_fused16(
     jax.jit,
     static_argnames=(
         "tile_b", "tile_lw", "tile_loh", "interpret", "caller", "nibble",
-        "scan_mode", "chunk", "emit_odd",
+        "scan_mode", "chunk", "emit_odd", "raw_sums",
     ),
 )
 def classify_liftover_fused_adv16(
@@ -687,6 +697,7 @@ def classify_liftover_fused_adv16(
     scan_mode="vpu",
     chunk=None,
     emit_odd=True,
+    raw_sums=False,
 ):
     """One-pass classify stats + liftover offsets, ADVANCE-packed ops.
 
@@ -701,7 +712,12 @@ def classify_liftover_fused_adv16(
     (must divide tile_loh).  emit_odd=False returns (stats, t_even,
     q_even) only -- callers derive the odd offsets from the adv words
     they already hold (odd = even + (w >> 14),
-    liftover.adv16_odd_offsets), saving half the offset-output DMA."""
+    liftover.adv16_odd_offsets), saving half the offset-output DMA.
+    raw_sums=True: wt/wq are raw group-sum words (pack_ops_sums);
+    returns (stats, t_anchor, q_anchor) group-prefix anchors
+    (expand_group_prefix -> per-op offsets); forces emit_odd=False."""
+    if raw_sums:
+        emit_odd = False
     if tile_lw is None:
         tile_lw = 4096 if nibble else 8192
     cpw = 8 if nibble else 4
@@ -747,6 +763,7 @@ def classify_liftover_fused_adv16(
         functools.partial(
             _fused_kernel_adv16, caller=caller, nibble=nibble,
             scan_mode=scan_mode, chunk=chunk, emit_odd=emit_odd,
+            raw_sums=raw_sums,
         ),
         grid=(nb, ns),
         in_specs=in_specs,

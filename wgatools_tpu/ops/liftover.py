@@ -529,6 +529,70 @@ def pack_ops_adv16(ops, lens):
     return pack(adv_t), pack(adv_q)
 
 
+def pack_ops_sums(ops, lens, group=4):
+    """Raw GROUP-SUM op words: one int32 per `group` consecutive ops and
+    per direction, holding the group's total advance.  The coarsest
+    device packing: the fused kernel scans group sums and returns
+    group-prefix ANCHORS; consumers reconstruct every op's offset with
+    <= group-1 adds from the pair words (pack_ops_adv16) they already
+    hold -- vectorized host-side by expand_group_prefix, or inline for
+    free in sequential op walks (the reference's own loop accumulates
+    per op from offset 0, cigar.rs:251-295; anchors every `group` ops
+    strictly improve random access).  Bounds: group even, group*8191 <
+    2^16 (so group <= 8 -- keeps the 2-limb bf16 MXU scan exact), same
+    op-byte domain as pack_ops_adv16.  Returns (st, sq) int32
+    [B, ceil(N/group)]; padding sums to 0."""
+    assert group in (2, 4, 8), group
+    ops = np.asarray(ops, dtype=np.uint8)
+    lens = np.asarray(lens)
+    assert lens.max(initial=0) < (1 << 13), "group sums need len < 8192"
+    if not _VALID_PACK16[ops].all():
+        bad = np.unique(ops[~_VALID_PACK16[ops]])
+        raise ValueError(
+            "pack_ops_sums: unsupported op byte(s) "
+            f"{[chr(b) for b in bad]}; only M/=/X/I/S/D pack to advance "
+            "classes (use the 32-bit op paths for other ops)"
+        )
+    B, N = ops.shape
+    if N % group:
+        pad = group - N % group
+        ops = np.pad(ops, ((0, 0), (0, pad)))
+        lens = np.pad(lens, ((0, 0), (0, pad)))
+        N += pad
+    cls = _ADV_CLASS[ops]
+    lens = lens.astype(np.int32)
+    adv_t = np.where((cls == ADV_BOTH) | (cls == ADV_D), lens, 0)
+    adv_q = np.where(
+        (cls == ADV_BOTH) | (cls == ADV_I) | (cls == ADV_S), lens, 0
+    )
+    st = adv_t.reshape(B, N // group, group).sum(axis=2, dtype=np.int32)
+    sq = adv_q.reshape(B, N // group, group).sum(axis=2, dtype=np.int32)
+    return st, sq
+
+
+def expand_group_prefix(anchors, w16, group=4):
+    """Per-PAIR exclusive prefixes from group anchors + the adv16 pair
+    words: P[p] = anchors[p // (group/2)] + (exclusive sum of pair sums
+    within the group).  anchors: [B, N2/(group/2)] from the fused
+    kernel over pack_ops_sums words; w16: [B, N2] from pack_ops_adv16
+    (same direction).  Returns int32 [B, N2] -- identical to the
+    kernel's even outputs at group=2 (tested); odd offsets then come
+    from adv16_odd_offsets."""
+    h = group // 2
+    anchors = np.asarray(anchors)
+    w16 = np.asarray(w16)
+    B, N2 = w16.shape
+    if h == 1:
+        return anchors[:, :N2].astype(np.int32, copy=False)
+    ng = (N2 + h - 1) // h
+    ps = np.zeros((B, ng * h), np.int32)
+    ps[:, :N2] = w16 & 0x3FFF
+    ps = ps.reshape(B, ng, h)
+    exc = np.cumsum(ps, axis=2, dtype=np.int32) - ps
+    out = anchors[:, :ng, None] + exc
+    return out.reshape(B, ng * h)[:, :N2]
+
+
 def adv16_odd_offsets(even, w):
     """Odd-position liftover offsets from the even ones plus the adv
     words the caller packed (pack_ops_adv16): odd = even + (w >> 14).
