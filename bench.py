@@ -117,6 +117,19 @@ def main():
     wt_np, wq_np = pack_ops_adv16(ops_np, lens_np)
     wt_d = jax.device_put(jnp.asarray(wt_np))
     wq_d = jax.device_put(jnp.asarray(wq_np))
+    # raw group-8 sum words for the production scan: one int32 per 8 ops
+    # per direction; the kernel scans group sums and emits group-prefix
+    # ANCHORS, consumers reconstruct per-op offsets from the adv16 pair
+    # words they already hold (liftover.expand_group_prefix /
+    # adv16_odd_offsets -- free inside sequential op walks).  Cuts the
+    # op-word input AND offset-output streams 4x vs the pair-word form
+    # and shrinks the scan width the same factor (scripts/ab_group_sums:
+    # g8 509.5 vs eo 433.5 Gcol/s same-window)
+    from wgatools_tpu.ops.liftover import pack_ops_sums
+
+    st_np, sq_np = pack_ops_sums(ops_np, lens_np, group=8)
+    st_d = jax.device_put(jnp.asarray(st_np))
+    sq_d = jax.device_put(jnp.asarray(sq_np))
 
     if on_tpu:
         # production path: ONE fused kernel runs the nibble-packed SWAR
@@ -131,12 +144,15 @@ def main():
         # DMA (scripts/ab_adv2.py: eo 424-439 vs base 387.6 Gcol/s
         # same-window; the chunk=128 two-level triangle lost the
         # head-to-head 420.3 vs 439.3, so the full resident triangle
-        # stays)
+        # stays).  raw_sums: the op words are raw GROUP-8 sums and the
+        # kernel emits group-prefix anchors only -- 4x less op-word
+        # input, 4x less offset output, 4x narrower scan
+        # (scripts/ab_group_sums.py: g8 509.5 vs eo 433.5 same-window)
         from wgatools_tpu.ops.fused import classify_liftover_fused_adv16
 
         combined = lambda tn, qn, wt, wq: classify_liftover_fused_adv16(
             tn, qn, lens_d, wt, wq, tile_b=64, tile_lw=4096, nibble=True,
-            scan_mode="mm", emit_odd=False,
+            scan_mode="mm", raw_sums=True,
         )
     else:
 
@@ -181,13 +197,13 @@ def main():
             if on_tpu:
                 # all 8 nibbles stay valid dictionary codes (1..4)
                 t = t.at[0, 0].set(jnp.int32(0x11111111) + (acc & 3))
-                # adv word 0 of each direction becomes a valid
-                # even-op-only advance with a checksum-fed length
-                # ((e << 14) | pair_sum, odd advance 0)
+                # group-sum word 0 of each direction becomes a
+                # checksum-fed group total (any value < 2^16 is a
+                # valid raw sum)
                 e1 = jnp.int32(1) + (acc & 7)
-                ow1 = ow1.at[0, 0].set((e1 << 14) | e1)
+                ow1 = ow1.at[0, 0].set(e1)
                 e2 = jnp.int32(1) + ((acc >> 3) & 7)
-                ow2 = ow2.at[0, 0].set((e2 << 14) | e2)
+                ow2 = ow2.at[0, 0].set(e2)
             else:
                 t = t.at[0, 0].set(
                     (acc & 3).astype(jnp.uint8) + jnp.uint8(65)
@@ -245,12 +261,17 @@ def main():
             interleave_halves,
         )
 
-        from wgatools_tpu.ops.liftover import adv16_odd_offsets
+        from wgatools_tpu.ops.liftover import (
+            adv16_odd_offsets,
+            expand_group_prefix,
+        )
 
-        f_stats, f_te, f_qe = combined(tn_d, qn_d, wt_d, wq_d)
+        f_stats, f_ta, f_qa = combined(tn_d, qn_d, st_d, sq_d)
         want_t, want_q = _liftover_scan_impl(o_d, ln_d, False, False)
         assert np.array_equal(np.asarray(f_stats), want), "fused stats"
-        f_te, f_qe = np.asarray(f_te), np.asarray(f_qe)
+        # anchors -> per-pair even offsets -> odd offsets -> full table
+        f_te = expand_group_prefix(np.asarray(f_ta), wt_np, group=8)
+        f_qe = expand_group_prefix(np.asarray(f_qa), wq_np, group=8)
         f_to = adv16_odd_offsets(f_te, wt_np)
         f_qo = adv16_odd_offsets(f_qe, wq_np)
         got_t = interleave_halves(f_te, f_to)[:, :N_OPS]
@@ -258,7 +279,8 @@ def main():
         assert np.array_equal(got_t, np.asarray(want_t)), "fused t_off"
         assert np.array_equal(got_q, np.asarray(want_q)), "fused q_off"
         print(
-            "on-chip fused-adv16-nibble-mm stats+offsets parity gate: OK",
+            "on-chip fused-adv16-g8-nibble-mm stats+offsets parity "
+            "gate: OK",
             file=sys.stderr,
         )
 
@@ -268,7 +290,7 @@ def main():
         host fetch of the accumulated checksum."""
         start = time.perf_counter()
         if on_tpu:
-            a, b, o1, o2 = tn_d, qn_d, wt_d, wq_d
+            a, b, o1, o2 = tn_d, qn_d, st_d, sq_d
         else:
             a, b, o1, o2 = t_d, q_d, opw_d, opw_d
         checksum = int(np.asarray(run_iters(a, b, o1, o2, iters)))
@@ -302,14 +324,14 @@ def main():
             )
     # whole-batch rate is a strict lower bound (includes dispatch/transfer)
     lower_bound = B * L * hi_iters / min(t_hi_all)
-    # v5e HBM is ~819 GB/s; the combined loop moves ~1.25 bytes per
-    # column (two 4-bit nibble planes = 1.0 B/col + 0.125 B/col of
-    # advance-packed op words + 0.125 B/col of even-offset outputs at
-    # mean run 32), so nothing real can stream faster than ~655 Gcol/s
-    # -- a marginal estimate beyond that is timing noise, so fall back
-    # to the lower bound.  (The classify stage alone is VPU-bound at
-    # ~565 Gcol/s standalone, ab_nibble.py.)
-    phys_bound = 655e9
+    # v5e HBM is ~819 GB/s; the combined loop moves ~1.0625 bytes per
+    # column (two 4-bit nibble planes = 1.0 B/col + 0.03125 B/col of
+    # group-8 sum words + 0.03125 B/col of anchor outputs at mean run
+    # 32), so nothing real can stream faster than ~770 Gcol/s -- a
+    # marginal estimate beyond that is timing noise, so fall back to
+    # the lower bound.  (The classify stage alone is VPU-bound at
+    # ~565 Gcol/s standalone, ab_nibble.py -- the real ceiling.)
+    phys_bound = 770e9
     if 0 < marginal <= phys_bound:
         gbps = marginal / 1e9
     else:

@@ -181,18 +181,23 @@ def sharded_fused16(mesh: Mesh, tw, qw, lengths, opw16, nibble=False):
 
 def sharded_fused_adv16(
     mesh: Mesh, tw, qw, lengths, wt, wq, nibble=False, scan_mode="mm",
-    chunk=None, emit_odd=True,
+    chunk=None, emit_odd=True, raw_sums=False,
 ):
     """The round-4 flagship through shard_map: classify + ADVANCE-packed
     op scan (ops.fused.classify_liftover_fused_adv16 -- host-side class
     decode via liftover.pack_ops_adv16, MXU triangle pair-sum scan).
     Record-axis data parallelism like sharded_fused16; zero collectives,
-    outputs stay record-sharded.  chunk/emit_odd as in the kernel
-    wrapper (emit_odd=False returns (stats, t_even, q_even); callers
-    derive odd = even + (w >> 14) via liftover.adv16_odd_offsets)."""
+    outputs stay record-sharded.  chunk/emit_odd/raw_sums as in the
+    kernel wrapper (emit_odd=False returns (stats, t_even, q_even);
+    callers derive odd = even + (w >> 14) via
+    liftover.adv16_odd_offsets; raw_sums=True takes group-sum words
+    from liftover.pack_ops_sums and returns group-prefix anchors for
+    liftover.expand_group_prefix)."""
     from ..ops.fused import classify_liftover_fused_adv16
 
     interpret = jax.default_backend() != "tpu"
+    if raw_sums:
+        emit_odd = False
 
     def body(a, b, l, owt, owq):
         return classify_liftover_fused_adv16(
@@ -203,6 +208,7 @@ def sharded_fused_adv16(
             scan_mode=scan_mode,
             chunk=chunk,
             emit_odd=emit_odd,
+            raw_sums=raw_sums,
         )
 
     spec = P(RECORDS_AXIS, None)
