@@ -295,17 +295,79 @@ def test_emit_variant_rows_scalar_vs_vectorized(seed, if_snp):
     args = (100, 200, t_str, q_str, "chrT", "chrQ", "P", "", if_snp, svlen)
 
     def flatten(rows):
+        # rows are raw bytes (bulk-formatted) or write_record tuples --
+        # compare at the OUTPUT-byte level, exactly what VcfWriter emits
         blob = b""
         for r in rows:
-            if isinstance(r, bytes):
+            if isinstance(r, (bytes, memoryview)):
                 blob += r
             else:
-                blob += repr(r).encode() + b"\n"
+                chrom, pos, ref, alt, info, fmt, sv = r
+                info_str = info if info else "."
+                blob += (
+                    f"{chrom}\t{pos}\t.\t{ref}\t{alt}\t.\t.\t{info_str}\t"
+                    f"{fmt}\t{sv}\n"
+                ).encode("ascii")
         return blob
 
     got = _emit_variant_rows_scalar(vals.tolist(), lens.tolist(), *args)
     want = _emit_variant_rows_vec(vals, lens, *args)
     assert flatten(got) == flatten(want)
+
+
+def test_format_indel_rows_native_vs_python(monkeypatch):
+    """The C++ bulk indel formatter and the per-event Python fallback in
+    _emit_variant_rows_vec must produce identical output bytes (the
+    fallback is forced by patching the native entry to None)."""
+    import numpy as np
+
+    from wgatools_tpu import native
+    from wgatools_tpu.core import cigar as C
+    from wgatools_tpu.tools.caller import _emit_variant_rows_vec
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(3)
+    nruns = 64
+    vals = rng.choice(
+        np.array([C.EQ, C.X, C.I, C.D, C.W]), size=nruns,
+        p=[0.4, 0.1, 0.2, 0.2, 0.1],
+    ).astype(np.uint8)
+    lens = rng.integers(1, 30, size=nruns).astype(np.int64)
+    t_len = int(lens[(vals == C.EQ) | (vals == C.X) | (vals == C.D)].sum())
+    q_len = int(lens[(vals == C.EQ) | (vals == C.X) | (vals == C.I)].sum())
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    t_str = bases[rng.integers(0, 4, t_len + 2)].tobytes().decode()
+    q_str = bases[rng.integers(0, 4, q_len + 2)].tobytes().decode()
+    for init_info in ("", "INV_NEST=TRUE;"):
+        args = (
+            100, 200, t_str, q_str, "chrT", "chrQ", "N", init_info,
+            True, 2,
+        )
+
+        def fmt(rows):
+            out = b""
+            for r in rows:
+                if isinstance(r, (bytes, memoryview)):
+                    out += r
+                else:
+                    chrom, pos, ref, alt, info, f, sv = r
+                    out += (
+                        f"{chrom}\t{pos}\t.\t{ref}\t{alt}\t.\t.\t"
+                        f"{info if info else '.'}\t{f}\t{sv}\n"
+                    ).encode("ascii")
+            return out
+
+        native_out = fmt(_emit_variant_rows_vec(vals, lens, *args))
+        monkeypatch.setattr(
+            "wgatools_tpu.native.format_indel_rows",
+            lambda *a, **k: None,
+        )
+        python_out = fmt(_emit_variant_rows_vec(vals, lens, *args))
+        monkeypatch.undo()
+        assert native_out == python_out
+        assert b"SVTYPE=INS" in native_out and b"SVTYPE=DEL" in native_out
 
 
 @pytest.mark.parametrize("seed", range(10))

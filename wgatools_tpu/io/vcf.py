@@ -36,12 +36,14 @@ class VcfWriter:
     def write_raw(self, blob: bytes):
         self.inner.write(blob)
 
-    def write_record(
+    def format_record(
         self, chrom, pos, ref, alt, info=None, fmt="GT", sample_value="1|1"
-    ):
+    ) -> bytes:
         info_str = info if info else "."
-        row = (
+        return (
             f"{chrom}\t{pos}\t.\t{ref}\t{alt}\t.\t.\t{info_str}\t"
             f"{fmt}\t{sample_value}\n"
-        )
-        self.inner.write(row.encode("ascii"))
+        ).encode("ascii")
+
+    def write_record(self, *args, **kwargs):
+        self.inner.write(self.format_record(*args, **kwargs))

@@ -84,6 +84,12 @@ def load():
             _ptr, _ptr, _ptr, _ptr, _i64, _ptr, _i64, _ptr,
         ]
         lib.format_snp_rows.restype = _i64
+        lib.format_indel_rows.argtypes = [
+            _charp, _i64, _charp, _i64, ctypes.c_char, _charp, _i64,
+            _ptr, _ptr, _i64, _i64, _ptr, _ptr, _ptr, _ptr, _i64,
+            _ptr, _i64, _ptr,
+        ]
+        lib.format_indel_rows.restype = _i64
         lib.format_chain_lines.argtypes = [_ptr, _ptr, _ptr, _i64, _ptr, _i64]
         lib.format_chain_lines.restype = _i64
         lib.parse_chain_lines.argtypes = [_charp, _i64, _ptr, _ptr, _ptr]
@@ -675,6 +681,42 @@ def format_snp_rows(chrom: bytes, qchro: bytes, suffix: bytes, pos, qpos,
         return None
     blob = out[: int(w)].tobytes()
     return (blob, row_end) if want_offsets else blob
+
+
+def format_indel_rows(chrom: bytes, qchro: bytes, suffix: bytes,
+                      init_info: bytes, tseq, qseq, t_start: int,
+                      q_start: int, t_off, q_off, lens, is_del):
+    """Bulk VCF indel (INS/DEL) row formatting in event order; returns
+    (bytes, row_end int64 array) or None (callers fall back to per-event
+    Python f-strings).  tseq/qseq: gap-free uppercased uint8 sequence
+    arrays; per-event arrays are parallel (is_del picks the row shape).
+    One call formats every indel row of a chunk -- the per-event Python
+    loop + write_record f-strings dominated indel-dense calls."""
+    lib = load()
+    if lib is None:
+        return None
+    tseq = np.ascontiguousarray(tseq, dtype=np.uint8)
+    qseq = np.ascontiguousarray(qseq, dtype=np.uint8)
+    t_off = np.ascontiguousarray(t_off, dtype=np.int64)
+    q_off = np.ascontiguousarray(q_off, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    is_del = np.ascontiguousarray(is_del, dtype=np.uint8)
+    n = t_off.shape[0]
+    fixed = len(chrom) + len(qchro) + len(init_info) + 144
+    cap = int(lens.sum()) + fixed * max(n, 1)
+    out = np.empty(cap, dtype=np.uint8)
+    row_end = np.empty(max(n, 1), dtype=np.int64)
+    w = lib.format_indel_rows(
+        chrom, len(chrom), qchro, len(qchro), suffix,
+        init_info, len(init_info),
+        tseq.ctypes.data, qseq.ctypes.data, t_start, q_start,
+        t_off.ctypes.data, q_off.ctypes.data, lens.ctypes.data,
+        is_del.ctypes.data, n, out.ctypes.data, cap,
+        row_end.ctypes.data,
+    )
+    if w < 0:
+        return None
+    return out[: int(w)].tobytes(), row_end[:n]
 
 
 def pack_nibbles(arr: np.ndarray, lut256: np.ndarray):

@@ -1056,4 +1056,67 @@ int32_t pack_nibbles(const uint8_t* src, int64_t n, const uint8_t* lut256,
     return (bad & 0x80) ? -1 : 0;
 }
 
+// bulk-format indel (INS/DEL) VCF rows in event order, byte-identical to
+// tools/caller.py write_record() on the tuples _emit_variant_rows_vec
+// built per event (reference row shapes: caller.rs:500-561):
+//   INS: "<chrom>\t<to>\t.\t<t[ts]>\t<q[qs..qs+ln]>\t.\t.\t"
+//        "<init_info>SVTYPE=INS;SVLEN=<ln>;END=<to>\tGT:QI\t"
+//        "1|1:<qchro>@<qo>@<qo+ln>@<sfx>\n"
+//   DEL: ref/alt swap roles, END=<to+ln>, QI "@<qo>@<qo>@".
+// tseq/qseq are the gap-free UPPERCASED sequences starting at
+// t_start/q_start (ts = to - t_start - 1 >= 0 because every emitted
+// event follows a match run).  is_del[i] selects the row shape.
+// row_end receives each row's end offset (for run-order interleaving
+// with SNP blocks).  Returns bytes written or -1 if cap too small.
+int64_t format_indel_rows(const char* chrom, int64_t chrom_len,
+                          const char* qchro, int64_t qchro_len, char suffix,
+                          const char* init_info, int64_t init_info_len,
+                          const uint8_t* tseq, const uint8_t* qseq,
+                          int64_t t_start, int64_t q_start,
+                          const int64_t* t_off, const int64_t* q_off,
+                          const int64_t* lens, const uint8_t* is_del,
+                          int64_t n, char* out, int64_t cap,
+                          int64_t* row_end) {
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t to = t_off[i], qo = q_off[i], ln = lens[i];
+        int64_t ts = to - t_start - 1;
+        int64_t qs = qo - q_start - 1;
+        int64_t w = (i == 0) ? 0 : row_end[i - 1];
+        if (w + chrom_len + qchro_len + init_info_len + ln + 140 > cap)
+            return -1;
+        memcpy(out + w, chrom, chrom_len); w += chrom_len;
+        out[w++] = '\t';
+        w += write_i64(out + w, to);
+        memcpy(out + w, "\t.\t", 3); w += 3;
+        if (is_del[i]) {
+            memcpy(out + w, tseq + ts, (size_t)(ln + 1)); w += ln + 1;
+            out[w++] = '\t';
+            out[w++] = (char)qseq[qs];
+        } else {
+            out[w++] = (char)tseq[ts];
+            out[w++] = '\t';
+            memcpy(out + w, qseq + qs, (size_t)(ln + 1)); w += ln + 1;
+        }
+        memcpy(out + w, "\t.\t.\t", 5); w += 5;
+        memcpy(out + w, init_info, init_info_len); w += init_info_len;
+        memcpy(out + w, "SVTYPE=", 7); w += 7;
+        memcpy(out + w, is_del[i] ? "DEL" : "INS", 3); w += 3;
+        memcpy(out + w, ";SVLEN=", 7); w += 7;
+        w += write_i64(out + w, ln);
+        memcpy(out + w, ";END=", 5); w += 5;
+        w += write_i64(out + w, is_del[i] ? to + ln : to);
+        memcpy(out + w, "\tGT:QI\t1|1:", 11); w += 11;
+        memcpy(out + w, qchro, qchro_len); w += qchro_len;
+        out[w++] = '@';
+        w += write_i64(out + w, qo);
+        out[w++] = '@';
+        w += write_i64(out + w, is_del[i] ? qo : qo + ln);
+        out[w++] = '@';
+        out[w++] = suffix;
+        out[w++] = '\n';
+        row_end[i] = w;
+    }
+    return n ? row_end[n - 1] : 0;
+}
+
 }  // extern "C"

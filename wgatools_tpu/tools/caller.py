@@ -280,28 +280,66 @@ def _emit_variant_rows_vec(
     del_sel = np.flatnonzero((vals == C.D) & (lens64 > svlen_cutoff) & after_m)
     snp_sel = np.flatnonzero(vals == C.X) if if_snp else np.zeros(0, np.int64)
 
+    t_ref_np = np.frombuffer(t_str.encode("ascii"), dtype=np.uint8)
+    q_ref_np = np.frombuffer(q_str.encode("ascii"), dtype=np.uint8)
+
     events = []  # (run_idx, sub_idx, row)
-    for k in ins_sel.tolist():
-        ln = int(lens64[k])
-        to, qo = int(t_off[k]), int(q_off[k])
-        ts = to - t_start - 1
-        qs = qo - q_start - 1
-        ref = t_str[ts : ts + 1]
-        alt = q_str[qs : qs + ln + 1]
-        info = f"{init_info}SVTYPE=INS;SVLEN={ln};END={to}"
-        qi = f"1|1:{q_chro}@{qo}@{qo + ln}@{fmt_suffix}"
-        events.append((k, 0, (chro, to, ref, alt, info, "GT:QI", qi)))
-    for k in del_sel.tolist():
-        ln = int(lens64[k])
-        to, qo = int(t_off[k]), int(q_off[k])
-        ts = to - t_start - 1
-        qs = qo - q_start - 1
-        ref = t_str[ts : ts + ln + 1]
-        alt = q_str[qs : qs + 1]
-        info = f"{init_info}SVTYPE=DEL;SVLEN={ln};END={to + ln}"
-        qi = f"1|1:{q_chro}@{qo}@{qo}@{fmt_suffix}"
-        events.append((k, 0, (chro, to, ref, alt, info, "GT:QI", qi)))
-    events.sort(key=lambda e: e[0])
+    iblob = None
+    if ins_sel.size or del_sel.size:
+        # ONE native call formats every indel row of the chunk in run
+        # order (the per-event Python loop + write_record f-strings
+        # dominated indel-dense calls: 2.8M events = ~17 s on the
+        # 100 Mbp profiling corpus before this)
+        sel_all = np.concatenate([ins_sel, del_sel])
+        isdel_all = np.concatenate(
+            [
+                np.zeros(ins_sel.size, np.uint8),
+                np.ones(del_sel.size, np.uint8),
+            ]
+        )
+        order = np.argsort(sel_all, kind="stable")
+        sel_all = sel_all[order]
+        isdel_all = isdel_all[order]
+        from .. import native
+
+        res = native.format_indel_rows(
+            chro.encode("ascii"), q_chro.encode("ascii"),
+            fmt_suffix.encode("ascii"), init_info.encode("ascii"),
+            t_ref_np, q_ref_np, t_start, q_start,
+            t_off[sel_all], q_off[sel_all], lens64[sel_all], isdel_all,
+        )
+        if res is not None:
+            iblob, iend = res
+            # memoryview slices: no per-event copy (2.8M events on the
+            # 100 Mbp profile); the sink join makes the single copy
+            mv = memoryview(iblob)
+            b0 = 0
+            for x, k in enumerate(sel_all.tolist()):
+                e = int(iend[x])
+                events.append((k, 0, mv[b0:e]))
+                b0 = e
+    if iblob is None:
+        for k in ins_sel.tolist():
+            ln = int(lens64[k])
+            to, qo = int(t_off[k]), int(q_off[k])
+            ts = to - t_start - 1
+            qs = qo - q_start - 1
+            ref = t_str[ts : ts + 1]
+            alt = q_str[qs : qs + ln + 1]
+            info = f"{init_info}SVTYPE=INS;SVLEN={ln};END={to}"
+            qi = f"1|1:{q_chro}@{qo}@{qo + ln}@{fmt_suffix}"
+            events.append((k, 0, (chro, to, ref, alt, info, "GT:QI", qi)))
+        for k in del_sel.tolist():
+            ln = int(lens64[k])
+            to, qo = int(t_off[k]), int(q_off[k])
+            ts = to - t_start - 1
+            qs = qo - q_start - 1
+            ref = t_str[ts : ts + ln + 1]
+            alt = q_str[qs : qs + 1]
+            info = f"{init_info}SVTYPE=DEL;SVLEN={ln};END={to + ln}"
+            qi = f"1|1:{q_chro}@{qo}@{qo}@{fmt_suffix}"
+            events.append((k, 0, (chro, to, ref, alt, info, "GT:QI", qi)))
+        events.sort(key=lambda e: e[0])
 
     if snp_sel.size == 0:
         out.extend(row for _, _, row in events)
@@ -318,8 +356,6 @@ def _emit_variant_rows_vec(
     )
     pos_flat = np.repeat(t_off[snp_sel], snp_lens) + intra
     qpos_flat = np.repeat(q_off[snp_sel], snp_lens) + intra
-    t_ref_np = np.frombuffer(t_str.encode("ascii"), dtype=np.uint8)
-    q_ref_np = np.frombuffer(q_str.encode("ascii"), dtype=np.uint8)
     ref_flat = t_ref_np[pos_flat - t_start]
     alt_flat = q_ref_np[qpos_flat - q_start]
 
@@ -366,13 +402,14 @@ def _emit_variant_rows_vec(
     else:
         cuts = []
     cursor = 0
+    bmv = memoryview(blob)
     for (k, _, row), cut in zip(events, cuts):
         if cut > cursor:
-            out.append(blob[bnd[cursor] : bnd[cut]])
+            out.append(bmv[bnd[cursor] : bnd[cut]])
         cursor = cut
         out.append(row)
     if total_snps > cursor:
-        out.append(blob[bnd[cursor] : bnd[total_snps]])
+        out.append(bmv[bnd[cursor] : bnd[total_snps]])
     return out
 
 
@@ -582,11 +619,15 @@ def call_record_part(
             safe_end - chunk_start,
             (safe_end / total_size) * 100.0 if total_size else 100.0,
         )
-        for row in call_within_var(chunk_rec, if_snp, svlen_cutoff, if_inv):
-            if isinstance(row, bytes):
-                vcf.write_raw(row)  # pre-formatted SNP block
-            else:
-                vcf.write_record(*row)
+        # join the chunk's rows and write ONCE: per-row BufferedWriter
+        # writes were ~10 s of the 100 Mbp profile on their own
+        buf = [
+            row if isinstance(row, (bytes, memoryview))
+            else vcf.format_record(*row)
+            for row in call_within_var(chunk_rec, if_snp, svlen_cutoff, if_inv)
+        ]
+        if buf:
+            vcf.write_raw(b"".join(buf))
 
 
 def plan_chunks(t_arr, q_arr, chunk_size, svlen_cutoff):
@@ -682,9 +723,11 @@ def call_var_paf(
             if_snp,
             svlen_cutoff,
         )
-        for row in rows:
-            if isinstance(row, bytes):
-                vcf.write_raw(row)  # bulk-formatted SNP block
-            else:
-                vcf.write_record(*row)
+        buf = [
+            row if isinstance(row, (bytes, memoryview))
+            else vcf.format_record(*row)
+            for row in rows
+        ]
+        if buf:
+            vcf.write_raw(b"".join(buf))
     writer.flush()
