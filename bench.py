@@ -114,9 +114,9 @@ def main():
     # class decode + advance selects move into the host packer, leaving
     # the kernel two shift/mask ops per direction (scripts/ab_scan_mm.py:
     # advmm 414.9 vs vpu 360.5 Gcol/s on-chip)
+    # adv16 pair words stay HOST-side: the anchor expansion/parity check
+    # consumes them on the host and the device only sees group sums
     wt_np, wq_np = pack_ops_adv16(ops_np, lens_np)
-    wt_d = jax.device_put(jnp.asarray(wt_np))
-    wq_d = jax.device_put(jnp.asarray(wq_np))
     # raw group-8 sum words for the production scan: one int32 per 8 ops
     # per direction; the kernel scans group sums and emits group-prefix
     # ANCHORS, consumers reconstruct per-op offsets from the adv16 pair

@@ -702,7 +702,9 @@ def format_indel_rows(chrom: bytes, qchro: bytes, suffix: bytes,
     lens = np.ascontiguousarray(lens, dtype=np.int64)
     is_del = np.ascontiguousarray(is_del, dtype=np.uint8)
     n = t_off.shape[0]
-    fixed = len(chrom) + len(qchro) + len(init_info) + 144
+    # worst-case non-sequence row bytes: 49 fixed chars + 5 int64 fields
+    # at <= 19 digits + slack; must be >= the C++ guard's 152 margin
+    fixed = len(chrom) + len(qchro) + len(init_info) + 152
     cap = int(lens.sum()) + fixed * max(n, 1)
     out = np.empty(cap, dtype=np.uint8)
     row_end = np.empty(max(n, 1), dtype=np.int64)

@@ -1082,7 +1082,7 @@ int64_t format_indel_rows(const char* chrom, int64_t chrom_len,
         int64_t ts = to - t_start - 1;
         int64_t qs = qo - q_start - 1;
         int64_t w = (i == 0) ? 0 : row_end[i - 1];
-        if (w + chrom_len + qchro_len + init_info_len + ln + 140 > cap)
+        if (w + chrom_len + qchro_len + init_info_len + ln + 152 > cap)
             return -1;
         memcpy(out + w, chrom, chrom_len); w += chrom_len;
         out[w++] = '\t';

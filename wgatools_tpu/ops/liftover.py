@@ -500,33 +500,44 @@ def pack_ops_adv16(ops, lens):
     pack_ops_words16 (every length < 2^13, ops in M/=/X/I/S/D; pair
     sums < 2^14 and words < 2^27, so no sign issues).  Returns
     (wt, wq) int32 [B, N//2]; padding packs to 0."""
-    ops = np.asarray(ops, dtype=np.uint8)
-    lens = np.asarray(lens)
-    assert lens.max(initial=0) < (1 << 13), "packed adv16 needs len < 8192"
-    if not _VALID_PACK16[ops].all():
-        bad = np.unique(ops[~_VALID_PACK16[ops]])
-        raise ValueError(
-            "pack_ops_adv16: unsupported op byte(s) "
-            f"{[chr(b) for b in bad]}; only M/=/X/I/S/D pack to advance "
-            "classes (use the 32-bit op paths for other ops)"
-        )
-    B, N = ops.shape
-    if N % 2:
-        ops = np.pad(ops, ((0, 0), (0, 1)))
-        lens = np.pad(lens, ((0, 0), (0, 1)))
-        N += 1
-    cls = _ADV_CLASS[ops]
-    lens = lens.astype(np.int32)
-    adv_t = np.where((cls == ADV_BOTH) | (cls == ADV_D), lens, 0)
-    adv_q = np.where(
-        (cls == ADV_BOTH) | (cls == ADV_I) | (cls == ADV_S), lens, 0
-    )
+    adv_t, adv_q = _host_advances(ops, lens, "pack_ops_adv16", pad_to=2)
 
     def pack(a):
         even = a[:, 0::2]
         return (even << 14) | (even + a[:, 1::2])
 
     return pack(adv_t), pack(adv_q)
+
+
+def _host_advances(ops, lens, who, pad_to):
+    """Shared host-side advance decode for the 16-bit packers: validate
+    the op bytes (M/=/X/I/S/D + 0 padding), pad N to a multiple of
+    `pad_to`, and return per-op (adv_t, adv_q) int32 arrays.  The single
+    source of the class->advance mapping that pack_ops_adv16 words and
+    pack_ops_sums anchors are later recombined under
+    (expand_group_prefix), so the two packings cannot drift."""
+    ops = np.asarray(ops, dtype=np.uint8)
+    lens = np.asarray(lens)
+    assert lens.max(initial=0) < (1 << 13), f"{who} needs len < 8192"
+    if not _VALID_PACK16[ops].all():
+        bad = np.unique(ops[~_VALID_PACK16[ops]])
+        raise ValueError(
+            f"{who}: unsupported op byte(s) "
+            f"{[chr(b) for b in bad]}; only M/=/X/I/S/D pack to advance "
+            "classes (use the 32-bit op paths for other ops)"
+        )
+    B, N = ops.shape
+    if N % pad_to:
+        pad = pad_to - N % pad_to
+        ops = np.pad(ops, ((0, 0), (0, pad)))
+        lens = np.pad(lens, ((0, 0), (0, pad)))
+    cls = _ADV_CLASS[ops]
+    lens = lens.astype(np.int32)
+    adv_t = np.where((cls == ADV_BOTH) | (cls == ADV_D), lens, 0)
+    adv_q = np.where(
+        (cls == ADV_BOTH) | (cls == ADV_I) | (cls == ADV_S), lens, 0
+    )
+    return adv_t, adv_q
 
 
 def pack_ops_sums(ops, lens, group=4):
@@ -543,28 +554,8 @@ def pack_ops_sums(ops, lens, group=4):
     op-byte domain as pack_ops_adv16.  Returns (st, sq) int32
     [B, ceil(N/group)]; padding sums to 0."""
     assert group in (2, 4, 8), group
-    ops = np.asarray(ops, dtype=np.uint8)
-    lens = np.asarray(lens)
-    assert lens.max(initial=0) < (1 << 13), "group sums need len < 8192"
-    if not _VALID_PACK16[ops].all():
-        bad = np.unique(ops[~_VALID_PACK16[ops]])
-        raise ValueError(
-            "pack_ops_sums: unsupported op byte(s) "
-            f"{[chr(b) for b in bad]}; only M/=/X/I/S/D pack to advance "
-            "classes (use the 32-bit op paths for other ops)"
-        )
-    B, N = ops.shape
-    if N % group:
-        pad = group - N % group
-        ops = np.pad(ops, ((0, 0), (0, pad)))
-        lens = np.pad(lens, ((0, 0), (0, pad)))
-        N += pad
-    cls = _ADV_CLASS[ops]
-    lens = lens.astype(np.int32)
-    adv_t = np.where((cls == ADV_BOTH) | (cls == ADV_D), lens, 0)
-    adv_q = np.where(
-        (cls == ADV_BOTH) | (cls == ADV_I) | (cls == ADV_S), lens, 0
-    )
+    adv_t, adv_q = _host_advances(ops, lens, "pack_ops_sums", pad_to=group)
+    B, N = adv_t.shape
     st = adv_t.reshape(B, N // group, group).sum(axis=2, dtype=np.int32)
     sq = adv_q.reshape(B, N // group, group).sum(axis=2, dtype=np.int32)
     return st, sq
