@@ -15,6 +15,7 @@ import io
 import pickle
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from wgatools_tpu.ops.classify import pack_pairs
@@ -194,3 +195,45 @@ def test_replicate_rows_roundtrip():
     rows = np.arange(n * 8, dtype=np.uint8).reshape(n, 8)
     got = _replicate_rows(rows)
     assert np.array_equal(got, rows)
+
+
+def test_sequence_parallel_scan_parity_and_carry_bytes():
+    """sharded_liftover_sp (op axis sharded across the mesh -- one giant
+    record spanning every device) must be bit-identical to the unsharded
+    scan, and its only collective is the [2, B]-int32 shard-total
+    all_gather: 8*B bytes, INDEPENDENT of the op count N."""
+    from wgatools_tpu.ops.liftover import _liftover_scan_impl
+    from wgatools_tpu.parallel.mesh import sharded_liftover_sp
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(3)
+    op_chars = np.frombuffer(b"M=XIDS", np.uint8)
+
+    def case(B, N, n_real):
+        ops = op_chars[rng.integers(0, 6, (B, N))]
+        ops[:, n_real:] = 0
+        lens = rng.integers(0, 100000, (B, N)).astype(np.int32)
+        lens[ops == 0] = 0
+        return ops, lens
+
+    for B, N, n_real in [(1, 256, 200), (5, 1024, 1000)]:
+        ops, lens = case(B, N, n_real)
+        got_t, got_q = sharded_liftover_sp(
+            mesh, jnp.asarray(ops), jnp.asarray(lens), wide=True
+        )
+        want_t, want_q = _liftover_scan_impl(
+            jnp.asarray(ops), jnp.asarray(lens), True, False
+        )
+        assert np.array_equal(np.asarray(got_t), np.asarray(want_t))
+        assert np.array_equal(np.asarray(got_q), np.asarray(want_q))
+
+    def traced_bytes(B, N):
+        ops = np.full((B, N), ord("M"), np.uint8)
+        ol = np.ones((B, N), np.int32)
+        jaxpr = jax.make_jaxpr(
+            lambda a, b: sharded_liftover_sp(mesh, a, b, wide=True)
+        )(ops, ol)
+        return _collective_bytes(jaxpr.jaxpr)
+
+    small, big = traced_bytes(4, 256), traced_bytes(4, 8192)
+    assert small == big == 2 * 4 * 4  # [2, B] int32 shard totals only

@@ -264,3 +264,53 @@ def sharded_liftover(mesh: Mesh, ops, lens, wide=False, use_pallas=None):
         check_vma=False,
     )
     return fn(ops, lens)
+
+
+def sharded_liftover_sp(mesh: Mesh, ops, lens, wide=False):
+    """SEQUENCE-parallel liftover scan: the OP axis sharded across the
+    mesh, so one multi-Gbp record spans every chip (the genome-axis
+    analog of sharded_liftover's record parallelism; the reference's
+    granularity is one rayon task per record, converter.rs:43, which a
+    single giant record serializes -- the scan is associative, so TPU
+    shards the axis instead).
+
+    Each device scans its op shard locally (the same kernel/jnp path the
+    single-chip liftover_scan dispatches to), then exchanges ONLY
+    per-row shard totals: one [2, B]-int32 all_gather -- O(B x devices)
+    bytes, independent of N (asserted in tests/test_comm_volume.py).
+    The exclusive inter-device carry is the masked sum of the gathered
+    totals below this device's mesh index.
+
+    ops: uint8 [B, N], lens: int32 [B, N]; N must divide evenly over the
+    mesh (pad with op 0 / len 0 -- padding advances nothing).  Returns
+    (t_off, q_off) int32 [B, N] bit-identical to
+    ops.liftover.liftover_scan on the unsharded batch (tested)."""
+    from ..ops.liftover import OP_D, OP_I, OP_S, liftover_scan
+
+    def body(o, l):
+        t_loc, q_loc = liftover_scan(o, l, wide=wide)
+        # shard totals from the last op's exclusive offset + its advance
+        o_last = o[:, -1]
+        l_last = l[:, -1].astype(jnp.int32)
+        pad = o_last == 0
+        at = jnp.where(pad | (o_last == OP_I) | (o_last == OP_S), 0, l_last)
+        aq = jnp.where(pad | (o_last == OP_D), 0, l_last)
+        tot_t = t_loc[:, -1] + at
+        tot_q = q_loc[:, -1] + aq
+        gat = jax.lax.all_gather(
+            jnp.stack([tot_t, tot_q], axis=0), RECORDS_AXIS
+        )  # [D, 2, B]
+        idx = jax.lax.axis_index(RECORDS_AXIS)
+        mask = (jnp.arange(gat.shape[0]) < idx)[:, None, None]
+        carry = jnp.sum(jnp.where(mask, gat, 0), axis=0)  # [2, B]
+        return t_loc + carry[0][:, None], q_loc + carry[1][:, None]
+
+    spec = P(None, RECORDS_AXIS)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )
+    return fn(ops, lens)
