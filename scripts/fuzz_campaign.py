@@ -297,6 +297,71 @@ def prop_op_packings(rng):
         assert np.array_equal(gqf, want_q), g
 
 
+def _corrupt(rng, blob: bytes) -> bytes:
+    """Random byte-level corruption: truncation, splice, byte flips,
+    field deletion, junk insertion."""
+    b = bytearray(blob)
+    for _ in range(int(rng.integers(1, 4))):
+        style = int(rng.integers(0, 5))
+        if not b:
+            break
+        if style == 0:  # truncate
+            b = b[: int(rng.integers(0, len(b)))]
+        elif style == 1:  # flip bytes
+            for _ in range(int(rng.integers(1, 8))):
+                i = int(rng.integers(0, len(b)))
+                b[i] = int(rng.integers(0, 256))
+        elif style == 2:  # delete a span
+            i = int(rng.integers(0, len(b)))
+            j = min(len(b), i + int(rng.integers(1, 40)))
+            del b[i:j]
+        elif style == 3:  # insert junk
+            i = int(rng.integers(0, len(b)))
+            b[i:i] = bytes(rng.integers(0, 256, int(rng.integers(1, 20))))
+        else:  # duplicate a span
+            i = int(rng.integers(0, len(b)))
+            j = min(len(b), i + int(rng.integers(1, 40)))
+            b[i:i] = b[i:j]
+    return bytes(b)
+
+
+def prop_parser_robustness(rng):
+    """Corrupted MAF/PAF/chain inputs must either parse or raise a clean
+    WGAError -- never an unhandled IndexError/ValueError/KeyError/etc.
+    (the CLI maps WGAError to exit 1 with a message; anything else would
+    be a traceback in a user's face)."""
+    from wgatools_tpu.errors import WGAError
+    from wgatools_tpu.io.chain import ChainReader
+    from wgatools_tpu.io.maf import MafReader
+    from wgatools_tpu.io.paf import PafReader
+
+    t_aln, q_aln = rand_alignment(rng, alphabet="ACGT")
+    if not t_aln:
+        return
+    maf = (
+        "#maf version=1.6\na score=0\n"
+        f"s\tref.c\t10\t{len(t_aln.replace('-', ''))}\t+\t100000\t{t_aln}\n"
+        f"s\tqry.c\t20\t{len(q_aln.replace('-', ''))}\t+\t100000\t{q_aln}\n\n"
+    ).encode()
+    paf = (
+        "q\t500\t0\t400\t+\tt\t600\t0\t450\t380\t460\t60\t"
+        "cg:Z:100=5I200=10D100=\n"
+    ).encode()
+    chain = (
+        "chain 4900 t 600 + 0 450 q 500 + 0 400 1\n100\t10\t5\n300\n\n"
+    ).encode()
+    for reader_cls, blob in (
+        (MafReader, maf), (PafReader, paf), (ChainReader, chain),
+    ):
+        bad = _corrupt(rng, blob)
+        try:
+            for _rec in reader_cls(io.BytesIO(bad)).records():
+                pass
+        except WGAError:
+            pass  # clean, user-facing failure
+        # silent acceptance of a mutated-but-well-formed file is fine
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2000)
@@ -310,6 +375,7 @@ def main():
         "maf_paf_roundtrip": None,  # needs tmpdir, bound below
         "call_chunked": prop_call_chunked,
         "op_packings": prop_op_packings,
+        "parser_robustness": prop_parser_robustness,
     }
     failures = 0
     with tempfile.TemporaryDirectory() as td:

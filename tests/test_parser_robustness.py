@@ -304,3 +304,24 @@ def test_crlf_line_endings():
     precs = list(PafReader(iolib.BytesIO(paf)).records())
     assert len(precs) == 1
     assert precs[0].get_cigar_string() == "cg:Z:4M"
+
+
+def test_sline_non_ascii_field_raises_wgaerror():
+    """Corrupt bytes in s-line metadata fields must surface as
+    ParseMafError (exit-1 CLI message), not a raw UnicodeDecodeError
+    traceback (found by scripts/fuzz_campaign.py prop_parser_robustness)."""
+    import io
+
+    import pytest
+
+    from wgatools_tpu.errors import WGAError
+    from wgatools_tpu.io.maf import MafReader
+
+    maf = (
+        b"#maf version=1.6\na score=0\n"
+        b"s\tref\xb4chr\t10\t4\t+\t100\tACGT\n"
+        b"s\tqry.c\t20\t4\t+\t100\tACGT\n\n"
+    )
+    with pytest.raises(WGAError):
+        for _ in MafReader(io.BytesIO(maf)).records():
+            pass

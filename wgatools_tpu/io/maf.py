@@ -85,15 +85,21 @@ def parse_sline(line: bytes) -> MafSLine:
     seq = seq.rstrip()
     if b" " in seq or b"\t" in seq:
         raise ParseMafError("Surplus Filed > 7")
-    return MafSLine(
-        mode=chr(mode[0]),
-        name=name.decode("ascii"),
-        start=_parse_u64(start.decode("ascii")),
-        align_size=_parse_u64(align_size.decode("ascii")),
-        strand=Strand.parse(strand.decode("ascii")),
-        size=_parse_u64(size.decode("ascii")),
-        seq=seq,
-    )
+    try:
+        return MafSLine(
+            mode=chr(mode[0]),
+            name=name.decode("ascii"),
+            start=_parse_u64(start.decode("ascii")),
+            align_size=_parse_u64(align_size.decode("ascii")),
+            strand=Strand.parse(strand.decode("ascii")),
+            size=_parse_u64(size.decode("ascii")),
+            seq=seq,
+        )
+    except UnicodeDecodeError as e:
+        # corrupt / non-ASCII metadata field: a user-facing parse error,
+        # not a traceback (the reference's nom str conversion fails the
+        # same way, maf.rs parse path)
+        raise ParseMafError(f"non-ASCII bytes in s-line field: {e}")
 
 
 @dataclass
