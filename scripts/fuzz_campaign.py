@@ -355,8 +355,17 @@ def prop_parser_robustness(rng):
     ):
         bad = _corrupt(rng, blob)
         try:
-            for _rec in reader_cls(io.BytesIO(bad)).records():
-                pass
+            for rec in reader_cls(io.BytesIO(bad)).records():
+                # drive the record's compute accessors too: corrupt cg
+                # strings flow through the C++ CIGAR tokenizer, corrupt
+                # seqs through classify+RLE
+                for attr in ("get_stat", "get_cigar_ops", "get_cigar"):
+                    fn = getattr(rec, attr, None)
+                    if fn is not None:
+                        try:
+                            fn()
+                        except WGAError:
+                            pass
         except WGAError:
             pass  # clean, user-facing failure
         # silent acceptance of a mutated-but-well-formed file is fine

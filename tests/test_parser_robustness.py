@@ -325,3 +325,25 @@ def test_sline_non_ascii_field_raises_wgaerror():
     with pytest.raises(WGAError):
         for _ in MafReader(io.BytesIO(maf)).records():
             pass
+
+
+def test_corrupt_cg_tag_raises_wgaerror_not_unicode():
+    """A PAF line whose cg tag carries non-ASCII bytes (decoded leniently
+    to U+FFFD) must fail record accessors with a WGAError, not a
+    UnicodeEncodeError (found by fuzz_campaign prop_parser_robustness)."""
+    import io
+
+    import pytest
+
+    from wgatools_tpu.errors import WGAError
+    from wgatools_tpu.io.paf import PafReader
+
+    line = (
+        b"q\t500\t0\t400\t+\tt\t600\t0\t450\t380\t460\t60\t"
+        b"cg:Z:100=5I\xb42\x8e00=10D100=\n"
+    )
+    recs = list(PafReader(io.BytesIO(line)).records())
+    assert len(recs) == 1
+    for attr in ("get_stat", "get_cigar_ops"):
+        with pytest.raises(WGAError):
+            getattr(recs[0], attr)()

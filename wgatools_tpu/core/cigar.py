@@ -296,7 +296,14 @@ def tokenize_cigar(cigar: str):
     from .. import native
 
     if native.available():
-        raw = cigar.encode("ascii") if isinstance(cigar, str) else cigar
+        # "replace": corrupt tag bytes arrive as U+FFFD from lenient
+        # decodes; map to '?' so the tokenizer rejects them as a clean
+        # parse error instead of a UnicodeEncodeError traceback
+        raw = (
+            cigar.encode("ascii", "replace")
+            if isinstance(cigar, str)
+            else cigar
+        )
         try:
             return native.tokenize_cigar(raw)
         except ValueError as e:

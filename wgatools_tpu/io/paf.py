@@ -89,7 +89,13 @@ class PafRecord:
         stat accumulation); numpy ops path when the library is missing."""
         from .. import native
 
-        raw = strip_cg_prefix(self.get_cigar_string()).encode("ascii")
+        # "replace": a corrupt tag byte already decoded to U+FFFD --
+        # re-encode it to '?' so it fails downstream as CigarOpInvalid
+        # (a clean WGAError), not a UnicodeEncodeError traceback
+        # (found by scripts/fuzz_campaign.py prop_parser_robustness)
+        raw = strip_cg_prefix(self.get_cigar_string()).encode(
+            "ascii", "replace"
+        )
         try:
             st = native.cigar_text_stats(raw)
         except ValueError as e:
