@@ -324,13 +324,15 @@ def main():
             )
     # whole-batch rate is a strict lower bound (includes dispatch/transfer)
     lower_bound = B * L * hi_iters / min(t_hi_all)
-    # v5e HBM is ~819 GB/s; the combined loop moves ~1.0625 bytes per
-    # column (two 4-bit nibble planes = 1.0 B/col + 0.03125 B/col of
-    # group-8 sum words + 0.03125 B/col of anchor outputs at mean run
-    # 32), so nothing real can stream faster than ~770 Gcol/s -- a
-    # marginal estimate beyond that is timing noise, so fall back to
-    # the lower bound.  (The classify stage alone is VPU-bound at
-    # ~565 Gcol/s standalone, ab_nibble.py -- the real ceiling.)
+    # The combined loop moves ~1.0625 bytes per column (two 4-bit nibble
+    # planes = 1.0 B/col + 0.03125 B/col of group-8 sum words + 0.03125
+    # B/col of anchor outputs at mean run 32).  v5e paper HBM is ~819
+    # GB/s (-> ~770 Gcol/s streaming bound); the attached chip measures
+    # faster raw streams (ab_stream_probe: 1.8-1.9 TB/s of reads), but
+    # the kernel is VPU-issue-bound at ~565 Gcol/s (ab_count_defer), so
+    # 770e9 stays as a conservative noise filter: a marginal estimate
+    # beyond it cannot be kernel throughput on any reading of the
+    # hardware, and the lower bound is reported instead.
     phys_bound = 770e9
     if 0 < marginal <= phys_bound:
         gbps = marginal / 1e9
