@@ -283,6 +283,20 @@ def main():
             "gate: OK",
             file=sys.stderr,
         )
+        # odd-row-count compile gate: a clamped 9-row tile once failed
+        # Mosaic remote compile (sublane misalignment) while interpret
+        # mode passed -- keep a non-multiple-of-8 batch compiling on
+        # silicon (wrappers round tile_b up to 8 and row-pad)
+        from wgatools_tpu.ops.liftover import liftover_scan_pallas
+
+        o9 = jnp.asarray(np.asarray(ops_np[:9, :128]))
+        l9 = jnp.asarray(lens_np[:9, :128])
+        g9_t, g9_q = liftover_scan_pallas(o9, l9)
+        w9_t, w9_q = _liftover_scan_impl(o9, l9, False, False)
+        assert np.array_equal(np.asarray(g9_t), np.asarray(w9_t))
+        assert np.array_equal(np.asarray(g9_q), np.asarray(w9_q))
+        print("on-chip odd-row (B=9) compile+parity gate: OK",
+              file=sys.stderr)
 
     def run_batch(iters: int) -> float:
         """Wall seconds for `iters` executions of classify+stat AND

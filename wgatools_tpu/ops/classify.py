@@ -260,6 +260,7 @@ def classify_stat_pallas(
     """
     B, L = t.shape
     tile_b = min(tile_b, B)
+    tile_b = ((tile_b + 7) // 8) * 8  # sublane-aligned row blocks
     tile_l = min(tile_l, L)
     # the kernel packs two counters into 16-bit fields of one int32;
     # per-tile counts must fit 16 bits
@@ -552,6 +553,7 @@ def classify_stat_pallas_words(
     """
     B, LW = tw.shape
     tile_b = min(tile_b, B)
+    tile_b = ((tile_b + 7) // 8) * 8  # sublane-aligned row blocks
     tile_lw = min(tile_lw, LW)
     # per-tile column counts (4 per word) must fit the 16-bit fields
     assert tile_lw * 4 < (1 << 16), "tile_lw*4 must be < 2^16"
@@ -832,6 +834,7 @@ def classify_stat_pallas_nibbles(
     """
     B, LW = tw.shape
     tile_b = min(tile_b, B)
+    tile_b = ((tile_b + 7) // 8) * 8  # sublane-aligned row blocks
     tile_lw = min(tile_lw, LW)
     assert tile_lw * 8 < (1 << 16), "tile_lw*8 must be < 2^16"
     if LW % tile_lw:

@@ -592,6 +592,7 @@ def classify_liftover_fused16(
     B, LW0 = tw.shape
     B2, NOH = opw16.shape
     tile_b = min(tile_b, max(B, B2))
+    tile_b = ((tile_b + 7) // 8) * 8  # sublane-aligned row blocks
     tile_lw = min(tile_lw, max(LW0, 128))
     assert tile_lw * cpw < (1 << 16), "tile columns must be < 2^16"
     tw, qw, lengths, (opw16,), dims = _pad_fused_inputs(
@@ -724,6 +725,7 @@ def classify_liftover_fused_adv16(
     B, LW0 = tw.shape
     B2, NOH = wt.shape
     tile_b = min(tile_b, max(B, B2))
+    tile_b = ((tile_b + 7) // 8) * 8  # sublane-aligned row blocks
     tile_lw = min(tile_lw, max(LW0, 128))
     assert tile_lw * cpw < (1 << 16), "tile columns must be < 2^16"
     tw, qw, lengths, (wt, wq), dims = _pad_fused_inputs(
@@ -857,6 +859,7 @@ def classify_liftover_fused(
     B, LW0 = tw.shape
     B2, NO = ops.shape
     tile_b = min(tile_b, max(B, B2))
+    tile_b = ((tile_b + 7) // 8) * 8  # sublane-aligned row blocks
     tile_lw = min(tile_lw, max(LW0, 128))
     assert tile_lw * 4 < (1 << 16), "tile_lw*4 must be < 2^16"
 

@@ -232,6 +232,10 @@ def liftover_scan_pallas(
     """
     B, N = ops.shape
     tile_b = min(tile_b, B)
+    # Mosaic blocks must be sublane-aligned: a clamped odd row tile
+    # (e.g. B=9 -> tile_b=9) fails remote compile; round up to 8 and
+    # let the row padding below cover the difference
+    tile_b = ((tile_b + 7) // 8) * 8
     tile_l = min(tile_l, max(N, 128))
     if N % tile_l or N == 0:
         N2 = max(((N + tile_l - 1) // tile_l) * tile_l, tile_l)
