@@ -416,3 +416,60 @@ def test_safe_chunk_boundary_native_vs_numpy(seed):
                 if got[1] <= start:
                     break
                 start = got[1]
+
+
+def test_paf_caller_zero_length_leading_op(tmp_path):
+    """A degenerate '0=' leading op must not crash or emit an
+    invalid-anchor indel row: zero-length ops advance nothing and are
+    dropped before the scan.  (The reference's sequential fold would
+    panic on the follow-up indel's negative REF slice, caller.rs:531-535
+    -- divergence noted in PARITY.md.  Round-4 fuzz/review finding: the
+    C++ bulk formatter read tseq[-1] out of bounds here.)"""
+    import io as iolib
+
+    from wgatools_tpu.io.paf import PafReader
+    from wgatools_tpu.tools.caller import call_var_paf
+
+    t_seq = "ACGTACGTACGTACGTACGT"
+    q_seq = "ACGTACGTACGTAAAAACGTACGTACGTACGT"  # 12 match, 12I? see cg
+    # 0= leading (degenerate), then I (would anchor at ts=-1), then real
+    cg = "0=12I20="
+    q_plain = "GGGGGGGGGGGG" + t_seq
+    t_path = tmp_path / "t.fa"
+    q_path = tmp_path / "q.fa"
+    t_path.write_text(f">t\n{t_seq}\n")
+    q_path.write_text(f">q\n{q_plain}\n")
+    paf = (
+        f"q\t{len(q_plain)}\t0\t{len(q_plain)}\t+\t"
+        f"t\t{len(t_seq)}\t0\t{len(t_seq)}\t20\t32\t60\tcg:Z:{cg}\n"
+    )
+    out = iolib.BytesIO()
+    call_var_paf(
+        PafReader(iolib.BytesIO(paf.encode())), str(t_path), str(q_path),
+        out, if_snp=True, svlen_cutoff=0,
+    )
+    body = [
+        l for l in out.getvalue().decode().splitlines()
+        if l and not l.startswith("#")
+    ]
+    # the leading indel is dropped (no match ran before it); no crash,
+    # no negative-anchor garbage row
+    assert all("SVTYPE=INS" not in l for l in body), body
+
+
+def test_tokenize_cigar_unicode_fallback_path(monkeypatch):
+    """tokenize_cigar must reject U+FFFD as a clean WGAError on BOTH the
+    native and the numpy fallback paths (round-4 review: the first fix
+    only covered the native call site)."""
+    import pytest
+
+    from wgatools_tpu import native
+    from wgatools_tpu.core.cigar import tokenize_cigar
+    from wgatools_tpu.errors import WGAError
+
+    for force_fallback in (False, True):
+        if force_fallback:
+            monkeypatch.setattr(native, "available", lambda: False)
+        with pytest.raises(WGAError):
+            tokenize_cigar("10M�5I")
+        monkeypatch.undo()

@@ -453,3 +453,33 @@ def test_pack_nibble_words_fallback():
     tw, qw = packed
     assert tw.dtype == np.int32 and tw.shape[1] == t.shape[1] // 8
     assert (tw[0, 0] & 0xF) == 0  # '-' -> code 0
+
+
+def test_pack_nibble_words_native_vs_numpy():
+    """The C++ one-pass packer and the numpy fallback must produce
+    identical words on every dictionary byte, and agree on rejecting
+    out-of-dictionary bytes (round-4 review: the fallback branch had no
+    differential coverage while the native lib is present in CI)."""
+    import numpy as np
+
+    from wgatools_tpu import native
+    from wgatools_tpu.ops.classify import _NIB_ALPHABET, pack_nibble_words
+
+    if native.load() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(8)
+    alpha = np.frombuffer(_NIB_ALPHABET, np.uint8)
+    t = alpha[rng.integers(0, len(alpha), (5, 256))]
+    q = alpha[rng.integers(0, len(alpha), (5, 256))]
+    nat = pack_nibble_words(t, q, use_native=True)
+    fal = pack_nibble_words(t, q, use_native=False)
+    assert nat is not None and fal is not None
+    assert np.array_equal(nat[0], fal[0])
+    assert np.array_equal(nat[1], fal[1])
+    # out-of-dictionary byte: both paths must reject
+    t_bad = t.copy()
+    t_bad[2, 100] = ord("R")  # IUPAC purine, not in the dictionary
+    assert pack_nibble_words(t_bad, q, use_native=True) is None
+    assert pack_nibble_words(t_bad, q, use_native=False) is None

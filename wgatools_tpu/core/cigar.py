@@ -295,19 +295,18 @@ def tokenize_cigar(cigar: str):
         return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     from .. import native
 
+    # "replace": corrupt tag bytes arrive as U+FFFD from lenient
+    # decodes; map to '?' so BOTH tokenizer paths (native and numpy)
+    # reject them as a clean parse error instead of a
+    # UnicodeEncodeError traceback
+    cigar = (
+        cigar.encode("ascii", "replace") if isinstance(cigar, str) else cigar
+    )
     if native.available():
-        # "replace": corrupt tag bytes arrive as U+FFFD from lenient
-        # decodes; map to '?' so the tokenizer rejects them as a clean
-        # parse error instead of a UnicodeEncodeError traceback
-        raw = (
-            cigar.encode("ascii", "replace")
-            if isinstance(cigar, str)
-            else cigar
-        )
         try:
-            return native.tokenize_cigar(raw)
+            return native.tokenize_cigar(cigar)
         except ValueError as e:
-            raise_tokenize_error(raw, e.args[0])
+            raise_tokenize_error(cigar, e.args[0])
     b = seq_bytes(cigar)
     isdig = _DIGIT_MASK[b]
     # op positions: non-digit bytes

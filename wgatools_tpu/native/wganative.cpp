@@ -1081,6 +1081,12 @@ int64_t format_indel_rows(const char* chrom, int64_t chrom_len,
         int64_t to = t_off[i], qo = q_off[i], ln = lens[i];
         int64_t ts = to - t_start - 1;
         int64_t qs = qo - q_start - 1;
+        // anchors are >= 0 for every event the caller emits (after_m
+        // requires a preceding nonzero match run; zero-length ops are
+        // dropped upstream) -- clamp defensively so malformed input can
+        // only produce a wrong byte, never an out-of-bounds read
+        if (ts < 0) ts = 0;
+        if (qs < 0) qs = 0;
         int64_t w = (i == 0) ? 0 : row_end[i - 1];
         if (w + chrom_len + qchro_len + init_info_len + ln + 152 > cap)
             return -1;

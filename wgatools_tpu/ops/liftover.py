@@ -470,21 +470,7 @@ def pack_ops_words16(ops, lens):
     M/=/X/I/S/D (ValueError otherwise -- an unknown op would silently
     pack to the padding class and advance nothing).  N is padded to
     even.  Returns int32 [B, N//2]."""
-    ops = np.asarray(ops, dtype=np.uint8)
-    lens = np.asarray(lens)
-    assert lens.max(initial=0) < (1 << 13), "packed16 needs len < 8192"
-    if not _VALID_PACK16[ops].all():
-        bad = np.unique(ops[~_VALID_PACK16[ops]])
-        raise ValueError(
-            "pack_ops_words16: unsupported op byte(s) "
-            f"{[chr(b) for b in bad]}; only M/=/X/I/S/D pack to advance "
-            "classes (use the 32-bit op paths for other ops)"
-        )
-    B, N = ops.shape
-    if N % 2:
-        ops = np.pad(ops, ((0, 0), (0, 1)))
-        lens = np.pad(lens, ((0, 0), (0, 1)))
-        N += 1
+    ops, lens = _validate_pack16(ops, lens, "pack_ops_words16", pad_to=2)
     cls = _ADV_CLASS[ops]
     half = (cls << 13) | lens.astype(np.int32)
     return half[:, 0::2] | (half[:, 1::2] << 16)
@@ -513,13 +499,10 @@ def pack_ops_adv16(ops, lens):
     return pack(adv_t), pack(adv_q)
 
 
-def _host_advances(ops, lens, who, pad_to):
-    """Shared host-side advance decode for the 16-bit packers: validate
-    the op bytes (M/=/X/I/S/D + 0 padding), pad N to a multiple of
-    `pad_to`, and return per-op (adv_t, adv_q) int32 arrays.  The single
-    source of the class->advance mapping that pack_ops_adv16 words and
-    pack_ops_sums anchors are later recombined under
-    (expand_group_prefix), so the two packings cannot drift."""
+def _validate_pack16(ops, lens, who, pad_to):
+    """Shared guard for every 16-bit op packer: op bytes must be in
+    M/=/X/I/S/D (+ 0 padding), lengths < 2^13; N is zero-padded to a
+    multiple of `pad_to`.  Returns (ops uint8, lens) padded."""
     ops = np.asarray(ops, dtype=np.uint8)
     lens = np.asarray(lens)
     assert lens.max(initial=0) < (1 << 13), f"{who} needs len < 8192"
@@ -530,11 +513,20 @@ def _host_advances(ops, lens, who, pad_to):
             f"{[chr(b) for b in bad]}; only M/=/X/I/S/D pack to advance "
             "classes (use the 32-bit op paths for other ops)"
         )
-    B, N = ops.shape
+    N = ops.shape[1]
     if N % pad_to:
         pad = pad_to - N % pad_to
         ops = np.pad(ops, ((0, 0), (0, pad)))
         lens = np.pad(lens, ((0, 0), (0, pad)))
+    return ops, lens
+
+
+def _host_advances(ops, lens, who, pad_to):
+    """Shared host-side advance decode for the 16-bit packers: the
+    single source of the class->advance mapping that pack_ops_adv16
+    words and pack_ops_sums anchors are later recombined under
+    (expand_group_prefix), so the two packings cannot drift."""
+    ops, lens = _validate_pack16(ops, lens, who, pad_to)
     cls = _ADV_CLASS[ops]
     lens = lens.astype(np.int32)
     adv_t = np.where((cls == ADV_BOTH) | (cls == ADV_D), lens, 0)

@@ -709,6 +709,15 @@ def call_var_paf(
             from ..errors import CigarOpInvalid
 
             raise CigarOpInvalid(chr(int(ops[bad[0]])))
+        # drop degenerate zero-length ops ('0=' tokenizes fine): they
+        # advance nothing and emit nothing, but a zero-length leading
+        # match would set after_m with to == t_start, making the
+        # following indel's REF/ALT anchor index negative (the reference
+        # panics on that input, caller.rs:531-535 slice underflow; we
+        # drop the no-op instead -- divergence noted in PARITY.md)
+        nz = lens > 0
+        if not nz.all():
+            cats, lens = cats[nz], lens[nz]
         rows = _emit_variant_rows(
             cats,
             lens,
