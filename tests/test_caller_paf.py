@@ -270,7 +270,8 @@ def test_emit_variant_rows_scalar_vs_vectorized(seed, if_snp):
     """The small-chunk sequential walk and the vectorized run-table scan
     must produce identical row sequences (same interleaving, same bytes
     once flattened) on random run tables, including leading/trailing
-    indels, W runs, and sub-cutoff events."""
+    indels, W runs, sub-cutoff events, and zero-length runs (which drive
+    after_m without advancing, caller.rs:682-684, 762-766)."""
     import numpy as np
 
     from wgatools_tpu.core import cigar as C
@@ -285,7 +286,7 @@ def test_emit_variant_rows_scalar_vs_vectorized(seed, if_snp):
         np.array([C.EQ, C.X, C.I, C.D, C.W]), size=nruns,
         p=[0.4, 0.2, 0.15, 0.15, 0.1],
     ).astype(np.uint8)
-    lens = rng.integers(1, 12, size=nruns).astype(np.int64)
+    lens = rng.integers(0, 12, size=nruns).astype(np.int64)
     svlen = int(rng.integers(0, 4))
     t_len = int(lens[(vals == C.EQ) | (vals == C.X) | (vals == C.D)].sum())
     q_len = int(lens[(vals == C.EQ) | (vals == C.X) | (vals == C.I)].sum())
@@ -370,6 +371,38 @@ def test_format_indel_rows_native_vs_python(monkeypatch):
         assert b"SVTYPE=INS" in native_out and b"SVTYPE=DEL" in native_out
 
 
+def test_format_indel_rows_rejects_out_of_bounds_offsets():
+    """Round-4 advisor: a malformed t_off/q_off past the sequence end
+    must make the C++ formatter return None (Python fallback takes over)
+    -- never memcpy-read out of bounds.  Same for negative anchors."""
+    import numpy as np
+
+    from wgatools_tpu import native
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    tseq = np.frombuffer(b"ACGTACGT", np.uint8)
+    qseq = np.frombuffer(b"ACGTACGTACGT", np.uint8)
+
+    def run(t_off, q_off, ln, is_del):
+        return native.format_indel_rows(
+            b"t", b"q", b"P", b"", tseq, qseq, 0, 0,
+            np.array([t_off], np.int64), np.array([q_off], np.int64),
+            np.array([ln], np.int64), np.array([is_del], np.uint8),
+        )
+
+    # in-bounds sanity
+    assert run(4, 4, 3, 1) is not None  # DEL reads tseq[3:7]
+    assert run(4, 4, 3, 0) is not None  # INS reads qseq[3:7]
+    # DEL whose REF slice runs past tseq end
+    assert run(6, 4, 3, 1) is None  # tseq[5:9] > len 8
+    # INS whose ALT slice runs past qseq end
+    assert run(4, 10, 3, 0) is None  # qseq[9:13] > len 12
+    # negative anchors
+    assert run(0, 4, 3, 1) is None
+    assert run(4, 0, 3, 0) is None
+
+
 @pytest.mark.parametrize("seed", range(10))
 def test_safe_chunk_boundary_native_vs_numpy(seed):
     """The C++ boundary scan must equal the numpy RLE formulation for all
@@ -420,10 +453,11 @@ def test_safe_chunk_boundary_native_vs_numpy(seed):
 
 def test_paf_caller_zero_length_leading_op(tmp_path):
     """A degenerate '0=' leading op must not crash or emit an
-    invalid-anchor indel row: zero-length ops advance nothing and are
-    dropped before the scan.  (The reference's sequential fold would
-    panic on the follow-up indel's negative REF slice, caller.rs:531-535
-    -- divergence noted in PARITY.md.  Round-4 fuzz/review finding: the
+    invalid-anchor indel row: the zero-length match sets after_m (as the
+    reference's fold does, caller.rs:682-684) but the following indel's
+    anchor would sit at index -1, where the reference panics on the
+    slice underflow (caller.rs:531-535) -- we skip that one event
+    (divergence noted in PARITY.md.  Round-4 fuzz/review finding: the
     C++ bulk formatter read tseq[-1] out of bounds here.)"""
     import io as iolib
 
@@ -455,6 +489,63 @@ def test_paf_caller_zero_length_leading_op(tmp_path):
     # the leading indel is dropped (no match ran before it); no crash,
     # no negative-anchor garbage row
     assert all("SVTYPE=INS" not in l for l in body), body
+
+
+def _call_paf_body(tmp_path, cg, t_seq, q_seq, svlen_cutoff=0):
+    """Run call_var_paf on one synthetic +strand record; return VCF body
+    lines."""
+    import io as iolib
+
+    from wgatools_tpu.io.paf import PafReader
+    from wgatools_tpu.tools.caller import call_var_paf
+
+    # unique names per call: FastaReader caches a .fai next to the file,
+    # so reusing a path across scenarios would serve stale offsets
+    tag = cg.replace("=", "e").replace("I", "i").replace("D", "d")
+    t_path = tmp_path / f"t_{tag}.fa"
+    q_path = tmp_path / f"q_{tag}.fa"
+    t_path.write_text(f">t\n{t_seq}\n")
+    q_path.write_text(f">q\n{q_seq}\n")
+    paf = (
+        f"q\t{len(q_seq)}\t0\t{len(q_seq)}\t+\t"
+        f"t\t{len(t_seq)}\t0\t{len(t_seq)}\t1\t1\t60\tcg:Z:{cg}\n"
+    )
+    out = iolib.BytesIO()
+    call_var_paf(
+        PafReader(iolib.BytesIO(paf.encode())), str(t_path), str(q_path),
+        out, if_snp=False, svlen_cutoff=svlen_cutoff,
+    )
+    return [
+        l for l in out.getvalue().decode().splitlines()
+        if l and not l.startswith("#")
+    ]
+
+
+def test_paf_caller_zero_length_ops_drive_after_m(tmp_path):
+    """Zero-length ops participate in the after_m state machine exactly
+    as the reference's fold does: '0I' clears after_m so '5=0I4D'
+    suppresses the DEL (caller.rs:762-766), while '0=' sets it so
+    '10=3I0=5D' emits the DEL (caller.rs:682-684).  Round-4 advisor
+    finding: dropping all zero-length ops inverted both cases."""
+    # 5=0I4D: reference sets after_m=false on the 0I, so the DEL is
+    # suppressed
+    body = _call_paf_body(
+        tmp_path, "5=0I4D", t_seq="ACGTACGTA", q_seq="ACGTA"
+    )
+    assert all("SVTYPE=DEL" not in l for l in body), body
+
+    # 10=3I0=5D: reference sets after_m=true on the 0=, so the DEL IS
+    # emitted (anchor at t index 9 / q index 12)
+    t_seq = "ACGTACGTAC" + "TTTTT"
+    q_seq = "ACGTACGTAC" + "GGG"
+    body = _call_paf_body(tmp_path, "10=3I0=5D", t_seq=t_seq, q_seq=q_seq)
+    dels = [l for l in body if "SVTYPE=DEL" in l]
+    assert len(dels) == 1, body
+    f = dels[0].split("\t")
+    # POS = t_start + 10 (1-based anchor at col 10), REF spans anchor+DEL
+    assert f[1] == "10"
+    assert f[3] == t_seq[9:15]
+    assert f[4] == q_seq[12:13]
 
 
 def test_tokenize_cigar_unicode_fallback_path(monkeypatch):

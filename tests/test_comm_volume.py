@@ -237,3 +237,23 @@ def test_sequence_parallel_scan_parity_and_carry_bytes():
 
     small, big = traced_bytes(4, 256), traced_bytes(4, 8192)
     assert small == big == 2 * 4 * 4  # [2, B] int32 shard totals only
+
+
+def test_sequence_parallel_scan_guards():
+    """Round-4 advisor: a non-divisible op axis must raise a clear error
+    (not an opaque shard_map sharding failure), and totals past int32
+    must demand wide=True instead of silently wrapping offsets."""
+    import pytest
+
+    from wgatools_tpu.parallel.mesh import sharded_liftover_sp
+
+    mesh = make_mesh(8)
+    ops = np.full((1, 257), ord("M"), np.uint8)  # 257 % 8 != 0
+    lens = np.ones((1, 257), np.int32)
+    with pytest.raises(ValueError, match="divide evenly"):
+        sharded_liftover_sp(mesh, ops, lens)
+
+    ops = np.full((1, 256), ord("M"), np.uint8)
+    lens = np.full((1, 256), 10_000_000, np.int32)  # 2.56G total
+    with pytest.raises(ValueError, match="wide=True"):
+        sharded_liftover_sp(mesh, ops, lens, wide=False)

@@ -232,7 +232,8 @@ def test_pack_ops_adv16_bounds():
     assert wt[0, 0] == (1 << 14) | 1
     # query advances on M and I: even 1, pair sum 8192
     assert wq[0, 0] == (1 << 14) | 8192
-    with pytest.raises(AssertionError):
+    # explicit ValueError (not a -O-strippable assert, round-4 advisor)
+    with pytest.raises(ValueError, match="len < 8192"):
         pack_ops_adv16(ops, lens + 8192)
     with pytest.raises(ValueError):
         pack_ops_adv16(np.frombuffer(b"NH", np.uint8).reshape(1, 2),
@@ -246,7 +247,7 @@ def test_pack_ops_words16_bounds():
     lens = np.array([[1, 8191, 0, 5, 7, 2]], np.int32)
     w = pack_ops_words16(ops, lens)
     assert w.shape == (1, 3)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="len < 8192"):
         pack_ops_words16(ops, lens + 8192)
 
 

@@ -86,8 +86,8 @@ def load():
         lib.format_snp_rows.restype = _i64
         lib.format_indel_rows.argtypes = [
             _charp, _i64, _charp, _i64, ctypes.c_char, _charp, _i64,
-            _ptr, _ptr, _i64, _i64, _ptr, _ptr, _ptr, _ptr, _i64,
-            _ptr, _i64, _ptr,
+            _ptr, _i64, _ptr, _i64, _i64, _i64, _ptr, _ptr, _ptr, _ptr,
+            _i64, _ptr, _i64, _ptr,
         ]
         lib.format_indel_rows.restype = _i64
         lib.format_chain_lines.argtypes = [_ptr, _ptr, _ptr, _i64, _ptr, _i64]
@@ -690,6 +690,9 @@ def format_indel_rows(chrom: bytes, qchro: bytes, suffix: bytes,
     (bytes, row_end int64 array) or None (callers fall back to per-event
     Python f-strings).  tseq/qseq: gap-free uppercased uint8 sequence
     arrays; per-event arrays are parallel (is_del picks the row shape).
+    Any event whose REF/ALT slice falls outside the sequences (negative
+    anchor or past-end offset) makes the C++ side return -1 -> None here,
+    so malformed offsets can never read out of bounds.
     One call formats every indel row of a chunk -- the per-event Python
     loop + write_record f-strings dominated indel-dense calls."""
     lib = load()
@@ -711,7 +714,8 @@ def format_indel_rows(chrom: bytes, qchro: bytes, suffix: bytes,
     w = lib.format_indel_rows(
         chrom, len(chrom), qchro, len(qchro), suffix,
         init_info, len(init_info),
-        tseq.ctypes.data, qseq.ctypes.data, t_start, q_start,
+        tseq.ctypes.data, tseq.shape[0], qseq.ctypes.data, qseq.shape[0],
+        t_start, q_start,
         t_off.ctypes.data, q_off.ctypes.data, lens.ctypes.data,
         is_del.ctypes.data, n, out.ctypes.data, cap,
         row_end.ctypes.data,

@@ -1063,15 +1063,20 @@ int32_t pack_nibbles(const uint8_t* src, int64_t n, const uint8_t* lut256,
 //        "<init_info>SVTYPE=INS;SVLEN=<ln>;END=<to>\tGT:QI\t"
 //        "1|1:<qchro>@<qo>@<qo+ln>@<sfx>\n"
 //   DEL: ref/alt swap roles, END=<to+ln>, QI "@<qo>@<qo>@".
-// tseq/qseq are the gap-free UPPERCASED sequences starting at
-// t_start/q_start (ts = to - t_start - 1 >= 0 because every emitted
-// event follows a match run).  is_del[i] selects the row shape.
-// row_end receives each row's end offset (for run-order interleaving
-// with SNP blocks).  Returns bytes written or -1 if cap too small.
+// tseq/qseq are the gap-free UPPERCASED sequences (lengths
+// tseq_len/qseq_len) starting at t_start/q_start (ts = to - t_start - 1
+// >= 0 because every emitted event follows a match run and the Python
+// side filters negative-anchor events).  is_del[i] selects the row
+// shape.  row_end receives each row's end offset (for run-order
+// interleaving with SNP blocks).  Returns bytes written, or -1 if cap
+// is too small OR any event's slice falls outside [0, seq_len) --
+// malformed offsets never read out of bounds; the Python fallback
+// takes over.
 int64_t format_indel_rows(const char* chrom, int64_t chrom_len,
                           const char* qchro, int64_t qchro_len, char suffix,
                           const char* init_info, int64_t init_info_len,
-                          const uint8_t* tseq, const uint8_t* qseq,
+                          const uint8_t* tseq, int64_t tseq_len,
+                          const uint8_t* qseq, int64_t qseq_len,
                           int64_t t_start, int64_t q_start,
                           const int64_t* t_off, const int64_t* q_off,
                           const int64_t* lens, const uint8_t* is_del,
@@ -1081,12 +1086,12 @@ int64_t format_indel_rows(const char* chrom, int64_t chrom_len,
         int64_t to = t_off[i], qo = q_off[i], ln = lens[i];
         int64_t ts = to - t_start - 1;
         int64_t qs = qo - q_start - 1;
-        // anchors are >= 0 for every event the caller emits (after_m
-        // requires a preceding nonzero match run; zero-length ops are
-        // dropped upstream) -- clamp defensively so malformed input can
-        // only produce a wrong byte, never an out-of-bounds read
-        if (ts < 0) ts = 0;
-        if (qs < 0) qs = 0;
+        if (ts < 0 || qs < 0 || ln < 0) return -1;
+        // DEL reads tseq[ts..ts+ln] + qseq[qs]; INS reads tseq[ts] +
+        // qseq[qs..qs+ln] -- bound BOTH sides of each slice
+        int64_t t_need = is_del[i] ? ts + ln + 1 : ts + 1;
+        int64_t q_need = is_del[i] ? qs + 1 : qs + ln + 1;
+        if (t_need > tseq_len || q_need > qseq_len) return -1;
         int64_t w = (i == 0) ? 0 : row_end[i - 1];
         if (w + chrom_len + qchro_len + init_info_len + ln + 152 > cap)
             return -1;

@@ -505,7 +505,11 @@ def _validate_pack16(ops, lens, who, pad_to):
     multiple of `pad_to`.  Returns (ops uint8, lens) padded."""
     ops = np.asarray(ops, dtype=np.uint8)
     lens = np.asarray(lens)
-    assert lens.max(initial=0) < (1 << 13), f"{who} needs len < 8192"
+    # explicit raise, not assert: under `python -O` an assert is
+    # stripped and an oversized length would silently corrupt the
+    # packed adv16/sum words (wrong offsets, no error)
+    if lens.max(initial=0) >= (1 << 13):
+        raise ValueError(f"{who} needs len < 8192")
     if not _VALID_PACK16[ops].all():
         bad = np.unique(ops[~_VALID_PACK16[ops]])
         raise ValueError(

@@ -282,10 +282,30 @@ def sharded_liftover_sp(mesh: Mesh, ops, lens, wide=False):
     totals below this device's mesh index.
 
     ops: uint8 [B, N], lens: int32 [B, N]; N must divide evenly over the
-    mesh (pad with op 0 / len 0 -- padding advances nothing).  Returns
-    (t_off, q_off) int32 [B, N] bit-identical to
-    ops.liftover.liftover_scan on the unsharded batch (tested)."""
+    mesh (pad with op 0 / len 0 -- padding advances nothing; checked
+    below with a clear error instead of an opaque shard_map failure).
+    Offsets are int32 unless wide=True: a record whose advanced bases
+    exceed ~2.1G (int32 max) NEEDS wide=True or the carried offsets wrap
+    -- checked below from the host-visible total.  Returns (t_off, q_off)
+    [B, N] bit-identical to ops.liftover.liftover_scan on the unsharded
+    batch (tested)."""
     from ..ops.liftover import OP_D, OP_I, OP_S, liftover_scan
+
+    n_dev = mesh.shape[RECORDS_AXIS]
+    n_ops = ops.shape[1]
+    if n_ops % n_dev:
+        raise ValueError(
+            f"sharded_liftover_sp: op axis ({n_ops}) must divide evenly "
+            f"over the {n_dev}-device mesh -- pad with op 0 / len 0 "
+            "(padding advances nothing)"
+        )
+    if not wide and not isinstance(lens, jax.core.Tracer):
+        total = int(np.asarray(lens, dtype=np.int64).sum(axis=1).max(initial=0))
+        if total >= (1 << 31):
+            raise ValueError(
+                f"sharded_liftover_sp: record advances up to {total} bases "
+                "-- int32 offsets would wrap; pass wide=True"
+            )
 
     def body(o, l):
         t_loc, q_loc = liftover_scan(o, l, wide=wide)

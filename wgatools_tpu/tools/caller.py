@@ -276,8 +276,14 @@ def _emit_variant_rows_vec(
     prev_sig = np.concatenate(([-1], last_sig[:-1]))
     after_m = np.where(prev_sig >= 0, is_m[np.clip(prev_sig, 0, None)], False)
 
-    ins_sel = np.flatnonzero((vals == C.I) & (lens64 > svlen_cutoff) & after_m)
-    del_sel = np.flatnonzero((vals == C.D) & (lens64 > svlen_cutoff) & after_m)
+    # negative-anchor guard: after_m set by a ZERO-length match can leave
+    # the indel's anchor base at index -1 (t_off==t_start or
+    # q_off==q_start); the reference panics on the slice underflow
+    # (caller.rs:531-535) -- we skip the event (PARITY.md)
+    anchor_ok = (t_off > t_start) & (q_off > q_start)
+    indel_ok = (lens64 > svlen_cutoff) & after_m & anchor_ok
+    ins_sel = np.flatnonzero((vals == C.I) & indel_ok)
+    del_sel = np.flatnonzero((vals == C.D) & indel_ok)
     snp_sel = np.flatnonzero(vals == C.X) if if_snp else np.zeros(0, np.int64)
 
     t_ref_np = np.frombuffer(t_str.encode("ascii"), dtype=np.uint8)
@@ -460,7 +466,9 @@ def _emit_variant_rows_scalar(
             q_off += ln
             after_m = True
         elif v == C.I:
-            if ln > svlen_cutoff and after_m:
+            # negative-anchor guard: matches _emit_variant_rows_vec
+            # (reference panics on the slice underflow, caller.rs:531-535)
+            if ln > svlen_cutoff and after_m and t_off > t_start and q_off > q_start:
                 flush()
                 ts = t_off - t_start - 1
                 qs = q_off - q_start - 1
@@ -476,7 +484,7 @@ def _emit_variant_rows_scalar(
             q_off += ln
             after_m = False
         elif v == C.D:
-            if ln > svlen_cutoff and after_m:
+            if ln > svlen_cutoff and after_m and t_off > t_start and q_off > q_start:
                 flush()
                 ts = t_off - t_start - 1
                 qs = q_off - q_start - 1
@@ -709,15 +717,14 @@ def call_var_paf(
             from ..errors import CigarOpInvalid
 
             raise CigarOpInvalid(chr(int(ops[bad[0]])))
-        # drop degenerate zero-length ops ('0=' tokenizes fine): they
-        # advance nothing and emit nothing, but a zero-length leading
-        # match would set after_m with to == t_start, making the
-        # following indel's REF/ALT anchor index negative (the reference
-        # panics on that input, caller.rs:531-535 slice underflow; we
-        # drop the no-op instead -- divergence noted in PARITY.md)
-        nz = lens > 0
-        if not nz.all():
-            cats, lens = cats[nz], lens[nz]
+        # zero-length ops ('0=' tokenizes fine) advance nothing and emit
+        # nothing, but they DO drive the after_m state machine in the
+        # reference's fold ('0='/'0X' set after_m, '0I'/'0D' clear it,
+        # caller.rs:682-684, 762-766), so they stay in the run table.
+        # The one pathological case -- a zero-length match anchoring a
+        # following indel at index -1, where the reference panics on the
+        # slice underflow (caller.rs:531-535) -- is skipped inside
+        # _emit_variant_rows (divergence noted in PARITY.md).
         rows = _emit_variant_rows(
             cats,
             lens,
