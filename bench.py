@@ -87,11 +87,18 @@ def main():
     # nibble-packed planes for the round-4 flagship: 4-bit dictionary
     # codes, 8 columns per int32 lane -- half the column DMA and 1.88x
     # the standalone classify rate on-chip (scripts/ab_nibble.py)
-    from wgatools_tpu.ops.classify import pack_nibble_words
+    from wgatools_tpu.ops.classify import pack_cat_nibbles, pack_nibble_words
 
     tn0, qn0 = pack_nibble_words(t0, q0)
     tn_d = jax.device_put(jnp.asarray(tn0))
     qn_d = jax.device_put(jnp.asarray(qn0))
+    # CATEGORY plane for the round-5 flagship: the host 64K LUT
+    # classifies each column pair into ONE one-hot nibble -- half the
+    # nibble form's input and ~40% fewer classify vreg-ops; standalone
+    # classify 1139 vs 550 Gcol/s, fused 803 vs 572 same-window
+    # (scripts/ab_cat.py)
+    cw0 = pack_cat_nibbles(t0, q0)
+    cw_d = jax.device_put(jnp.asarray(cw0))
 
     # matching op tables for the liftover stage: each record's op lengths
     # sum to L (same column volume as the byte tiles).  Mean run length 32
@@ -148,11 +155,15 @@ def main():
         # kernel emits group-prefix anchors only -- 4x less op-word
         # input, 4x less offset output, 4x narrower scan
         # (scripts/ab_group_sums.py: g8 509.5 vs eo 433.5 same-window)
+        # round 5 moves the CLASSIFICATION itself into the host packer:
+        # the kernel reads one category plane (pack_cat_nibbles) instead
+        # of two base-code planes -- catmode=True (scripts/ab_cat.py:
+        # fused 802.7 vs 571.9 Gcol/s same-window)
         from wgatools_tpu.ops.fused import classify_liftover_fused_adv16
 
-        combined = lambda tn, qn, wt, wq: classify_liftover_fused_adv16(
-            tn, qn, lens_d, wt, wq, tile_b=64, tile_lw=4096, nibble=True,
-            scan_mode="mm", raw_sums=True,
+        combined = lambda cn, _qn, wt, wq: classify_liftover_fused_adv16(
+            cn, None, lens_d, wt, wq, tile_b=64, tile_lw=4096,
+            catmode=True, scan_mode="mm", raw_sums=True,
         )
     else:
 
@@ -195,8 +206,8 @@ def main():
             for o in outs[1:]:
                 acc = acc + jnp.sum(o[:, ::512])
             if on_tpu:
-                # all 8 nibbles stay valid dictionary codes (1..4)
-                t = t.at[0, 0].set(jnp.int32(0x11111111) + (acc & 3))
+                # all 8 nibbles stay valid one-hot cat codes (1..2)
+                t = t.at[0, 0].set(jnp.int32(0x11111111) + (acc & 1))
                 # group-sum word 0 of each direction becomes a
                 # checksum-fed group total (any value < 2^16 is a
                 # valid raw sum)
@@ -266,7 +277,16 @@ def main():
             expand_group_prefix,
         )
 
-        f_stats, f_ta, f_qa = combined(tn_d, qn_d, st_d, sq_d)
+        # standalone cat kernel gate (the round-5 classify body)
+        from wgatools_tpu.ops.classify import classify_stat_pallas_cat
+
+        got_c = np.asarray(classify_stat_pallas_cat(cw_d, lens_d))
+        assert np.array_equal(got_c, want), (
+            "on-chip cat-kernel mismatch:\n"
+            f"cat:\n{got_c[:4]}\njnp:\n{want[:4]}"
+        )
+        print("on-chip cat==jnp parity gate: OK", file=sys.stderr)
+        f_stats, f_ta, f_qa = combined(cw_d, None, st_d, sq_d)
         want_t, want_q = _liftover_scan_impl(o_d, ln_d, False, False)
         assert np.array_equal(np.asarray(f_stats), want), "fused stats"
         # anchors -> per-pair even offsets -> odd offsets -> full table
@@ -279,7 +299,7 @@ def main():
         assert np.array_equal(got_t, np.asarray(want_t)), "fused t_off"
         assert np.array_equal(got_q, np.asarray(want_q)), "fused q_off"
         print(
-            "on-chip fused-adv16-g8-nibble-mm stats+offsets parity "
+            "on-chip fused-adv16-g8-CAT-mm stats+offsets parity "
             "gate: OK",
             file=sys.stderr,
         )
@@ -304,7 +324,7 @@ def main():
         host fetch of the accumulated checksum."""
         start = time.perf_counter()
         if on_tpu:
-            a, b, o1, o2 = tn_d, qn_d, st_d, sq_d
+            a, b, o1, o2 = cw_d, cw_d, st_d, sq_d
         else:
             a, b, o1, o2 = t_d, q_d, opw_d, opw_d
         checksum = int(np.asarray(run_iters(a, b, o1, o2, iters)))
@@ -338,16 +358,19 @@ def main():
             )
     # whole-batch rate is a strict lower bound (includes dispatch/transfer)
     lower_bound = B * L * hi_iters / min(t_hi_all)
-    # The combined loop moves ~1.0625 bytes per column (two 4-bit nibble
-    # planes = 1.0 B/col + 0.03125 B/col of group-8 sum words + 0.03125
-    # B/col of anchor outputs at mean run 32).  v5e paper HBM is ~819
-    # GB/s (-> ~770 Gcol/s streaming bound); the attached chip measures
-    # faster raw streams (ab_stream_probe: 1.8-1.9 TB/s of reads), but
-    # the kernel is VPU-issue-bound at ~565 Gcol/s (ab_count_defer), so
-    # 770e9 stays as a conservative noise filter: a marginal estimate
-    # beyond it cannot be kernel throughput on any reading of the
-    # hardware, and the lower bound is reported instead.
-    phys_bound = 770e9
+    # The combined loop moves ~0.5625 bytes per column (ONE 4-bit
+    # category plane = 0.5 B/col + 0.03125 B/col of group-8 sum words +
+    # 0.03125 B/col of anchor outputs at mean run 32).  v5e paper HBM is
+    # ~819 GB/s (-> ~1.46 Tcol/s streaming bound); the attached chip
+    # measures faster raw streams (ab_stream_probe: 1.8-1.9 TB/s of
+    # reads), but the kernel is VPU-issue-bound at ~1140 Gcol/s
+    # standalone / ~800 fused (ab_cat.py), so 1456e9 stays as a
+    # conservative noise filter: a marginal estimate beyond it cannot be
+    # kernel throughput on any reading of the hardware, and the lower
+    # bound is reported instead.
+    # (off-TPU the tiny smoke shapes make marginal estimates pure timing
+    # noise -- keep the old conservative cap so the JSON line stays sane)
+    phys_bound = 1456e9 if on_tpu else 100e9
     if 0 < marginal <= phys_bound:
         gbps = marginal / 1e9
     else:

@@ -483,3 +483,168 @@ def test_pack_nibble_words_native_vs_numpy():
     t_bad[2, 100] = ord("R")  # IUPAC purine, not in the dictionary
     assert pack_nibble_words(t_bad, q, use_native=True) is None
     assert pack_nibble_words(t_bad, q, use_native=False) is None
+
+
+# ---------------------------------------------------------------------------
+# Category-plane kernel (round 5): the host LUT classifies each column
+# pair into a one-hot nibble, halving the device input vs the two
+# nibble planes and dropping the dictionary restriction entirely.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("caller", [False, True])
+def test_classify_stat_cat_vs_jnp(seed, caller):
+    """Category-plane kernel == jnp on random ragged batches, both
+    category tables, from the SAME packed plane."""
+    from wgatools_tpu.ops.classify import (
+        classify_stat_pallas_cat,
+        pack_cat_nibbles,
+    )
+
+    pairs = _random_pairs(6, 900, seed)
+    pairs.append((b"AC--G" + b"-" * 300, b"AC--G" + b"-" * 300))
+    t, q, lens = pack_pairs(pairs, align=256)
+    want = np.array(classify_stat_jnp(t, q, lens, caller=caller))
+    cw = pack_cat_nibbles(t, q)
+    got = np.array(
+        classify_stat_pallas_cat(
+            jnp.asarray(cw), jnp.asarray(lens),
+            tile_b=2, tile_lw=32, interpret=True, caller=caller,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_classify_stat_cat_tile_boundaries():
+    """Runs spanning word AND tile boundaries count once; gap/gap runs
+    adjacent to '=' runs must MERGE in ext mode (the bit-3-masked diff)
+    but stay separate W runs in caller mode; all 8 in-word end
+    positions."""
+    from wgatools_tpu.ops.classify import (
+        classify_stat_pallas_cat,
+        pack_cat_nibbles,
+    )
+
+    pairs = [
+        (b"A" * 258 + b"C" * 254 + b"G" * 3, b"A" * 258 + b"-" * 254 + b"T" * 3),
+        # '=' / gap-gap / '=' alternation straddling word boundaries:
+        # one run in ext mode, three in caller mode
+        (b"A" * 7 + b"-" * 9 + b"C" * 8, b"A" * 7 + b"-" * 9 + b"C" * 8),
+        (b"AAAA", b"AAAA"),
+        (b"ACG", b"AC-"),
+    ]
+    for k in range(1, 9):
+        pairs.append((b"ACGTACGTA"[:k], b"ACGTACGTA"[:k]))
+        pairs.append((b"ACGTACGTA"[:k], b"ACG-ACG-A"[:k]))
+    tb, qb, lens = pack_pairs(pairs, align=256)
+    cw = pack_cat_nibbles(tb, qb)
+    for caller in (False, True):
+        want = np.array(classify_stat_jnp(tb, qb, lens, caller=caller))
+        got = np.array(
+            classify_stat_pallas_cat(
+                jnp.asarray(cw), jnp.asarray(lens),
+                tile_b=1, tile_lw=32, interpret=True, caller=caller,
+            )
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"caller={caller}")
+
+
+@pytest.mark.parametrize("seed", range(3, 8))
+def test_classify_stat_cat_fuzz(seed):
+    """Profile-mixed fuzz for the cat kernel, INCLUDING out-of-dictionary
+    bytes (IUPAC codes) that the nibble kernel cannot take -- the 64K
+    LUT is total over byte pairs."""
+    from wgatools_tpu.ops.classify import (
+        classify_stat_pallas_cat,
+        pack_cat_nibbles,
+    )
+
+    rng = random.Random(seed)
+    pairs = []
+    for _ in range(rng.randint(2, 9)):
+        n = rng.randint(1, 1200)
+        profile = rng.choice(["uniform", "gappy", "snpy", "iupac"])
+        t = []
+        q = []
+        for _ in range(n):
+            if profile == "uniform":
+                a, b = rng.choice("ACGT-"), rng.choice("ACGT-")
+            elif profile == "gappy":
+                a = rng.choice("A---")
+                b = rng.choice("C---")
+            elif profile == "snpy":
+                a, b = rng.choice("AC"), rng.choice("AG")
+            else:
+                a = rng.choice("ACGTRYKMswn-*")
+                b = rng.choice("ACGTRYKMswn-*")
+            t.append(a)
+            q.append(b)
+        pairs.append(("".join(t).encode(), "".join(q).encode()))
+    t, q, lens = pack_pairs(pairs, align=128)
+    cw = pack_cat_nibbles(t, q)
+    assert cw is not None
+    for caller in (False, True):
+        want = np.array(classify_stat_jnp(t, q, lens, caller=caller))
+        got = np.array(
+            classify_stat_pallas_cat(
+                jnp.asarray(cw), jnp.asarray(lens),
+                tile_b=2, tile_lw=32, interpret=True, caller=caller,
+            )
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"caller={caller}")
+
+
+def test_pack_cat_nibbles_native_vs_numpy():
+    """The C++ 64K-LUT packer and the numpy fallback must produce
+    identical cat words on arbitrary byte pairs (no dictionary
+    restriction to reject)."""
+    from wgatools_tpu import native
+    from wgatools_tpu.ops.classify import pack_cat_nibbles
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    t = rng.integers(0, 256, (5, 256)).astype(np.uint8)
+    q = rng.integers(0, 256, (5, 256)).astype(np.uint8)
+    nat = pack_cat_nibbles(t, q, use_native=True)
+    fal = pack_cat_nibbles(t, q, use_native=False)
+    assert nat is not None and fal is not None
+    assert np.array_equal(nat, fal)
+    # misaligned width falls back to None (callers route elsewhere)
+    assert pack_cat_nibbles(t[:, :251], q[:, :251]) is None
+
+
+@pytest.mark.parametrize("caller", [False, True])
+def test_fused_adv16_catmode_vs_nibble(caller):
+    """classify_liftover_fused_adv16(catmode=True) == the nibble form on
+    the same batch: stats and group anchors bit-identical."""
+    from wgatools_tpu.ops.classify import pack_cat_nibbles, pack_nibble_words
+    from wgatools_tpu.ops.fused import classify_liftover_fused_adv16
+    from wgatools_tpu.ops.liftover import pack_ops_sums
+
+    rng = np.random.default_rng(5)
+    pairs = _random_pairs(5, 700, 17)
+    t, q, lens = pack_pairs(pairs, align=256)
+    op_chars = np.frombuffer(b"M=XIDS", np.uint8)
+    ops = op_chars[rng.integers(0, 6, (4, 64))]
+    lens_op = rng.integers(0, 8000, (4, 64)).astype(np.int32)
+    wt, wq = pack_ops_sums(ops, lens_op, group=8)
+
+    tn, qn = pack_nibble_words(t, q)
+    want = classify_liftover_fused_adv16(
+        jnp.asarray(tn), jnp.asarray(qn), jnp.asarray(lens),
+        jnp.asarray(wt), jnp.asarray(wq),
+        tile_b=2, tile_lw=32, interpret=True, caller=caller,
+        nibble=True, scan_mode="mm", raw_sums=True,
+    )
+    cw = pack_cat_nibbles(t, q)
+    got = classify_liftover_fused_adv16(
+        jnp.asarray(cw), None, jnp.asarray(lens),
+        jnp.asarray(wt), jnp.asarray(wq),
+        tile_b=2, tile_lw=32, interpret=True, caller=caller,
+        catmode=True, scan_mode="mm", raw_sums=True,
+    )
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

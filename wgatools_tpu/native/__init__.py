@@ -75,6 +75,8 @@ def load():
         lib.reverse_complement.restype = _i64
         lib.pack_nibbles.argtypes = [_ptr, _i64, _ptr, _ptr]
         lib.pack_nibbles.restype = ctypes.c_int32
+        lib.pack_cats.argtypes = [_ptr, _ptr, _i64, _ptr, _ptr]
+        lib.pack_cats.restype = None
         lib.format_bed_lines.argtypes = [
             _charp, _i64, _i64, _ptr, _i64, _ptr, _i64,
         ]
@@ -723,6 +725,27 @@ def format_indel_rows(chrom: bytes, qchro: bytes, suffix: bytes,
     if w < 0:
         return None
     return out[: int(w)].tobytes(), row_end[:n]
+
+
+def pack_cats(t: np.ndarray, q: np.ndarray, lut64k: np.ndarray):
+    """CATEGORY-plane packing: one 4-bit classification code per column
+    from the 64K (t_byte << 8 | q_byte) -> code LUT
+    (ops.classify._CAT_LUT64K -- Python owns the code table).  t, q:
+    contiguous uint8 [B, L] with L % 8 == 0.  Returns int32 [B, L//8]
+    cat words or None (library unavailable; callers fall back to numpy
+    packing)."""
+    lib = load()
+    if lib is None:
+        return None
+    assert t.dtype == np.uint8 and t.flags.c_contiguous
+    assert q.dtype == np.uint8 and q.flags.c_contiguous
+    assert t.shape == q.shape and t.ndim == 2 and t.shape[1] % 8 == 0
+    out = np.empty((t.shape[0], t.shape[1] // 2), dtype=np.uint8)
+    lib.pack_cats(
+        t.ctypes.data, q.ctypes.data, t.size, lut64k.ctypes.data,
+        out.ctypes.data,
+    )
+    return out.view("<i4")
 
 
 def pack_nibbles(arr: np.ndarray, lut256: np.ndarray):

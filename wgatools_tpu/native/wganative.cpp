@@ -1056,6 +1056,22 @@ int32_t pack_nibbles(const uint8_t* src, int64_t n, const uint8_t* lut256,
     return (bad & 0x80) ? -1 : 0;
 }
 
+// CATEGORY-plane packing for the cat classify kernel (round 5,
+// ops/classify.py pack_cat_nibbles): one nibble per COLUMN holding the
+// classification of the (t, q) byte pair via a 64K (t << 8 | q) -> code
+// LUT built on the Python side (one-hot codes X=0 EQ=1 I=2 D=4 GG=9).
+// HALF the device input of the two nibble planes, and no dictionary
+// restriction at all -- every byte pair classifies through the LUT.
+// n must be even.  Never fails (the LUT is total).
+void pack_cats(const uint8_t* t, const uint8_t* q, int64_t n,
+               const uint8_t* lut64k, uint8_t* dst) {
+    for (int64_t i = 0; i + 1 < n; i += 2) {
+        uint8_t a = lut64k[((uint32_t)t[i] << 8) | q[i]];
+        uint8_t b = lut64k[((uint32_t)t[i + 1] << 8) | q[i + 1]];
+        dst[i >> 1] = (uint8_t)(a | (b << 4));
+    }
+}
+
 // bulk-format indel (INS/DEL) VCF rows in event order, byte-identical to
 // tools/caller.py write_record() on the tuples _emit_variant_rows_vec
 // built per event (reference row shapes: caller.rs:500-561):

@@ -901,6 +901,274 @@ def classify_stat_pallas_nibbles(
     )
 
 
+# ---------------------------------------------------------------------------
+# CATEGORY-plane (round 5) variant: the host packs the CLASSIFICATION of
+# each column -- one 4-bit one-hot code per (t, q) byte pair via a 64K
+# LUT -- instead of two nibble planes of base codes.  HALF the column DMA
+# of the nibble form (0.5 byte/column total), and the kernel starts at
+# the category word directly: the ~28 vreg-ops/word the nibble kernel
+# spends deriving eq/gap indicators (3 SWAR nonzero chains + the
+# indicator algebra) disappear, leaving ~42 of its ~72 ops/word.  The
+# dictionary restriction disappears too: EVERY byte pair classifies
+# through the total LUT, so there is no fallback path for rare IUPAC
+# codes.  Same-process on-chip A/B: scripts/ab_cat.py.
+#
+# Codes are one-hot per nibble so counting is one AND + one 0x11111111
+# multiply per class: X=0, EQ=1, I=2, D=4, GG=9 (bit 3 | bit 0: in ext
+# mode gap/gap columns ARE '=' columns for both counts and run
+# boundaries -- cigar_cat_ext, cigar.rs:298-308 -- so the run diff masks
+# bit 3 and the matched count takes bit 0 of EQ and GG together; caller
+# mode compares full nibbles, making GG=W its own category,
+# cigar_cat_ext_caller, cigar.rs:314-328, and derives eq = bit0 - gg
+# after the reduction).
+# ---------------------------------------------------------------------------
+
+CAT_X, CAT_EQ, CAT_I, CAT_D, CAT_GG = 0, 1, 2, 4, 9
+_M1_4 = 0x11111111
+_GGW32 = int(np.int32(np.uint32(0x99999999)))  # 8 gap/gap columns
+
+
+def _build_cat_lut64k():
+    t = np.arange(256, dtype=np.uint16)[:, None]
+    q = np.arange(256, dtype=np.uint16)[None, :]
+    tg = t == GAP
+    qg = q == GAP
+    eq = t == q
+    lut = np.where(
+        tg & qg,
+        CAT_GG,
+        np.where(tg, CAT_I, np.where(qg, CAT_D, np.where(eq, CAT_EQ, CAT_X))),
+    ).astype(np.uint8)
+    return np.ascontiguousarray(lut.reshape(-1))  # index = (t << 8) | q
+
+
+_CAT_LUT64K = _build_cat_lut64k()
+
+
+def pack_cat_nibbles(t, q, use_native=True):
+    """Pack uint8 [B, L] byte planes into ONE int32 [B, L//8] category
+    plane (column j's code in bits [4j, 4j+4) of word j//8).
+
+    L must be a multiple of 8 (pack_pairs aligns to 128).  Padding
+    columns ('-'/'-') pack to GG=9 -- the contract
+    classify_stat_pallas_cat's corrections rely on.  Never fails: the
+    64K LUT is total over byte pairs (no dictionary fallback needed).
+    """
+    if t.shape[1] % 8:
+        return None
+    if use_native and t.flags.c_contiguous and q.flags.c_contiguous:
+        from .. import native
+
+        if native.available():
+            cw = native.pack_cats(t, q, _CAT_LUT64K)
+            if cw is not None:
+                return cw
+    c = _CAT_LUT64K[
+        (t.astype(np.uint16) << 8) | q.astype(np.uint16)
+    ]
+    b = c[:, 0::2] | (c[:, 1::2] << 4)
+    return np.ascontiguousarray(b).view("<i4")
+
+
+def _kernel_cat(c_ref, out_ref, edge_ref, *, caller=False):
+    """Category-plane body: one (TB, TLW) int32 cat-word tile (8 columns
+    per lane, one-hot nibble codes from pack_cat_nibbles) -> [TB, 8]
+    stats + edge slot.
+
+    Per-class counts are one AND + one 0x11111111 multiply (the host LUT
+    already did the classification); run boundaries diff the word
+    against its 4-bit shift with the previous word's top nibble carried
+    via pltpu.roll.  Ext mode masks bit 3 out of the diff (GG codes
+    differ from EQ only there, so gap/gap merges into '=' runs exactly
+    as cigar_cat_ext requires) -- the masked diff has no bit-3 set, so
+    its nonzero test is 2 ops (add M7, mask HI; no nibble carry:
+    7 + 7 < 16).  Caller mode diffs full nibbles (GG = W is its own run
+    category) with the standard 4-op nonzero chain."""
+    j = pl.program_id(1)
+    cw = c_ref[:]
+    HI = jnp.int32(_HI4)
+    M7 = jnp.int32(_M7_4)
+    M1 = jnp.int32(_M1_4)
+
+    def lsr(x, k):
+        return jax.lax.shift_right_logical(x, jnp.int32(k))
+
+    carried = lsr(pltpu.roll(cw, 1, axis=1), 28)
+    prevw = (cw << 4) | carried
+    diff = cw ^ prevw
+    if caller:
+        y = (diff & M7) + M7
+        rs_hi = (y | diff) & HI
+    else:
+        dm = diff & M7
+        rs_hi = (dm + M7) & HI
+    r0 = lsr(rs_hi, 3)
+    m1 = cw & M1
+    m2 = lsr(cw, 1) & M1
+    m4 = lsr(cw, 2) & M1
+    m8 = lsr(cw, 3) & M1
+
+    def cnt(m):
+        # per-word count (0..8) of set bit-0s accumulated into the top
+        # nibble
+        return lsr(m * M1, 28)
+
+    i32 = jnp.int32
+    f0 = cnt(m1) + (cnt(m8) << 16)
+    f1 = cnt(m2) + (cnt(m4) << 16)
+    f2 = cnt(m2 & r0) + (cnt(m4 & r0) << 16)
+    f3 = cnt(r0)
+    s0 = jnp.sum(f0, axis=1, dtype=i32)
+    s1 = jnp.sum(f1, axis=1, dtype=i32)
+    s2 = jnp.sum(f2, axis=1, dtype=i32)
+    s3 = jnp.sum(f3, axis=1, dtype=i32)
+    mask = jnp.int32(0xFFFF)
+    s_eqg = s0 & mask  # EQ + GG (bit 0 of both)
+    s_gg = (s0 >> 16) & mask
+    s_i = s1 & mask
+    s_d = (s1 >> 16) & mask
+    LW = cw.shape[1]
+    # column partition: ext eq(incl gg) + i + d + x = 8*LW; caller
+    # eq(excl) + gg + i + d + x = 8*LW and s_eqg = eq + gg -- same formula
+    s_x = jnp.int32(8 * LW) - s_eqg - s_i - s_d
+    s_eq = s_eqg - s_gg if caller else s_eqg
+    stats = jnp.stack(
+        [
+            s_eq,
+            s_x,
+            s_i,
+            s_d,
+            (s2 & mask),
+            (s2 >> 16) & mask,
+            s_gg,
+            s3 & mask,
+        ],
+        axis=1,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += stats
+    first_c = cw[:, 0:1] & jnp.int32(0xF)
+    last_c = lsr(cw[:, LW - 1 : LW], 28)
+    pad_lanes = jnp.zeros((cw.shape[0], 126), jnp.int32)
+    edge_ref[:] = jnp.concatenate(
+        [
+            _cat_to_std(first_c, caller),
+            _cat_to_std(last_c, caller),
+            pad_lanes,
+        ],
+        axis=1,
+    )
+
+
+def _cat_to_std(c, caller):
+    """One-hot cat nibble -> standard EQ/X/I/D/W codes for _finish_stats.
+    Ext mode folds GG into EQ first (bit-3 mask) -- gap/gap merges into
+    '=' runs, so tile-edge comparisons must see them as equal."""
+    if not caller:
+        c = c & jnp.int32(7)
+    return jnp.where(
+        c == CAT_EQ,
+        jnp.int32(EQ),
+        jnp.where(
+            c == CAT_I,
+            jnp.int32(I),
+            jnp.where(
+                c == CAT_D,
+                jnp.int32(D),
+                jnp.where(c == CAT_GG, jnp.int32(W), jnp.int32(X)),
+            ),
+        ),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_b", "tile_lw", "interpret", "caller")
+)
+def classify_stat_pallas_cat(
+    cw, lengths, tile_b=64, tile_lw=4096, interpret=False, caller=False
+):
+    """Category-plane Pallas kernel.  cw: int32 [B, L//8] from
+    pack_cat_nibbles (8 columns per lane, one-hot codes); lengths: int32
+    [B] in COLUMNS.  Identical output to classify_stat_jnp on the
+    original byte planes (tested) in BOTH modes from the SAME plane.
+
+    Padding contract: columns >= lengths[b] pack to GG=9 (the '-'/'-'
+    pack_pairs padding through the LUT), which the _finish_stats
+    corrections account for exactly.  tile_lw*8 must stay < 2^16 for the
+    packed 16-bit counter fields.
+    """
+    B, LW = cw.shape
+    tile_b = min(tile_b, B)
+    tile_b = ((tile_b + 7) // 8) * 8  # sublane-aligned row blocks
+    tile_lw = min(tile_lw, LW)
+    assert tile_lw * 8 < (1 << 16), "tile_lw*8 must be < 2^16"
+    ggw = jnp.int32(_GGW32)
+    if LW % tile_lw:
+        LW2 = ((LW + tile_lw - 1) // tile_lw) * tile_lw
+        cw = jnp.pad(cw, ((0, 0), (0, LW2 - LW)), constant_values=ggw)
+        LW = LW2
+    if B % tile_b:
+        B2 = ((B + tile_b - 1) // tile_b) * tile_b
+        cw = jnp.pad(cw, ((0, B2 - B), (0, 0)), constant_values=ggw)
+        lengths = jnp.pad(lengths, (0, B2 - B))
+        pad_rows = B2 - B
+        B = B2
+    else:
+        pad_rows = 0
+    L = 8 * LW
+    nb = pl.cdiv(B, tile_b)
+    nl = pl.cdiv(LW, tile_lw)
+
+    out, edges = pl.pallas_call(
+        functools.partial(_kernel_cat, caller=caller),
+        grid=(nb, nl),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_b, tile_lw), lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile_b, N_STATS), lambda i, j: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_b, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N_STATS), jnp.int32),
+            jax.ShapeDtypeStruct((B, 128 * nl), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=9 * B * LW, bytes_accessed=4 * B * LW + 4 * B * N_STATS,
+            transcendentals=0,
+        ),
+    )(cw)
+
+    last_real_cat = _cat_last_real(cw, lengths, caller)
+    return _finish_stats(
+        out, edges, nl, L, lengths, last_real_cat, caller, pad_rows
+    )
+
+
+def _cat_last_real(cw, lengths, caller):
+    """Standard-coded category of each row's last real column, extracted
+    from the cat plane."""
+    last_idx = jnp.maximum(lengths - 1, 0)
+    widx = last_idx // 8
+    shift = ((last_idx % 8) * 4).astype(jnp.int32)
+    wv = jnp.take_along_axis(cw, widx[:, None], axis=1)[:, 0]
+    c = jax.lax.shift_right_logical(wv, shift) & jnp.int32(0xF)
+    return _cat_to_std(c, caller)
+
+
 def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -908,10 +1176,12 @@ def _default_interpret() -> bool:
 def column_stats(t, q, lengths, use_pallas=None, caller=False):
     """Dispatch: Pallas on TPU, jnp elsewhere.  Arrays may be numpy.
 
-    Host numpy byte inputs in the 15-symbol genomic dictionary take the
-    nibble-packed kernel (8 cols/lane: half the transfer, 1.88x the word
-    kernel on-chip, scripts/ab_nibble.py); other alphabets fall back to
-    the word-packed kernel via a zero-copy little-endian view."""
+    Host numpy byte inputs take the CATEGORY-plane kernel (round 5: the
+    host LUT classifies each column pair into one 4-bit one-hot code --
+    half the nibble form's transfer and ~40% fewer kernel vreg-ops, no
+    dictionary restriction, scripts/ab_cat.py); device-resident byte
+    tensors keep the byte kernel (re-packing would cost a host round
+    trip)."""
     # int32 counter bound: per-record counts are <= the padded row width,
     # so rows below 2^31 columns cannot wrap the int32 counters.  Wider
     # rows (4 GB-per-plane records) must take the int64 host engine --
@@ -933,11 +1203,10 @@ def column_stats(t, q, lengths, use_pallas=None, caller=False):
         and t.shape[1] % 4 == 0
     ):
         lengths = jnp.asarray(lengths, dtype=jnp.int32)
-        packed = pack_nibble_words(t, q)
-        if packed is not None:
-            return classify_stat_pallas_nibbles(
-                jnp.asarray(packed[0]), jnp.asarray(packed[1]), lengths,
-                caller=caller,
+        cw = pack_cat_nibbles(t, q)
+        if cw is not None:
+            return classify_stat_pallas_cat(
+                jnp.asarray(cw), lengths, caller=caller
             )
         tw = jnp.asarray(t.view("<i4"))
         qw = jnp.asarray(q.view("<i4"))

@@ -31,9 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .classify import (
     N_STATS,
+    _cat_last_real,
     _classify,
     _classify_codes,
     _finish_stats,
+    _GGW32,
+    _kernel_cat,
     _kernel_nibbles,
     _kernel_words,
 )
@@ -292,13 +295,10 @@ def _fused_kernel_packed16(
 
 
 def _fused_kernel_adv16(
-    tw_ref,
-    qw_ref,
-    wt_ref,
-    wq_ref,
-    *rest,
+    *refs,
     caller=False,
     nibble=False,
+    catmode=False,
     scan_mode="vpu",
     chunk=None,
     emit_odd=True,
@@ -327,7 +327,13 @@ def _fused_kernel_adv16(
     per-limb tile sums stay < 255 * TLOH << 2^24 so the 2-limb form
     stays exact), no mask/shift at all; outputs are group-prefix
     anchors (liftover.expand_group_prefix reconstructs per-op
-    offsets)."""
+    offsets).  catmode=True: ONE category plane (pack_cat_nibbles)
+    replaces the tw/qw pair -- classify._kernel_cat body, half the
+    column input."""
+    if catmode:
+        cw_ref, wt_ref, wq_ref, *rest = refs
+    else:
+        tw_ref, qw_ref, wt_ref, wq_ref, *rest = refs
     n_off = 4 if emit_odd else 2
     if scan_mode == "mm":
         tri_ref = rest[0]
@@ -337,8 +343,11 @@ def _fused_kernel_adv16(
     out_ref, edge_ref = rest[0], rest[1]
     off_refs = rest[2 : 2 + n_off]
     carry_ref = rest[2 + n_off]
-    body = _kernel_nibbles if nibble else _kernel_words
-    body(tw_ref, qw_ref, out_ref, edge_ref, caller=caller)
+    if catmode:
+        _kernel_cat(cw_ref, out_ref, edge_ref, caller=caller)
+    else:
+        body = _kernel_nibbles if nibble else _kernel_words
+        body(tw_ref, qw_ref, out_ref, edge_ref, caller=caller)
     j = pl.program_id(1)
     i32 = jnp.int32
 
@@ -449,7 +458,8 @@ def _fused_kernel_packed(
 
 
 def _pad_fused_inputs(
-    tw, qw, lengths, op_planes, tile_b, tile_lw, tile_lo, nibble=False
+    tw, qw, lengths, op_planes, tile_b, tile_lw, tile_lo, nibble=False,
+    catmode=False,
 ):
     """Shared batch padding for the fused wrappers.
 
@@ -460,26 +470,30 @@ def _pad_fused_inputs(
     never mix rows, so the extra tiles just compute zeros).
 
     nibble=True: planes are 4-bit dictionary words where the gap code
-    is 0, so the pad word is 0 instead of '----'.
+    is 0, so the pad word is 0 instead of '----'.  catmode=True: ONE
+    category plane (qw is None), gap/gap columns pack to nibble 9.
 
     Returns (tw, qw, lengths, op_planes, dims) with dims =
     (Bp, B2p, LW, NOp, ns, nb, tile_lo, pad_rows)."""
     B, LW = tw.shape
     B2, NO = op_planes[0].shape
-    gapw = (
-        jnp.int32(0)
-        if nibble
-        else jnp.int32(int(np.int32(np.uint32(0x2D2D2D2D))))
-    )
+    if catmode:
+        gapw = jnp.int32(_GGW32)
+    elif nibble:
+        gapw = jnp.int32(0)
+    else:
+        gapw = jnp.int32(int(np.int32(np.uint32(0x2D2D2D2D))))
     if LW % tile_lw or LW == 0:
         LW2 = max(((LW + tile_lw - 1) // tile_lw) * tile_lw, tile_lw)
         tw = jnp.pad(tw, ((0, 0), (0, LW2 - LW)), constant_values=gapw)
-        qw = jnp.pad(qw, ((0, 0), (0, LW2 - LW)), constant_values=gapw)
+        if qw is not None:
+            qw = jnp.pad(qw, ((0, 0), (0, LW2 - LW)), constant_values=gapw)
         LW = LW2
     if B % tile_b:
         Bp = ((B + tile_b - 1) // tile_b) * tile_b
         tw = jnp.pad(tw, ((0, Bp - B), (0, 0)), constant_values=gapw)
-        qw = jnp.pad(qw, ((0, Bp - B), (0, 0)), constant_values=gapw)
+        if qw is not None:
+            qw = jnp.pad(qw, ((0, Bp - B), (0, 0)), constant_values=gapw)
         lengths = jnp.pad(lengths, (0, Bp - B))
         pad_rows = Bp - B
     else:
@@ -507,9 +521,10 @@ def _pad_fused_inputs(
         tw = jnp.pad(
             tw, ((0, nb * tile_b - Bp), (0, 0)), constant_values=gapw
         )
-        qw = jnp.pad(
-            qw, ((0, nb * tile_b - Bp), (0, 0)), constant_values=gapw
-        )
+        if qw is not None:
+            qw = jnp.pad(
+                qw, ((0, nb * tile_b - Bp), (0, 0)), constant_values=gapw
+            )
         lengths = jnp.pad(lengths, (0, nb * tile_b - Bp))
         pad_rows += nb * tile_b - Bp
         Bp = nb * tile_b
@@ -523,11 +538,18 @@ def _pad_fused_inputs(
 
 
 def _finish_fused_stats(out, edges, ns, LW, tw, qw, lengths, caller,
-                        pad_rows, nibble=False):
+                        pad_rows, nibble=False, catmode=False):
     """Shared classify finish: last real column from the word planes +
     the exact tile-boundary / padding corrections.  nibble=True
     extracts 4-bit dictionary codes (8 per word, gap code 0) instead of
-    bytes."""
+    bytes; catmode=True extracts the category nibble directly (tw is
+    the cat plane, qw is None)."""
+    if catmode:
+        last_real_cat = _cat_last_real(tw, lengths, caller)
+        return _finish_stats(
+            out, edges, ns, 8 * LW, lengths, last_real_cat, caller,
+            pad_rows,
+        )
     cpw = 8 if nibble else 4
     L = cpw * LW
     last_idx = jnp.maximum(lengths - 1, 0)
@@ -680,7 +702,7 @@ def classify_liftover_fused16(
     jax.jit,
     static_argnames=(
         "tile_b", "tile_lw", "tile_loh", "interpret", "caller", "nibble",
-        "scan_mode", "chunk", "emit_odd", "raw_sums",
+        "catmode", "scan_mode", "chunk", "emit_odd", "raw_sums",
     ),
 )
 def classify_liftover_fused_adv16(
@@ -695,6 +717,7 @@ def classify_liftover_fused_adv16(
     interpret=False,
     caller=False,
     nibble=False,
+    catmode=False,
     scan_mode="vpu",
     chunk=None,
     emit_odd=True,
@@ -716,21 +739,27 @@ def classify_liftover_fused_adv16(
     liftover.adv16_odd_offsets), saving half the offset-output DMA.
     raw_sums=True: wt/wq are raw group-sum words (pack_ops_sums);
     returns (stats, t_anchor, q_anchor) group-prefix anchors
-    (expand_group_prefix -> per-op offsets); forces emit_odd=False."""
+    (expand_group_prefix -> per-op offsets); forces emit_odd=False.
+
+    catmode=True: tw is ONE category plane from
+    classify.pack_cat_nibbles (qw must be None) -- half the column
+    input and ~40% fewer classify vreg-ops (classify._kernel_cat)."""
     if raw_sums:
         emit_odd = False
     if tile_lw is None:
-        tile_lw = 4096 if nibble else 8192
-    cpw = 8 if nibble else 4
+        tile_lw = 4096 if (nibble or catmode) else 8192
+    cpw = 8 if (nibble or catmode) else 4
     B, LW0 = tw.shape
     B2, NOH = wt.shape
     tile_b = min(tile_b, max(B, B2))
     tile_b = ((tile_b + 7) // 8) * 8  # sublane-aligned row blocks
     tile_lw = min(tile_lw, max(LW0, 128))
     assert tile_lw * cpw < (1 << 16), "tile columns must be < 2^16"
+    if catmode:
+        assert qw is None, "catmode takes ONE category plane"
     tw, qw, lengths, (wt, wq), dims = _pad_fused_inputs(
         tw, qw, lengths, [wt, wq], tile_b, tile_lw, tile_loh,
-        nibble=nibble,
+        nibble=nibble, catmode=catmode,
     )
     Bp, B2p, LW, NOHp, ns, nb, tile_loh, pad_rows = dims
 
@@ -740,8 +769,12 @@ def classify_liftover_fused_adv16(
     op_spec = pl.BlockSpec(
         (tile_b, tile_loh), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
-    in_specs = [word_spec, word_spec, op_spec, op_spec]
-    inputs = [tw, qw, wt, wq]
+    if catmode:
+        in_specs = [word_spec, op_spec, op_spec]
+        inputs = [tw, wt, wq]
+    else:
+        in_specs = [word_spec, word_spec, op_spec, op_spec]
+        inputs = [tw, qw, wt, wq]
     if scan_mode == "mm":
         tri_n = chunk or tile_loh
         # Mosaic cannot reshape to a sub-lane-width minor dim (the
@@ -764,8 +797,8 @@ def classify_liftover_fused_adv16(
     outs = pl.pallas_call(
         functools.partial(
             _fused_kernel_adv16, caller=caller, nibble=nibble,
-            scan_mode=scan_mode, chunk=chunk, emit_odd=emit_odd,
-            raw_sums=raw_sums,
+            catmode=catmode, scan_mode=scan_mode, chunk=chunk,
+            emit_odd=emit_odd, raw_sums=raw_sums,
         ),
         grid=(nb, ns),
         in_specs=in_specs,
@@ -792,7 +825,8 @@ def classify_liftover_fused_adv16(
         ),
         cost_estimate=pl.CostEstimate(
             flops=14 * Bp * LW + 25 * B2p * NOHp,
-            bytes_accessed=8 * Bp * LW + 24 * B2p * NOHp,
+            bytes_accessed=(4 if catmode else 8) * Bp * LW
+            + 24 * B2p * NOHp,
             transcendentals=0,
         ),
     )(*inputs)
@@ -800,7 +834,7 @@ def classify_liftover_fused_adv16(
 
     stats = _finish_fused_stats(
         out, edges, ns, LW, tw, qw, lengths, caller, pad_rows,
-        nibble=nibble,
+        nibble=nibble, catmode=catmode,
     )
     return (stats,) + tuple(o[:B2, :NOH] for o in outs[2:])
 

@@ -180,10 +180,10 @@ def sharded_fused16(mesh: Mesh, tw, qw, lengths, opw16, nibble=False):
 
 
 def sharded_fused_adv16(
-    mesh: Mesh, tw, qw, lengths, wt, wq, nibble=False, scan_mode="mm",
-    chunk=None, emit_odd=True, raw_sums=False,
+    mesh: Mesh, tw, qw, lengths, wt, wq, nibble=False, catmode=False,
+    scan_mode="mm", chunk=None, emit_odd=True, raw_sums=False,
 ):
-    """The round-4 flagship through shard_map: classify + ADVANCE-packed
+    """The round-4/5 flagship through shard_map: classify + ADVANCE-packed
     op scan (ops.fused.classify_liftover_fused_adv16 -- host-side class
     decode via liftover.pack_ops_adv16, MXU triangle pair-sum scan).
     Record-axis data parallelism like sharded_fused16; zero collectives,
@@ -192,12 +192,38 @@ def sharded_fused_adv16(
     callers derive odd = even + (w >> 14) via
     liftover.adv16_odd_offsets; raw_sums=True takes group-sum words
     from liftover.pack_ops_sums and returns group-prefix anchors for
-    liftover.expand_group_prefix)."""
+    liftover.expand_group_prefix).  catmode=True (round 5): tw is ONE
+    category plane from classify.pack_cat_nibbles, qw must be None."""
     from ..ops.fused import classify_liftover_fused_adv16
 
     interpret = jax.default_backend() != "tpu"
     if raw_sums:
         emit_odd = False
+
+    spec = P(RECORDS_AXIS, None)
+    if catmode:
+        assert qw is None, "catmode takes ONE category plane"
+
+        def body_cat(a, l, owt, owq):
+            return classify_liftover_fused_adv16(
+                a, None, l, owt, owq,
+                tile_b=min(64, max(a.shape[0], owt.shape[0])),
+                interpret=interpret,
+                catmode=True,
+                scan_mode=scan_mode,
+                chunk=chunk,
+                emit_odd=emit_odd,
+                raw_sums=raw_sums,
+            )
+
+        fn = shard_map(
+            body_cat,
+            mesh=mesh,
+            in_specs=(spec, P(RECORDS_AXIS), spec, spec),
+            out_specs=(spec,) * (5 if emit_odd else 3),
+            check_vma=False,
+        )
+        return fn(tw, lengths, wt, wq)
 
     def body(a, b, l, owt, owq):
         return classify_liftover_fused_adv16(
@@ -211,7 +237,6 @@ def sharded_fused_adv16(
             raw_sums=raw_sums,
         )
 
-    spec = P(RECORDS_AXIS, None)
     fn = shard_map(
         body,
         mesh=mesh,
