@@ -8,7 +8,7 @@ _wgatools_tpu() {
         cmd="${COMP_WORDS[1]}"
     fi
     if [ "$COMP_CWORD" -eq 1 ]; then
-        COMPREPLY=( $(compgen -W "maf2paf m2p maf2chain m2c paf2maf p2m paf2chain p2c chain2maf c2m chain2paf c2p maf-index mi maf-ext me chunk ch call c tview tv stat st dotplot dp filter fl rename rn maf2sam m2s pafcov pc pafpseudo pp gen-completion gc validate vf --version -h --help" -- "$cur") )
+        COMPREPLY=( $(compgen -W "maf2paf m2p maf2chain m2c paf2maf p2m paf2chain p2c chain2maf c2m chain2paf c2p maf-index mi maf-ext me chunk ch call c tview tv stat st dotplot dp filter fl rename rn maf2sam m2s pafcov pc pafpseudo pp gen-completion gc validate vf pileup pl --version -h --help" -- "$cur") )
         return 0
     fi
     case "$prev" in
@@ -102,6 +102,9 @@ _wgatools_tpu() {
             ;;
         validate|vf)
             opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -f --fix"
+            ;;
+        pileup|pl)
+            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -a --all"
             ;;
     esac
     if [[ "$cur" == -* ]]; then

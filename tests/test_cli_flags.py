@@ -48,3 +48,46 @@ def test_global_shorts_unshadowed_elsewhere():
     args = build_parser().parse_args(["maf2paf", "in.maf", "-t", "8", "-r"])
     assert args.threads == 8
     assert args.rewrite is True
+
+
+def test_launcher_strips_axon_for_host_only_subcommands(tmp_path):
+    """The bin/wgatools-tpu shell launcher must unset
+    PALLAS_AXON_POOL_IPS (the sitecustomize trigger that costs ~1.9 s of
+    axon/jax registration in EVERY interpreter) and pin
+    JAX_PLATFORMS=cpu for host-only subcommands -- and must NOT for
+    device-capable ones or when WGA_TPU_DEVICE is set (VERDICT r4 #8).
+    A stub `python` on PATH captures the env the launcher execs with."""
+    import os
+    import stat as statmod
+    import subprocess
+
+    launcher = os.path.join(os.path.dirname(__file__), "..", "bin", "wgatools-tpu")
+    stub = tmp_path / "python"
+    stub.write_text(
+        "#!/bin/bash\n"
+        'echo "POOL=${PALLAS_AXON_POOL_IPS-UNSET} JAX=${JAX_PLATFORMS-UNSET}"\n'
+    )
+    stub.chmod(stub.stat().st_mode | statmod.S_IEXEC)
+
+    def run(args, extra_env=()):
+        env = dict(os.environ, PATH=f"{tmp_path}:{os.environ['PATH']}",
+                   PALLAS_AXON_POOL_IPS="1.2.3.4", **dict(extra_env))
+        env.pop("WGA_TPU_DEVICE", None)
+        env.pop("JAX_PLATFORMS", None)
+        for k, v in dict(extra_env).items():
+            env[k] = v
+        out = subprocess.run(["bash", launcher] + args, env=env,
+                             capture_output=True, text=True, check=True)
+        return out.stdout.strip()
+
+    # host-only subcommands: trigger stripped, cpu pinned
+    assert run(["filter", "x.maf"]) == "POOL=UNSET JAX=cpu"
+    assert run(["maf-index", "x.maf"]) == "POOL=UNSET JAX=cpu"
+    assert run(["-v", "tview", "x.maf"]) == "POOL=UNSET JAX=cpu"
+    # device-capable subcommands keep the TPU path
+    assert run(["stat", "x.maf"]) == "POOL=1.2.3.4 JAX=UNSET"
+    assert run(["maf2paf", "x.maf"]) == "POOL=1.2.3.4 JAX=UNSET"
+    # WGA_TPU_DEVICE overrides the host-only strip
+    assert run(["filter", "x.maf"], {"WGA_TPU_DEVICE": "1"}).startswith(
+        "POOL=1.2.3.4"
+    )

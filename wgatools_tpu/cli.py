@@ -210,6 +210,15 @@ def build_parser():
     p.add_argument("input", nargs="?", default=None)
     p.add_argument("-f", "--fix", default=None)
 
+    # OPTIONAL EXTRA (not reference parity): pileup exists in the
+    # reference only as dead code (tools/pileup.rs never compiled,
+    # CLI entry commented out at cli.rs:315-324) -- this is a working
+    # equivalent with deterministic output; see tools/pileup.py +
+    # PARITY.md
+    p = cmd("pileup", ["pl"], "EXTRA: merged MAF pileup (dead code in wgatools)")
+    p.add_argument("input", nargs="?", default=None)
+    p.add_argument("-a", "--all", action="store_true", dest="all_sites")
+
     return parser
 
 
@@ -630,6 +639,14 @@ def dispatch(args):
         from .tools.tview import tview
 
         tview(args.input, args.step)
+    elif cmd in ("pileup", "pl"):
+        from .tools.pileup import pileup
+
+        pileup(
+            MafReader(open_input(args.input)),
+            open_output(out, rw),
+            args.all_sites,
+        )
     else:
         raise WGAError(f"unknown command {cmd}")
 
