@@ -648,3 +648,52 @@ def test_fused_adv16_catmode_vs_nibble(caller):
     assert len(got) == len(want) == 3
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_classify_wrappers_pad_sub128_lane_batches():
+    """Lane-dim blocks must stay >= 128 (Mosaic (8,128) alignment): a
+    small trailing flush batch (LW < 128 words) pads UP instead of
+    shrinking the tile.  All four wrappers, interpret mode + shape
+    check; the on-chip parity for this shape ran 2026-08-20."""
+    from wgatools_tpu.ops.classify import (
+        classify_stat_pallas,
+        classify_stat_pallas_cat,
+        classify_stat_pallas_nibbles,
+        classify_stat_pallas_words,
+        pack_cat_nibbles,
+        pack_nibble_words,
+    )
+
+    pairs = [(b"ACGT-ACG", b"ACGTTACG"), (b"AC", b"A-")]
+    t, q, lens = pack_pairs(pairs)  # L = 128 -> LW = 16 (nibble) / 32 (word)
+    want = np.array(classify_stat_jnp(t, q, lens))
+    got_b = np.array(
+        classify_stat_pallas(
+            jnp.asarray(t), jnp.asarray(q), jnp.asarray(lens),
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got_b, want)
+    tw, qw = t.view("<i4"), q.view("<i4")
+    got_w = np.array(
+        classify_stat_pallas_words(
+            jnp.asarray(tw), jnp.asarray(qw), jnp.asarray(lens),
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got_w, want)
+    tn, qn = pack_nibble_words(t, q)
+    got_n = np.array(
+        classify_stat_pallas_nibbles(
+            jnp.asarray(tn), jnp.asarray(qn), jnp.asarray(lens),
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got_n, want)
+    cw = pack_cat_nibbles(t, q)
+    got_c = np.array(
+        classify_stat_pallas_cat(
+            jnp.asarray(cw), jnp.asarray(lens), interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got_c, want)

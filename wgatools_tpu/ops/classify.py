@@ -261,7 +261,9 @@ def classify_stat_pallas(
     B, L = t.shape
     tile_b = min(tile_b, B)
     tile_b = ((tile_b + 7) // 8) * 8  # sublane-aligned row blocks
-    tile_l = min(tile_l, L)
+    # lane-dim blocks must stay >= 128 (Mosaic (8,128) alignment):
+    # a small trailing flush batch pads up instead of shrinking the tile
+    tile_l = min(tile_l, max(L, 128))
     # the kernel packs two counters into 16-bit fields of one int32;
     # per-tile counts must fit 16 bits
     assert tile_l <= 0xFFFF, "tile_l must be < 2^16 (16-bit field packing)"
@@ -554,7 +556,9 @@ def classify_stat_pallas_words(
     B, LW = tw.shape
     tile_b = min(tile_b, B)
     tile_b = ((tile_b + 7) // 8) * 8  # sublane-aligned row blocks
-    tile_lw = min(tile_lw, LW)
+    # lane-dim blocks must stay >= 128 (Mosaic (8,128) alignment):
+    # a small trailing flush batch pads up instead of shrinking the tile
+    tile_lw = min(tile_lw, max(LW, 128))
     # per-tile column counts (4 per word) must fit the 16-bit fields
     assert tile_lw * 4 < (1 << 16), "tile_lw*4 must be < 2^16"
     gapw = jnp.int32(_GAPW32)
@@ -835,7 +839,9 @@ def classify_stat_pallas_nibbles(
     B, LW = tw.shape
     tile_b = min(tile_b, B)
     tile_b = ((tile_b + 7) // 8) * 8  # sublane-aligned row blocks
-    tile_lw = min(tile_lw, LW)
+    # lane-dim blocks must stay >= 128 (Mosaic (8,128) alignment):
+    # a small trailing flush batch pads up instead of shrinking the tile
+    tile_lw = min(tile_lw, max(LW, 128))
     assert tile_lw * 8 < (1 << 16), "tile_lw*8 must be < 2^16"
     if LW % tile_lw:
         LW2 = ((LW + tile_lw - 1) // tile_lw) * tile_lw
@@ -1104,7 +1110,9 @@ def classify_stat_pallas_cat(
     B, LW = cw.shape
     tile_b = min(tile_b, B)
     tile_b = ((tile_b + 7) // 8) * 8  # sublane-aligned row blocks
-    tile_lw = min(tile_lw, LW)
+    # lane-dim blocks must stay >= 128 (Mosaic (8,128) alignment):
+    # a small trailing flush batch pads up instead of shrinking the tile
+    tile_lw = min(tile_lw, max(LW, 128))
     assert tile_lw * 8 < (1 << 16), "tile_lw*8 must be < 2^16"
     ggw = jnp.int32(_GGW32)
     if LW % tile_lw:
