@@ -50,18 +50,22 @@ def test_global_shorts_unshadowed_elsewhere():
     assert args.rewrite is True
 
 
-def test_launcher_strips_axon_for_host_only_subcommands(tmp_path):
+def test_launcher_strips_axon_unless_device_or_dist_mode(tmp_path):
     """The bin/wgatools-tpu shell launcher must unset
-    PALLAS_AXON_POOL_IPS (the sitecustomize trigger that costs ~1.9 s of
-    axon/jax registration in EVERY interpreter) and pin
-    JAX_PLATFORMS=cpu for host-only subcommands -- and must NOT for
-    device-capable ones or when WGA_TPU_DEVICE is set (VERDICT r4 #8).
-    A stub `python` on PATH captures the env the launcher execs with."""
+    PALLAS_AXON_POOL_IPS (the sitecustomize trigger costing ~1.9 s of
+    axon/jax registration in EVERY interpreter) for ALL subcommands
+    when neither WGA_TPU_DEVICE nor WGA_TPU_DIST is set -- device paths
+    can only engage through those env vars in a fresh CLI process
+    (core/device.py).  JAX_PLATFORMS=cpu is pinned only when the user
+    has not set it.  (VERDICT r4 #8.)  A stub `python` on PATH captures
+    the env the launcher execs with."""
     import os
     import stat as statmod
     import subprocess
 
-    launcher = os.path.join(os.path.dirname(__file__), "..", "bin", "wgatools-tpu")
+    launcher = os.path.join(
+        os.path.dirname(__file__), "..", "bin", "wgatools-tpu"
+    )
     stub = tmp_path / "python"
     stub.write_text(
         "#!/bin/bash\n"
@@ -70,24 +74,28 @@ def test_launcher_strips_axon_for_host_only_subcommands(tmp_path):
     stub.chmod(stub.stat().st_mode | statmod.S_IEXEC)
 
     def run(args, extra_env=()):
-        env = dict(os.environ, PATH=f"{tmp_path}:{os.environ['PATH']}",
-                   PALLAS_AXON_POOL_IPS="1.2.3.4", **dict(extra_env))
-        env.pop("WGA_TPU_DEVICE", None)
-        env.pop("JAX_PLATFORMS", None)
-        for k, v in dict(extra_env).items():
-            env[k] = v
+        env = dict(os.environ, PATH=f"{tmp_path}:" + os.environ["PATH"],
+                   PALLAS_AXON_POOL_IPS="1.2.3.4")
+        for k in ("WGA_TPU_DEVICE", "WGA_TPU_DIST", "JAX_PLATFORMS"):
+            env.pop(k, None)
+        env.update(dict(extra_env))
         out = subprocess.run(["bash", launcher] + args, env=env,
                              capture_output=True, text=True, check=True)
         return out.stdout.strip()
 
-    # host-only subcommands: trigger stripped, cpu pinned
+    # no device/dist opt-in: trigger stripped, cpu pinned -- for EVERY
+    # subcommand (device paths cannot engage without the env vars)
     assert run(["filter", "x.maf"]) == "POOL=UNSET JAX=cpu"
-    assert run(["maf-index", "x.maf"]) == "POOL=UNSET JAX=cpu"
-    assert run(["-v", "tview", "x.maf"]) == "POOL=UNSET JAX=cpu"
-    # device-capable subcommands keep the TPU path
-    assert run(["stat", "x.maf"]) == "POOL=1.2.3.4 JAX=UNSET"
-    assert run(["maf2paf", "x.maf"]) == "POOL=1.2.3.4 JAX=UNSET"
-    # WGA_TPU_DEVICE overrides the host-only strip
-    assert run(["filter", "x.maf"], {"WGA_TPU_DEVICE": "1"}).startswith(
+    assert run(["stat", "x.maf"]) == "POOL=UNSET JAX=cpu"
+    assert run(["maf2paf", "x.maf"]) == "POOL=UNSET JAX=cpu"
+    # a user-set JAX_PLATFORMS wins
+    assert run(["stat", "x.maf"], {"JAX_PLATFORMS": "tpu"}) == (
+        "POOL=UNSET JAX=tpu"
+    )
+    # WGA_TPU_DEVICE / WGA_TPU_DIST keep the TPU registration
+    assert run(["stat", "x.maf"], {"WGA_TPU_DEVICE": "1"}).startswith(
+        "POOL=1.2.3.4"
+    )
+    assert run(["stat", "x.maf"], {"WGA_TPU_DIST": "1"}).startswith(
         "POOL=1.2.3.4"
     )
