@@ -161,13 +161,17 @@ def main():
         # fused 802.7 vs 571.9 Gcol/s same-window)
         from wgatools_tpu.ops.fused import classify_liftover_fused_adv16
 
-        # tile_b=128 for the cat form: the halved VMEM footprint leaves
-        # room for double row blocks, +8.8% over 64 (mm128 808.6 vs
-        # mm64 743.3 Gcol/s same-window, scripts/ab_fused_cat.py;
-        # parity-gated on-chip incl. B=9 odd rows before adoption)
+        # scan_mode="once": op tables + anchors resident across the
+        # column steps, the whole scan at j == 0 as one full-width
+        # Hillis ladder -- the per-step scan's fixed overhead made the
+        # fused kernel trail standalone classify ~13% (so-vpu 897.2 vs
+        # per-step mm128 804.6 vs classify-only 987.8 Gcol/s
+        # same-window, scripts/ab_scan_once.py; parity-gated on-chip
+        # incl. B=9 odd rows).  tile_b=64: the resident op blocks +
+        # 128-row column tiles together exceed VMEM (measured OOM)
         combined = lambda cn, _qn, wt, wq: classify_liftover_fused_adv16(
-            cn, None, lens_d, wt, wq, tile_b=128, tile_lw=4096,
-            catmode=True, scan_mode="mm", raw_sums=True,
+            cn, None, lens_d, wt, wq, tile_b=64, tile_lw=4096,
+            catmode=True, scan_mode="once", raw_sums=True,
         )
     else:
 

@@ -668,3 +668,89 @@ def test_fused_group_sums_parity(group):
         got_q = interleave_halves(qe, qo)[:, : ops.shape[1]]
         assert np.array_equal(got_t, want_t), mode
         assert np.array_equal(got_q, want_q), mode
+
+
+@pytest.mark.parametrize("caller", [False, True])
+@pytest.mark.parametrize("kw", [
+    {"raw_sums": True},
+    {"emit_odd": True},
+    {"emit_odd": False},
+])
+def test_fused_adv16_scan_once_vs_per_step(caller, kw):
+    """scan_mode='once' (round 5: resident op tables, whole scan at
+    j == 0) must be bit-identical to the per-step mm scan for every op
+    packing and both category tables."""
+    from wgatools_tpu.ops.classify import pack_cat_nibbles, pack_pairs
+    from wgatools_tpu.ops.fused import classify_liftover_fused_adv16
+    from wgatools_tpu.ops.liftover import pack_ops_adv16, pack_ops_sums
+
+    rng = np.random.default_rng(5)
+    import random as _r
+    src = _r.Random(23)
+    pairs = []
+    for _ in range(5):
+        n = src.randint(1, 700)
+        pairs.append((
+            "".join(src.choice("ACGTacgt-N") for _ in range(n)).encode(),
+            "".join(src.choice("ACGTacgt-N") for _ in range(n)).encode(),
+        ))
+    t, q, lens = pack_pairs(pairs, align=256)
+    op_chars = np.frombuffer(b"M=XIDS", np.uint8)
+    ops = op_chars[rng.integers(0, 6, (4, 64))]
+    lens_op = rng.integers(0, 8000, (4, 64)).astype(np.int32)
+    if kw.get("raw_sums"):
+        wt, wq = pack_ops_sums(ops, lens_op, group=8)
+    else:
+        wt, wq = pack_ops_adv16(ops, lens_op)
+    cw = pack_cat_nibbles(t, q)
+    import jax.numpy as jnp
+
+    args = (
+        jnp.asarray(cw), None, jnp.asarray(lens),
+        jnp.asarray(wt), jnp.asarray(wq),
+    )
+    want = classify_liftover_fused_adv16(
+        *args, tile_b=2, tile_lw=32, interpret=True, caller=caller,
+        catmode=True, scan_mode="mm", **kw,
+    )
+    got = classify_liftover_fused_adv16(
+        *args, tile_b=2, tile_lw=32, interpret=True, caller=caller,
+        catmode=True, scan_mode="once", **kw,
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_fused_adv16_scan_once_vmem_fallback():
+    """A too-wide op table must silently fall back to the per-step mm
+    scan (the resident blocks would blow VMEM) and still be exact."""
+    from wgatools_tpu.ops.classify import pack_cat_nibbles, pack_pairs
+    from wgatools_tpu.ops.fused import classify_liftover_fused_adv16
+    from wgatools_tpu.ops.liftover import pack_ops_sums
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    pairs = [(b"ACGT" * 64, b"ACGT" * 64)] * 64
+    t, q, lens = pack_pairs(pairs, align=256)
+    op_chars = np.frombuffer(b"M=XIDS", np.uint8)
+    # 64 rows x 8192 g8 words x 4 outputs+inputs > the 6 MB bound at
+    # tile_b=64
+    ops = op_chars[rng.integers(0, 6, (64, 8192 * 8))]
+    lens_op = rng.integers(0, 64, (64, 8192 * 8)).astype(np.int32)
+    wt, wq = pack_ops_sums(ops, lens_op, group=8)
+    cw = pack_cat_nibbles(t, q)
+    args = (
+        jnp.asarray(cw), None, jnp.asarray(lens),
+        jnp.asarray(wt), jnp.asarray(wq),
+    )
+    want = classify_liftover_fused_adv16(
+        *args, tile_b=64, tile_lw=32, interpret=True, catmode=True,
+        scan_mode="mm", raw_sums=True,
+    )
+    got = classify_liftover_fused_adv16(
+        *args, tile_b=64, tile_lw=32, interpret=True, catmode=True,
+        scan_mode="once", raw_sums=True,
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

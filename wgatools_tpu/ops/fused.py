@@ -329,7 +329,17 @@ def _fused_kernel_adv16(
     anchors (liftover.expand_group_prefix reconstructs per-op
     offsets).  catmode=True: ONE category plane (pack_cat_nibbles)
     replaces the tw/qw pair -- classify._kernel_cat body, half the
-    column input."""
+    column input.
+
+    scan_mode="once" (round 5): the op tables and offset outputs stay
+    RESIDENT across the column steps (constant block index) and the
+    WHOLE scan runs at j == 0 as one full-width int32 Hillis ladder --
+    the per-step scan's fixed overhead (extra DMA streams, MXU spin-up,
+    carry serialization) made the fused kernel trail the standalone
+    classify ~13% even though the g8 op tile is 1/32 of the column
+    tile; scan-once measured 897.2 vs per-step-mm 804.6 Gcol/s
+    same-window (classify-only control 987.8, scripts/ab_scan_once.py).
+    Requires the whole op row-block in VMEM -- the wrapper bounds NOHp."""
     if catmode:
         cw_ref, wt_ref, wq_ref, *rest = refs
     else:
@@ -353,6 +363,34 @@ def _fused_kernel_adv16(
 
     def lsr(x, k):
         return jax.lax.shift_right_logical(x, jnp.int32(k))
+
+    if scan_mode == "once":
+
+        @pl.when(j == 0)
+        def _():
+            wt = wt_ref[:]
+            wq = wq_ref[:]
+            if raw_sums:
+                ct, cq = wt, wq
+            else:
+                m14 = jnp.int32(0x3FFF)
+                ct = wt & m14
+                cq = wq & m14
+            TB = ct.shape[0]
+            zero_carry = jnp.zeros((TB, 2), i32)
+            p_t, p_q = _hillis_scan_pair(ct, cq, zero_carry)
+            if emit_odd:
+                te_ref, to_ref, qe_ref, qo_ref = off_refs
+                te_ref[:] = p_t
+                to_ref[:] = p_t + lsr(wt, 14)
+                qe_ref[:] = p_q
+                qo_ref[:] = p_q + lsr(wq, 14)
+            else:
+                te_ref, qe_ref = off_refs
+                te_ref[:] = p_t
+                qe_ref[:] = p_q
+
+        return
 
     wt = wt_ref[:]
     wq = wq_ref[:]
@@ -743,7 +781,13 @@ def classify_liftover_fused_adv16(
 
     catmode=True: tw is ONE category plane from
     classify.pack_cat_nibbles (qw must be None) -- half the column
-    input and ~40% fewer classify vreg-ops (classify._kernel_cat)."""
+    input and ~40% fewer classify vreg-ops (classify._kernel_cat).
+
+    scan_mode="once" (round 5): op tables + offset outputs resident
+    across column steps, whole scan at j == 0 as a full-width int32
+    Hillis ladder (+11.5% over per-step mm, scripts/ab_scan_once.py);
+    auto-falls back to "mm" when the resident op blocks would not fit
+    VMEM (op words > ~6 MB per row block)."""
     if raw_sums:
         emit_odd = False
     if tile_lw is None:
@@ -763,12 +807,26 @@ def classify_liftover_fused_adv16(
     )
     Bp, B2p, LW, NOHp, ns, nb, tile_loh, pad_rows = dims
 
+    n_off = 4 if emit_odd else 2
+    if scan_mode == "once" and (
+        (2 + n_off) * tile_b * NOHp * 4 > (6 << 20)
+    ):
+        # resident op blocks would blow the 16 MB VMEM budget next to
+        # the column tiles -- keep the per-step MXU triangle form
+        scan_mode = "mm"
     word_spec = pl.BlockSpec(
         (tile_b, tile_lw), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
-    op_spec = pl.BlockSpec(
-        (tile_b, tile_loh), lambda i, j: (i, j), memory_space=pltpu.VMEM
-    )
+    if scan_mode == "once":
+        # whole op row-block resident across the column steps
+        op_spec = pl.BlockSpec(
+            (tile_b, NOHp), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        op_spec = pl.BlockSpec(
+            (tile_b, tile_loh), lambda i, j: (i, j),
+            memory_space=pltpu.VMEM,
+        )
     if catmode:
         in_specs = [word_spec, op_spec, op_spec]
         inputs = [tw, wt, wq]
@@ -793,7 +851,6 @@ def classify_liftover_fused_adv16(
             )
         )
         inputs.append(tri)
-    n_off = 4 if emit_odd else 2
     outs = pl.pallas_call(
         functools.partial(
             _fused_kernel_adv16, caller=caller, nibble=nibble,

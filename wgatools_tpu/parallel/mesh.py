@@ -205,11 +205,9 @@ def sharded_fused_adv16(
         assert qw is None, "catmode takes ONE category plane"
 
         def body_cat(a, l, owt, owq):
-            # 128-row tiles: the cat plane's halved VMEM footprint fits
-            # double row blocks (+8.8%, scripts/ab_fused_cat.py)
             return classify_liftover_fused_adv16(
                 a, None, l, owt, owq,
-                tile_b=min(128, max(a.shape[0], owt.shape[0])),
+                tile_b=min(64, max(a.shape[0], owt.shape[0])),
                 interpret=interpret,
                 catmode=True,
                 scan_mode=scan_mode,
