@@ -297,6 +297,59 @@ def prop_op_packings(rng):
         assert np.array_equal(gqf, want_q), g
 
 
+def prop_cat_plane(rng):
+    """Round 5: the host 64K-LUT category packing + cat kernel must
+    match the jnp oracle on ARBITRARY byte pairs (the LUT is total --
+    IUPAC codes, junk bytes, anything), both category tables, through
+    the interpret-mode kernel."""
+    import jax.numpy as jnp
+
+    from wgatools_tpu.ops.classify import (
+        classify_stat_jnp,
+        classify_stat_pallas_cat,
+        pack_cat_nibbles,
+        pack_pairs,
+    )
+
+    B = int(rng.integers(1, 5))
+    pairs = []
+    for _ in range(B):
+        n = int(rng.integers(1, 500))
+        profile = rng.integers(0, 3)
+        if profile == 0:
+            alpha = np.frombuffer(b"ACGT-", np.uint8)
+            t = alpha[rng.integers(0, 5, n)]
+            q = alpha[rng.integers(0, 5, n)]
+        elif profile == 1:
+            # arbitrary bytes (no dictionary!) -- '-' sprinkled in
+            t = rng.integers(1, 256, n).astype(np.uint8)
+            q = rng.integers(1, 256, n).astype(np.uint8)
+            t[rng.random(n) < 0.2] = ord("-")
+            q[rng.random(n) < 0.2] = ord("-")
+        else:
+            alpha = np.frombuffer(b"A-", np.uint8)
+            t = alpha[(rng.random(n) < 0.5).astype(int)]
+            q = alpha[(rng.random(n) < 0.5).astype(int)]
+        pairs.append((t.tobytes(), q.tobytes()))
+    t, q, lens = pack_pairs(pairs)
+    cw = pack_cat_nibbles(t, q)
+    assert cw is not None
+    for caller in (False, True):
+        want = np.asarray(
+            classify_stat_jnp(
+                jnp.asarray(t), jnp.asarray(q), jnp.asarray(lens),
+                caller=caller,
+            )
+        )
+        got = np.asarray(
+            classify_stat_pallas_cat(
+                jnp.asarray(cw), jnp.asarray(lens),
+                tile_b=2, tile_lw=32, interpret=True, caller=caller,
+            )
+        )
+        assert np.array_equal(got, want), caller
+
+
 def _corrupt(rng, blob: bytes) -> bytes:
     """Random byte-level corruption: truncation, splice, byte flips,
     field deletion, junk insertion."""
@@ -384,6 +437,7 @@ def main():
         "maf_paf_roundtrip": None,  # needs tmpdir, bound below
         "call_chunked": prop_call_chunked,
         "op_packings": prop_op_packings,
+        "cat_plane": prop_cat_plane,
         "parser_robustness": prop_parser_robustness,
     }
     failures = 0
@@ -391,7 +445,11 @@ def main():
         props["maf_paf_roundtrip"] = lambda r: prop_maf_paf_roundtrip(r, td)
         for name, prop in props.items():
             rng = np.random.default_rng(args.seed)
-            n_iters = args.iters if name != "op_packings" else args.iters // 10
+            n_iters = (
+                args.iters // 10
+                if name in ("op_packings", "cat_plane")
+                else args.iters
+            )
             ok = 0
             try:
                 for _ in range(n_iters):
