@@ -89,7 +89,7 @@ _wgatools_tpu() {
             opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -p --prefixs"
             ;;
         maf2sam|m2s)
-            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose"
+            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose --real"
             ;;
         pafcov|pc)
             opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose"

@@ -301,6 +301,7 @@ _wgatools_tpu() {
                 '(-t --threads)--threads[Threads, default 1]:arg:_files' \
                 '(-v --verbose)-v[Logging level [-v: Info, -vv: Debug, -vvv: Trace, default: Warn]]' \
                 '(-v --verbose)--verbose[Logging level [-v: Info, -vv: Debug, -vvv: Trace, default: Warn]]' \
+                '(--real)--real[]' \
                 '*:file:_files'
             ;;
         pafcov|pc)

@@ -186,6 +186,10 @@ def build_parser():
 
     p = cmd("maf2sam", ["m2s"], "DEV: maf2sam")
     p.add_argument("input", nargs="?", default=None)
+    # EXTRA beyond the reference's stub: a working MAF -> SAM conversion
+    # (the reference ignores the input and prints a noodles example,
+    # converter.rs:94-125; see PARITY.md)
+    p.add_argument("--real", action="store_true")
 
     p = cmd("pafcov", ["pc"], "Calculate coverage for PAF file")
     p.add_argument("input", nargs="?", default=None)
@@ -352,7 +356,10 @@ def dispatch(args):
     elif cmd in ("maf2sam", "m2s"):
         from .tools.convert import maf2sam
 
-        maf2sam(MafReader(open_input(args.input)), open_output(out, rw))
+        maf2sam(
+            MafReader(open_input(args.input)), open_output(out, rw),
+            real=args.real,
+        )
     elif cmd in ("maf-index", "mi"):
         from .io.compression import open_output as _oo
         from .tools.index import build_index, index_path_for

@@ -594,17 +594,102 @@ def chain2maf(chainreader: ChainReader, writer, t_fa_path: str, q_fa_path: str):
     writer.flush()
 
 
-def maf2sam(mafreader: MafReader, writer):
-    """DEV stub, surface parity only: the reference writes a hard-coded
-    noodles example header and one unmapped record, ignoring the input
-    (reference: converter.rs:94-125)."""
+def maf2sam(mafreader: MafReader, writer, real: bool = False):
+    """DEV stub by default, surface parity only: the reference writes a
+    hard-coded noodles example header and one unmapped record, ignoring
+    the input (reference: converter.rs:94-125).
+
+    real=True (OPTIONAL EXTRA, `--real`, not reference parity -- see
+    PARITY.md): an actual MAF -> SAM conversion.  Per record: the query
+    row becomes one alignment line against the target -- FLAG 16 for
+    negative strand (the MAF query seq is already in target-forward
+    orientation), 1-based POS, M/I/D CIGAR ('='/'X' runs M-merged) with
+    hard clips from the query s-line's own coordinate frame, SEQ =
+    gap-stripped query row, MAPQ 255 and NM:i as in convert2paf
+    (maf.rs:484-520).  @SQ lines collect target names/sizes in first
+    appearance order (header precedes body, so the body spools)."""
+    if not real:
+        writer.write(
+            b"@HD\tVN:1.6\tSO:unsorted\n"
+            b"@SQ\tSN:sq0\tLN:8\n"
+            b"@SQ\tSN:sq1\tLN:13\n"
+            b"@SQ\tSN:sq2\tLN:21\n"
+            b"@PG\tID:noodles-sam\n"
+            b"@CO\tan example SAM written by noodles-sam\n"
+            b"sq2\t4\t*\t0\t255\t*\t*\t0\t0\t*\t*\n"
+        )
+        writer.flush()
+        return
+
+    import tempfile
+
+    from .. import __version__
+    from ..core.cigar import EQ, X, ext_runs, seq_bytes
+
+    sq = {}  # target name -> size, first-appearance order
+    body = tempfile.SpooledTemporaryFile(max_size=64 << 20)
+    for rec in mafreader.records():
+        if len(rec.slines) < 2:
+            continue
+        t_arr = seq_bytes(rec.target_seq)
+        q_arr = seq_bytes(rec.query_seq)
+        cat_vals, cat_lens = ext_runs(t_arr, q_arr)
+        cat_lens = np.asarray(cat_lens, np.int64)
+        # SAM-style cigar: '='/'X' merge to M (adjacent runs coalesce)
+        vals = np.where(
+            (cat_vals == EQ) | (cat_vals == X),
+            np.uint8(ord("M")),
+            np.where(
+                cat_vals == C.I, np.uint8(ord("I")), np.uint8(ord("D"))
+            ),
+        )
+        keep = np.ones(vals.shape[0], dtype=bool)
+        keep[1:] = vals[1:] != vals[:-1]
+        grp = np.cumsum(keep) - 1
+        mlens = np.bincount(grp, weights=cat_lens.astype(np.float64))
+        mlens = mlens.astype(np.int64)
+        vals = vals[keep]
+        cigar = "".join(
+            f"{ln}{chr(v)}" for v, ln in zip(vals.tolist(), mlens.tolist())
+        )
+        qs = rec.slines[rec.query_idx]
+        # hard clips in the query row's OWN strand frame (the MAF start
+        # is strand-relative, maf.rs:433-450) -- SEQ carries only the
+        # aligned bases, so the clipped remainder is H on both sides
+        h_lead = qs.start
+        h_trail = qs.size - qs.start - qs.align_size
+        if h_lead:
+            cigar = f"{h_lead}H{cigar}"
+        if h_trail:
+            cigar = f"{cigar}{h_trail}H"
+        # NM = mismatches + indel bases, as convert2paf's tag
+        nm = int(cat_lens[cat_vals != EQ].sum())
+        seq = q_arr[q_arr != C.GAP].tobytes()
+        flag = 16 if rec.is_negative else 0
+        tname = rec.target_name
+        if tname not in sq:
+            sq[tname] = rec.target_length
+        body.write(
+            (
+                f"{rec.query_name}\t{flag}\t{tname}\t"
+                f"{rec.target_start + 1}\t255\t{cigar}\t*\t0\t0\t"
+            ).encode("ascii")
+            + seq
+            + f"\t*\tNM:i:{nm}\n".encode("ascii")
+        )
+    writer.write(b"@HD\tVN:1.6\tSO:unsorted\n")
+    for name, size in sq.items():
+        writer.write(f"@SQ\tSN:{name}\tLN:{size}\n".encode("ascii"))
     writer.write(
-        b"@HD\tVN:1.6\tSO:unsorted\n"
-        b"@SQ\tSN:sq0\tLN:8\n"
-        b"@SQ\tSN:sq1\tLN:13\n"
-        b"@SQ\tSN:sq2\tLN:21\n"
-        b"@PG\tID:noodles-sam\n"
-        b"@CO\tan example SAM written by noodles-sam\n"
-        b"sq2\t4\t*\t0\t255\t*\t*\t0\t0\t*\t*\n"
+        f"@PG\tID:wgatools-tpu\tPN:wgatools-tpu\tVN:{__version__}\n".encode(
+            "ascii"
+        )
     )
+    body.seek(0)
+    while True:
+        chunk = body.read(1 << 20)
+        if not chunk:
+            break
+        writer.write(chunk)
+    body.close()
     writer.flush()
