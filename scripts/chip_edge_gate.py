@@ -26,8 +26,10 @@ sys.path.insert(0, "/root/repo")
 from wgatools_tpu.ops.classify import (  # noqa: E402
     classify_stat_jnp,
     classify_stat_pallas,
+    classify_stat_pallas_cat,
     classify_stat_pallas_nibbles,
     classify_stat_pallas_words,
+    pack_cat_nibbles,
     pack_nibble_words,
 )
 from wgatools_tpu.ops.fused import classify_liftover_fused_adv16  # noqa: E402
@@ -78,6 +80,18 @@ def gate_classify(rng):
                 jnp.asarray(packed[0]), jnp.asarray(packed[1]), lens
             ))
             assert np.array_equal(got, want), ("nibble", B, L)
+            cw = pack_cat_nibbles(tn, qn)
+            for caller in (False, True):
+                wantc = want if not caller else np.asarray(
+                    classify_stat_jnp(
+                        jnp.asarray(tn), jnp.asarray(qn), lens,
+                        caller=True,
+                    )
+                )
+                got = np.asarray(classify_stat_pallas_cat(
+                    jnp.asarray(cw), lens, caller=caller
+                ))
+                assert np.array_equal(got, wantc), ("cat", B, L, caller)
     print("classify edge shapes: OK", file=sys.stderr)
 
 
@@ -126,25 +140,41 @@ def gate_fused_g8(rng):
         ops, olens = pack_ops_batch(op_arrays, len_arrays)
         wt, wq = pack_ops_adv16(ops, olens)
         st, sq = pack_ops_sums(ops, olens, group=8)
-        stats, ta, qa = classify_liftover_fused_adv16(
-            jnp.asarray(tn), jnp.asarray(qn), lens,
-            jnp.asarray(st), jnp.asarray(sq),
-            nibble=True, scan_mode="mm", raw_sums=True,
-        )
         want = np.asarray(
             classify_stat_jnp(jnp.asarray(t), jnp.asarray(q), lens)
         )
-        assert np.array_equal(np.asarray(stats), want), (B, "stats")
         w_t, w_q = _liftover_scan_impl(
             jnp.asarray(ops), jnp.asarray(olens), False, False
         )
-        te = expand_group_prefix(np.asarray(ta), wt, group=8)
-        qe = expand_group_prefix(np.asarray(qa), wq, group=8)
-        gt = interleave_halves(te, adv16_odd_offsets(te, wt))
-        gq = interleave_halves(qe, adv16_odd_offsets(qe, wq))
-        assert np.array_equal(gt[:, : ops.shape[1]], np.asarray(w_t)), B
-        assert np.array_equal(gq[:, : ops.shape[1]], np.asarray(w_q)), B
-    print("fused-adv16-g8 edge shapes: OK", file=sys.stderr)
+        cw = pack_cat_nibbles(np.asarray(t), np.asarray(q))
+        # nibble+mm (r4 production), cat+mm and cat+scan-once (r5
+        # production incl. the resident-block layout)
+        for label, args, kw in (
+            ("nib-mm", (jnp.asarray(tn), jnp.asarray(qn)),
+             dict(nibble=True, scan_mode="mm")),
+            ("cat-mm", (jnp.asarray(cw), None),
+             dict(catmode=True, scan_mode="mm")),
+            ("cat-once", (jnp.asarray(cw), None),
+             dict(catmode=True, scan_mode="once")),
+        ):
+            stats, ta, qa = classify_liftover_fused_adv16(
+                args[0], args[1], lens,
+                jnp.asarray(st), jnp.asarray(sq),
+                raw_sums=True, **kw,
+            )
+            assert np.array_equal(np.asarray(stats), want), (B, label)
+            te = expand_group_prefix(np.asarray(ta), wt, group=8)
+            qe = expand_group_prefix(np.asarray(qa), wq, group=8)
+            gt = interleave_halves(te, adv16_odd_offsets(te, wt))
+            gq = interleave_halves(qe, adv16_odd_offsets(qe, wq))
+            assert np.array_equal(
+                gt[:, : ops.shape[1]], np.asarray(w_t)
+            ), (B, label)
+            assert np.array_equal(
+                gq[:, : ops.shape[1]], np.asarray(w_q)
+            ), (B, label)
+    print("fused-adv16-g8 edge shapes (nib-mm/cat-mm/cat-once): OK",
+          file=sys.stderr)
 
 
 def main():

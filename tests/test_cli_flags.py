@@ -66,12 +66,15 @@ def test_launcher_strips_axon_unless_device_or_dist_mode(tmp_path):
     launcher = os.path.join(
         os.path.dirname(__file__), "..", "bin", "wgatools-tpu"
     )
-    stub = tmp_path / "python"
-    stub.write_text(
-        "#!/bin/bash\n"
-        'echo "POOL=${PALLAS_AXON_POOL_IPS-UNSET} JAX=${JAX_PLATFORMS-UNSET}"\n'
-    )
-    stub.chmod(stub.stat().st_mode | statmod.S_IEXEC)
+    # the launcher prefers $script_dir/python, then python3 on PATH --
+    # stub BOTH names so resolution lands on the stub either way
+    for name in ("python", "python3"):
+        stub = tmp_path / name
+        stub.write_text(
+            "#!/bin/bash\n"
+            'echo "POOL=${PALLAS_AXON_POOL_IPS-UNSET} JAX=${JAX_PLATFORMS-UNSET}"\n'
+        )
+        stub.chmod(stub.stat().st_mode | statmod.S_IEXEC)
 
     def run(args, extra_env=()):
         env = dict(os.environ, PATH=f"{tmp_path}:" + os.environ["PATH"],
@@ -98,4 +101,12 @@ def test_launcher_strips_axon_unless_device_or_dist_mode(tmp_path):
     )
     assert run(["stat", "x.maf"], {"WGA_TPU_DIST": "1"}).startswith(
         "POOL=1.2.3.4"
+    )
+    # explicit opt-OUT values must strip too (device_requested treats
+    # '', '0', 'false' as disabled -- round-5 review finding)
+    assert run(["stat", "x.maf"], {"WGA_TPU_DEVICE": "0"}) == (
+        "POOL=UNSET JAX=cpu"
+    )
+    assert run(["stat", "x.maf"], {"WGA_TPU_DEVICE": "false"}) == (
+        "POOL=UNSET JAX=cpu"
     )

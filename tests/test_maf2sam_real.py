@@ -70,3 +70,33 @@ def test_maf2sam_real_cli(tmp_path):
     )
     assert b"@SQ\tSN:ref.chr1" in res.stdout
     assert b"qry.chr1\t0\tref.chr1\t101\t255\t" in res.stdout
+
+
+def test_maf2sam_real_gapgap_columns_dropped():
+    """gap/gap columns exist in neither coordinate frame; they must not
+    inflate M runs (CIGAR query-length consistency) or the target span
+    (round-5 review finding)."""
+    maf = (
+        "##maf version=1.6\n"
+        "a score=0\n"
+        "s\tref\t10\t4\t+\t100\tAC--GT\n"
+        "s\tqry\t0\t4\t+\t200\tAC--GT\n\n"
+    )
+    out = io.BytesIO()
+    maf2sam(_reader(maf), out, real=True)
+    body = [
+        l for l in out.getvalue().decode().splitlines()
+        if not l.startswith("@")
+    ]
+    f = body[0].split("\t")
+    # 4 aligned bases -> 4M (plus 196H trailing clip), SEQ length 4
+    assert f[5] == "4M196H"
+    assert f[9] == "ACGT"
+    # CIGAR/SEQ consistency: sum(M+I) == len(SEQ)
+    import re
+
+    consumed = sum(
+        int(n) for n, op in re.findall(r"(\d+)([MIDH])", f[5])
+        if op in ("M", "I")
+    )
+    assert consumed == len(f[9])

@@ -19,6 +19,7 @@ import numpy as np
 
 from .classify import (
     STAT_RUNS,
+    _cat_to_std,
     _classify,
     _default_interpret,
     _NO_CAT,
@@ -78,21 +79,10 @@ def _extract_runs_cat(cw, lengths, size, caller=False):
     col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     shift = (col % 8) * 4
     c4 = jax.lax.shift_right_logical(rep, shift) & jnp.int32(0xF)
-    # standard codes for the output run table (EQ=0 X=1 I=2 D=3 W=4)
-    cm = c4 if caller else (c4 & jnp.int32(7))
-    cat = jnp.where(
-        cm == 1,
-        jnp.int32(0),
-        jnp.where(
-            cm == 2,
-            jnp.int32(2),
-            jnp.where(
-                cm == 4,
-                jnp.int32(3),
-                jnp.where(cm == 9, jnp.int32(4), jnp.int32(1)),
-            ),
-        ),
-    )
+    # standard codes for the output run table (EQ=0 X=1 I=2 D=3 W=4) --
+    # the SAME decode the stats kernel's edge output uses, so the two
+    # can never drift
+    cat = _cat_to_std(c4, caller)
     mask = col < lengths[:, None]
     prev = jnp.concatenate(
         [jnp.full((B, 1), _NO_CAT, jnp.int32), cat[:, :-1]], axis=1

@@ -633,6 +633,16 @@ def maf2sam(mafreader: MafReader, writer, real: bool = False):
             continue
         t_arr = seq_bytes(rec.target_seq)
         q_arr = seq_bytes(rec.query_seq)
+        # gap/gap columns exist in NEITHER coordinate frame: ext_runs
+        # classifies '-'/'-' as '=' (cigar_cat_ext), which would inflate
+        # the M run past len(SEQ) and the target span -- invalid SAM.
+        # Drop them before the scan (round-5 review finding).
+        gg = (t_arr == C.GAP) & (q_arr == C.GAP)
+        if gg.any():
+            t_arr = t_arr[~gg]
+            q_arr = q_arr[~gg]
+        if t_arr.shape[0] == 0:
+            continue
         cat_vals, cat_lens = ext_runs(t_arr, q_arr)
         cat_lens = np.asarray(cat_lens, np.int64)
         # SAM-style cigar: '='/'X' merge to M (adjacent runs coalesce)

@@ -51,8 +51,10 @@ def _record_pileups(rec, all_mode):
         f"@{rec.query_name}#{rec.query_start}#{rec.query_end}"
     )
     ref_pos = rec.target_start
-    off = 0  # column offset into the gapped rows
-    ref_off = 0  # the reference's ref_offset (columns consumed)
+    # one column cursor: the reference's separate ref_offset advances in
+    # lockstep with the column offset in every arm (pileup.rs walks the
+    # GAPPED target row with it), so a single `off` suffices
+    off = 0
     out = []
     tchr = rec.target_seq.decode("ascii")
     qchr = rec.query_seq.decode("ascii")
@@ -61,36 +63,26 @@ def _record_pileups(rec, all_mode):
             if all_mode:
                 for k in range(ln):
                     ref_pos += 1
-                    ref_off += 1
-                    rb = tchr[ref_off - 1] if ref_off >= 1 else "-"
+                    rb = tchr[off + k]
                     out.append((ref_name, ref_pos, rb, rb, uid))
             else:
                 ref_pos += ln
-                ref_off += ln
         elif v == C.I:
-            rb = tchr[ref_off - 1] if ref_off >= 1 else "-"
-            if rb == "-":
-                ref_off += ln
-            else:
+            rb = tchr[off - 1] if off >= 1 else "-"
+            if rb != "-":
                 alt = f"+{ln}{qchr[off:off + ln]}"
                 out.append((ref_name, ref_pos, rb, alt, uid))
-                ref_off += ln
         elif v == C.D:
-            rb = tchr[ref_off - 1] if ref_off >= 1 else "-"
-            if rb == "-":
-                ref_off += ln
-                ref_pos += ln
-            else:
+            rb = tchr[off - 1] if off >= 1 else "-"
+            if rb != "-":
                 alt = f"-{ln}{tchr[off:off + ln]}"
                 out.append((ref_name, ref_pos, rb, alt, uid))
-                ref_off += ln
-                ref_pos += ln
+            ref_pos += ln
         else:  # X: one SNP per column (ref base read BEFORE advancing)
             for k in range(ln):
-                rb = tchr[ref_off] if ref_off < len(tchr) else "-"
-                ab = qchr[off + k] if off + k < len(qchr) else "-"
+                rb = tchr[off + k]
+                ab = qchr[off + k]
                 ref_pos += 1
-                ref_off += 1
                 out.append((ref_name, ref_pos, rb, ab, uid))
         off += ln
     return out
