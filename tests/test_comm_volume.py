@@ -257,3 +257,46 @@ def test_sequence_parallel_scan_guards():
     lens = np.full((1, 256), 10_000_000, np.int32)  # 2.56G total
     with pytest.raises(ValueError, match="wide=True"):
         sharded_liftover_sp(mesh, ops, lens, wide=False)
+
+
+def test_coverage_scatter_variant_parity_and_bytes():
+    """sharded_coverage_scatter (round 5): reduce_scatter + genome-
+    sharded output must equal the psum variant bit-for-bit, and its
+    collectives stay genome-sized and span-count-independent (one
+    [padded] reduce_scatter -- ~half the wire bytes of the full psum --
+    plus a [D]-scalar carry all_gather)."""
+    from wgatools_tpu.parallel.mesh import (
+        sharded_coverage,
+        sharded_coverage_scatter,
+    )
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(1)
+    genome = 1003  # non-divisible by 8: exercises the shard padding
+
+    def case(n_spans):
+        starts = rng.integers(0, genome, n_spans).astype(np.int32)
+        ends = np.minimum(
+            starts + rng.integers(1, 200, n_spans), genome
+        ).astype(np.int32)
+        starts[3] = -1  # padding sentinel rows are ignored
+        return jnp.asarray(starts), jnp.asarray(ends)
+
+    s, e = case(40)
+    a = np.asarray(sharded_coverage(mesh, s, e, genome))
+    b = np.asarray(sharded_coverage_scatter(mesh, s, e, genome))
+    assert a.shape == b.shape == (genome,)
+    assert np.array_equal(a, b)
+
+    def traced_bytes(n_spans):
+        s, e = case(n_spans)
+        jaxpr = jax.make_jaxpr(
+            lambda a, b: sharded_coverage_scatter(mesh, a, b, genome)
+        )(s, e)
+        return _collective_bytes(jaxpr.jaxpr)
+
+    padded = ((genome + 1 + 7) // 8) * 8
+    small, big = traced_bytes(8), traced_bytes(512)
+    # one [padded]-i32 reduce_scatter + one [1]-i32 carry all_gather,
+    # independent of span count
+    assert small == big == padded * 4 + 4

@@ -10,6 +10,7 @@ _MESH_EXPORTS = (
     "sharded_column_stats",
     "sharded_pair_reduce",
     "sharded_coverage",
+    "sharded_coverage_scatter",
     "sharded_liftover",
 )
 

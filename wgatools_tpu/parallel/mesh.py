@@ -144,6 +144,54 @@ def sharded_coverage(mesh: Mesh, starts, ends, genome_len: int):
     return fn(starts, ends)
 
 
+def sharded_coverage_scatter(mesh: Mesh, starts, ends, genome_len: int):
+    """Coverage with the GENOME axis sharded on output: the per-device
+    difference arrays merge with ONE reduce_scatter (psum_scatter)
+    instead of a full psum, and each device keeps only its genome
+    shard -- roughly HALVING the fabric bytes of the one volume-heavy
+    merge in the toolkit (docs/SCALING.md analytic model: pafcov's
+    genome-sized psum is the only collective below ~90% predicted
+    multi-host efficiency; reduce_scatter + sharded output is the fix
+    the model prescribes).
+
+    The global running coverage needs each shard's prefix carry: shard
+    diff totals exchange in one [D]-scalar all_gather (the
+    sharded_liftover_sp carry pattern), then each device cumsums its
+    shard locally.  Returns the [genome_len] coverage with the leading
+    axis sharded over the mesh -- bit-identical to sharded_coverage
+    once gathered (tested), but consumers that write per-shard output
+    (BED ranges in genome order) never materialize it centrally."""
+    n = genome_len
+    D = mesh.shape[RECORDS_AXIS]
+    padded = ((n + 1 + D - 1) // D) * D
+    shard = padded // D
+
+    def local(starts_shard, ends_shard):
+        diff = jnp.zeros(padded, dtype=jnp.int32)
+        s = jnp.clip(starts_shard, 0, n)
+        e = jnp.clip(ends_shard, 0, n)
+        diff = diff.at[s].add(jnp.where(starts_shard < 0, 0, 1))
+        diff = diff.at[e].add(jnp.where(starts_shard < 0, 0, -1))
+        part = jax.lax.psum_scatter(
+            diff, RECORDS_AXIS, scatter_dimension=0, tiled=True
+        )  # [shard]: this device's slice of the globally-summed diff
+        tot = jnp.sum(part, dtype=jnp.int32)
+        gat = jax.lax.all_gather(tot[None], RECORDS_AXIS)  # [D, 1]
+        idx = jax.lax.axis_index(RECORDS_AXIS)
+        mask = (jnp.arange(D) < idx)[:, None]
+        carry = jnp.sum(jnp.where(mask, gat, 0), dtype=jnp.int32)
+        return carry + jnp.cumsum(part)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(RECORDS_AXIS), P(RECORDS_AXIS)),
+        out_specs=P(RECORDS_AXIS),
+        check_vma=False,
+    )
+    return fn(starts, ends)[:n]
+
+
 def sharded_fused16(mesh: Mesh, tw, qw, lengths, opw16, nibble=False):
     """The flagship fused CIGAR-engine kernel (classify + 16-bit packed
     op scan, ops.fused.classify_liftover_fused16) with records sharded
