@@ -84,14 +84,8 @@ def main():
     # the device-side bitcast lowers catastrophically, ops/classify.py)
     tw_d = jax.device_put(jnp.asarray(t0.view("<i4")))
     qw_d = jax.device_put(jnp.asarray(q0.view("<i4")))
-    # nibble-packed planes for the round-4 flagship: 4-bit dictionary
-    # codes, 8 columns per int32 lane -- half the column DMA and 1.88x
-    # the standalone classify rate on-chip (scripts/ab_nibble.py)
-    from wgatools_tpu.ops.classify import pack_cat_nibbles, pack_nibble_words
+    from wgatools_tpu.ops.classify import pack_cat_nibbles
 
-    tn0, qn0 = pack_nibble_words(t0, q0)
-    tn_d = jax.device_put(jnp.asarray(tn0))
-    qn_d = jax.device_put(jnp.asarray(qn0))
     # CATEGORY plane for the round-5 flagship: the host 64K LUT
     # classifies each column pair into ONE one-hot nibble -- half the
     # nibble form's input and ~40% fewer classify vreg-ops; standalone
