@@ -255,8 +255,13 @@ def test_sequence_parallel_scan_guards():
 
     ops = np.full((1, 256), ord("M"), np.uint8)
     lens = np.full((1, 256), 10_000_000, np.int32)  # 2.56G total
-    with pytest.raises(ValueError, match="wide=True"):
+    with pytest.raises(ValueError, match="int32 offsets"):
         sharded_liftover_sp(mesh, ops, lens, wide=False)
+    # 'wide' widens per-op LENGTHS, not the int32 offsets -- the ceiling
+    # applies in both modes (round-5 finding: wide=True previously
+    # slipped past the guard and wrapped silently)
+    with pytest.raises(ValueError, match="int32 offsets"):
+        sharded_liftover_sp(mesh, ops, lens, wide=True)
 
 
 def test_coverage_scatter_variant_parity_and_bytes():

@@ -357,11 +357,14 @@ def sharded_liftover_sp(mesh: Mesh, ops, lens, wide=False):
     ops: uint8 [B, N], lens: int32 [B, N]; N must divide evenly over the
     mesh (pad with op 0 / len 0 -- padding advances nothing; checked
     below with a clear error instead of an opaque shard_map failure).
-    Offsets are int32 unless wide=True: a record whose advanced bases
-    exceed ~2.1G (int32 max) NEEDS wide=True or the carried offsets wrap
-    -- checked below from the host-visible total.  Returns (t_off, q_off)
-    [B, N] bit-identical to ops.liftover.liftover_scan on the unsharded
-    batch (tested)."""
+    wide=True widens the per-op LENGTH bound past 2^16 (the 4-limb
+    scan, ops.liftover) -- offsets stay int32 in EVERY path, so a
+    record whose total advanced bases reach 2^31 (~2.1 Gbp per
+    direction) cannot be scanned on device at all; checked below from
+    the host-visible totals with a clear error (records that large
+    take the int64 host engine).  Returns (t_off, q_off) [B, N]
+    bit-identical to ops.liftover.liftover_scan on the unsharded batch
+    (tested)."""
     from ..ops.liftover import OP_D, OP_I, OP_S, liftover_scan
 
     n_dev = mesh.shape[RECORDS_AXIS]
@@ -372,12 +375,15 @@ def sharded_liftover_sp(mesh: Mesh, ops, lens, wide=False):
             f"over the {n_dev}-device mesh -- pad with op 0 / len 0 "
             "(padding advances nothing)"
         )
-    if not wide and not isinstance(lens, jax.core.Tracer):
+    if not isinstance(lens, jax.core.Tracer):
+        # int32 offset ceiling applies in BOTH width modes ('wide' only
+        # widens per-op lengths, not the accumulated offsets)
         total = int(np.asarray(lens, dtype=np.int64).sum(axis=1).max(initial=0))
         if total >= (1 << 31):
             raise ValueError(
                 f"sharded_liftover_sp: record advances up to {total} bases "
-                "-- int32 offsets would wrap; pass wide=True"
+                "-- int32 offsets would wrap (route records past ~2.1 Gbp "
+                "per direction through the int64 host engine)"
             )
 
     def body(o, l):
