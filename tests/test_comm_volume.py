@@ -241,8 +241,10 @@ def test_sequence_parallel_scan_parity_and_carry_bytes():
 
 def test_sequence_parallel_scan_guards():
     """Round-4 advisor: a non-divisible op axis must raise a clear error
-    (not an opaque shard_map sharding failure), and totals past int32
-    must demand wide=True instead of silently wrapping offsets."""
+    (not an opaque shard_map sharding failure), and per-direction
+    advance totals past int32 must raise in BOTH width modes -- 'wide'
+    widens per-op lengths, never the int32 offsets, so such records
+    must route to the int64 host engine."""
     import pytest
 
     from wgatools_tpu.parallel.mesh import sharded_liftover_sp
@@ -262,6 +264,23 @@ def test_sequence_parallel_scan_guards():
     # slipped past the guard and wrapped silently)
     with pytest.raises(ValueError, match="int32 offsets"):
         sharded_liftover_sp(mesh, ops, lens, wide=True)
+    # ... but the check is PER DIRECTION: 1.28G of I + 1.28G of D sums
+    # past 2^31 combined while each direction stays in int32 -- must be
+    # ACCEPTED and scan exactly (round-5 review finding)
+    import jax.numpy as jnp
+
+    from wgatools_tpu.ops.liftover import _liftover_scan_impl
+
+    ops_mix = np.frombuffer(b"ID" * 128, np.uint8).reshape(1, 256)
+    lens_mix = np.full((1, 256), 10_000_000, np.int32)
+    t, q = sharded_liftover_sp(
+        mesh, jnp.asarray(ops_mix), jnp.asarray(lens_mix), wide=True
+    )
+    w_t, w_q = _liftover_scan_impl(
+        jnp.asarray(ops_mix), jnp.asarray(lens_mix), True, False
+    )
+    assert np.array_equal(np.asarray(t), np.asarray(w_t))
+    assert np.array_equal(np.asarray(q), np.asarray(w_q))
 
 
 def test_coverage_scatter_variant_parity_and_bytes():

@@ -144,7 +144,9 @@ def sharded_coverage(mesh: Mesh, starts, ends, genome_len: int):
     return fn(starts, ends)
 
 
-def sharded_coverage_scatter(mesh: Mesh, starts, ends, genome_len: int):
+def sharded_coverage_scatter(
+    mesh: Mesh, starts, ends, genome_len: int, trim: bool = True
+):
     """Coverage with the GENOME axis sharded on output: the per-device
     difference arrays merge with ONE reduce_scatter (psum_scatter)
     instead of a full psum, and each device keeps only its genome
@@ -157,14 +159,21 @@ def sharded_coverage_scatter(mesh: Mesh, starts, ends, genome_len: int):
     The global running coverage needs each shard's prefix carry: shard
     diff totals exchange in one [D]-scalar all_gather (the
     sharded_liftover_sp carry pattern), then each device cumsums its
-    shard locally.  Returns the [genome_len] coverage with the leading
-    axis sharded over the mesh -- bit-identical to sharded_coverage
-    once gathered (tested), but consumers that write per-shard output
-    (BED ranges in genome order) never materialize it centrally."""
+    shard locally.
+
+    trim=True (default) returns the [genome_len] coverage -- NOTE the
+    eager [:n] slice breaks the clean per-device partition when
+    genome_len+1 does not divide the mesh (XLA reshards the tail), so
+    it is the convenience form for centralized consumers; bit-identical
+    to sharded_coverage (tested).  Per-shard consumers (BED emission in
+    genome order without central materialization) pass trim=False to
+    get the [padded] array still P(RECORDS_AXIS)-sharded, padded//D
+    positions per device, and slice positions >= genome_len themselves
+    (their values are the final running coverage carried into the
+    padding -- ignore them)."""
     n = genome_len
     D = mesh.shape[RECORDS_AXIS]
     padded = ((n + 1 + D - 1) // D) * D
-    shard = padded // D
 
     def local(starts_shard, ends_shard):
         diff = jnp.zeros(padded, dtype=jnp.int32)
@@ -189,7 +198,8 @@ def sharded_coverage_scatter(mesh: Mesh, starts, ends, genome_len: int):
         out_specs=P(RECORDS_AXIS),
         check_vma=False,
     )
-    return fn(starts, ends)[:n]
+    out = fn(starts, ends)
+    return out[:n] if trim else out
 
 
 def sharded_fused16(mesh: Mesh, tw, qw, lengths, opw16, nibble=False):
@@ -375,15 +385,31 @@ def sharded_liftover_sp(mesh: Mesh, ops, lens, wide=False):
             f"over the {n_dev}-device mesh -- pad with op 0 / len 0 "
             "(padding advances nothing)"
         )
-    if not isinstance(lens, jax.core.Tracer):
+    if not isinstance(lens, jax.core.Tracer) and not isinstance(
+        ops, jax.core.Tracer
+    ):
         # int32 offset ceiling applies in BOTH width modes ('wide' only
-        # widens per-op lengths, not the accumulated offsets)
-        total = int(np.asarray(lens, dtype=np.int64).sum(axis=1).max(initial=0))
+        # widens per-op lengths, not the accumulated offsets) -- checked
+        # PER DIRECTION: a record mixing 1.2 Gbp of I and 1.2 Gbp of D
+        # advances each direction < 2^31 and scans exactly, so the
+        # combined length sum would over-reject it
+        from ..ops.liftover import OP_D as _D, OP_I as _I, OP_S as _S
+
+        o = np.asarray(ops)
+        l64 = np.asarray(lens, dtype=np.int64)
+        pad = o == 0
+        adv_t = np.where(pad | (o == _I) | (o == _S), 0, l64)
+        adv_q = np.where(pad | (o == _D), 0, l64)
+        total = max(
+            int(adv_t.sum(axis=1).max(initial=0)),
+            int(adv_q.sum(axis=1).max(initial=0)),
+        )
         if total >= (1 << 31):
             raise ValueError(
                 f"sharded_liftover_sp: record advances up to {total} bases "
-                "-- int32 offsets would wrap (route records past ~2.1 Gbp "
-                "per direction through the int64 host engine)"
+                "in one direction -- int32 offsets would wrap (route "
+                "records past ~2.1 Gbp per direction through the int64 "
+                "host engine)"
             )
 
     def body(o, l):
