@@ -8,7 +8,7 @@ _wgatools_tpu() {
         cmd="${COMP_WORDS[1]}"
     fi
     if [ "$COMP_CWORD" -eq 1 ]; then
-        COMPREPLY=( $(compgen -W "maf2paf m2p maf2chain m2c paf2maf p2m paf2chain p2c chain2maf c2m chain2paf c2p maf-index mi maf-ext me chunk ch call c tview tv stat st dotplot dp filter fl rename rn maf2sam m2s pafcov pc pafpseudo pp gen-completion gc validate vf pileup pl --version -h --help" -- "$cur") )
+        COMPREPLY=( $(compgen -W "maf2paf m2p maf2chain m2c paf2maf p2m paf2chain p2c chain2maf c2m chain2paf c2p maf-index mi maf-ext me chunk ch call c tview tv stat st dotplot dp filter fl rename rn maf2sam m2s pafcov pc pafpseudo pp gen-completion gc validate vf pileup pl trimovp tr paf2blocks p2b --version -h --help" -- "$cur") )
         return 0
     fi
     case "$prev" in
@@ -105,6 +105,12 @@ _wgatools_tpu() {
             ;;
         pileup|pl)
             opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -a --all"
+            ;;
+        trimovp|tr)
+            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose"
+            ;;
+        paf2blocks|p2b)
+            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose"
             ;;
     esac
     if [[ "$cur" == -* ]]; then

@@ -24,6 +24,8 @@ _wgatools_tpu() {
         'gen-completion:Generate completion script for shell'
         'validate:Validate and fix query&target position in PAF file by CIGAR'
         'pileup:EXTRA: merged MAF pileup (dead code in wgatools)'
+        'trimovp:EXTRA: trim PAF overlaps (dead code in wgatools)'
+        'paf2blocks:EXTRA: PAF to blocks TSV (dead code in wgatools)'
     )
     if (( CURRENT == 2 )); then
         _describe 'command' subcmds
@@ -377,6 +379,32 @@ _wgatools_tpu() {
                 '(-v --verbose)--verbose[Logging level [-v: Info, -vv: Debug, -vvv: Trace, default: Warn]]' \
                 '(-a --all)-a[]' \
                 '(-a --all)--all[]' \
+                '*:file:_files'
+            ;;
+        trimovp|tr)
+            _arguments '(-h --help)-h[show this help message and exit]' \
+                '(-h --help)--help[show this help message and exit]' \
+                '(-o --outfile)-o[Output file ("-" for stdout), names ending in .gz/.bz2/.xz are compressed automatically]:arg:_files' \
+                '(-o --outfile)--outfile[Output file ("-" for stdout), names ending in .gz/.bz2/.xz are compressed automatically]:arg:_files' \
+                '(-r --rewrite)-r[Bool, if rewrite output file [default: false]]' \
+                '(-r --rewrite)--rewrite[Bool, if rewrite output file [default: false]]' \
+                '(-t --threads)-t[Threads, default 1]:arg:_files' \
+                '(-t --threads)--threads[Threads, default 1]:arg:_files' \
+                '(-v --verbose)-v[Logging level [-v: Info, -vv: Debug, -vvv: Trace, default: Warn]]' \
+                '(-v --verbose)--verbose[Logging level [-v: Info, -vv: Debug, -vvv: Trace, default: Warn]]' \
+                '*:file:_files'
+            ;;
+        paf2blocks|p2b)
+            _arguments '(-h --help)-h[show this help message and exit]' \
+                '(-h --help)--help[show this help message and exit]' \
+                '(-o --outfile)-o[Output file ("-" for stdout), names ending in .gz/.bz2/.xz are compressed automatically]:arg:_files' \
+                '(-o --outfile)--outfile[Output file ("-" for stdout), names ending in .gz/.bz2/.xz are compressed automatically]:arg:_files' \
+                '(-r --rewrite)-r[Bool, if rewrite output file [default: false]]' \
+                '(-r --rewrite)--rewrite[Bool, if rewrite output file [default: false]]' \
+                '(-t --threads)-t[Threads, default 1]:arg:_files' \
+                '(-t --threads)--threads[Threads, default 1]:arg:_files' \
+                '(-v --verbose)-v[Logging level [-v: Info, -vv: Debug, -vvv: Trace, default: Warn]]' \
+                '(-v --verbose)--verbose[Logging level [-v: Info, -vv: Debug, -vvv: Trace, default: Warn]]' \
                 '*:file:_files'
             ;;
         *)

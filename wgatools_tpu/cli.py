@@ -223,6 +223,18 @@ def build_parser():
     p.add_argument("input", nargs="?", default=None)
     p.add_argument("-a", "--all", action="store_true", dest="all_sites")
 
+    # OPTIONAL EXTRA: trimovp is dead code too (tools/trimovp.rs fully
+    # commented out; CLI entry commented at cli.rs:286-292 with alias
+    # "tr") -- working deterministic equivalent, see tools/trimovp.py
+    p = cmd("trimovp", ["tr"], "EXTRA: trim PAF overlaps (dead code in wgatools)")
+    p.add_argument("input", nargs="?", default=None)
+
+    # OPTIONAL EXTRA: paf2blocks is dead code (converter.rs:128-145 +
+    # cigar.rs:83-152 commented out, no CLI entry ever) -- working
+    # equivalent, see tools/convert.py paf2blocks + PARITY.md
+    p = cmd("paf2blocks", ["p2b"], "EXTRA: PAF to blocks TSV (dead code in wgatools)")
+    p.add_argument("input", nargs="?", default=None)
+
     return parser
 
 
@@ -654,6 +666,14 @@ def dispatch(args):
             open_output(out, rw),
             args.all_sites,
         )
+    elif cmd in ("trimovp", "tr"):
+        from .tools.trimovp import trim_ovp
+
+        trim_ovp(PafReader(open_input(args.input)), open_output(out, rw))
+    elif cmd in ("paf2blocks", "p2b"):
+        from .tools.convert import paf2blocks
+
+        paf2blocks(PafReader(open_input(args.input)), open_output(out, rw))
     else:
         raise WGAError(f"unknown command {cmd}")
 

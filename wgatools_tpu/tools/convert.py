@@ -703,3 +703,62 @@ def maf2sam(mafreader: MafReader, writer, real: bool = False):
         writer.write(chunk)
     body.close()
     writer.flush()
+
+
+# Block struct field order, common.rs:73-81 (csv serialize writes the
+# field names as a header row because has_headers defaults to true,
+# converter.rs:133-135)
+_BLOCKS_HEADER = (
+    b"query_name\tquery_start\tquery_end"
+    b"\ttarget_name\ttarget_start\ttarget_end\tstrand\n"
+)
+
+
+def paf2blocks(pafreader: PafReader, writer):
+    """PAF -> blocks TSV (OPTIONAL EXTRA -- dead code in the reference).
+
+    The reference ships `paf2blocks` (converter.rs:128-145) and its
+    per-op folder `parse_cigar_to_blocks`/`cigar_unit_block`
+    (cigar.rs:83-152) fully commented out, with no CLI entry at all.
+    Per SURVEY.md §2.18 it is out of parity scope; this implements the
+    same semantics as a *working* tool (divergence notes in PARITY.md):
+
+    - a running block starts at (query_start, target_start) with both
+      ends collapsed (cigar.rs:128-137); 'M' extends both ends, emits
+      one row, then collapses starts onto ends (cigar.rs:88-100); 'I'
+      advances the query side only, 'D' the target side only, neither
+      emits (cigar.rs:101-110);
+    - the dead code rejects every op outside M/I/D ("cigar should only
+      contains 'M,I,D'", cigar.rs:117-119) -- but this toolchain's own
+      PAF output spells match runs '='/'X', so we treat those as 'M'
+      (one row per run, no coalescing; recorded in PARITY.md);
+    - output is tab-separated with a header row of the Block field
+      names (csv serialize, converter.rs:133-135); strand renders +/-
+      (serde rename, common.rs:84-90).
+
+    Vectorized: per record one cumsum over op advances replaces the
+    reference's per-unit fold."""
+    from ..errors import CigarOpInvalid
+
+    writer.write(_BLOCKS_HEADER)
+    for rec in pafreader.records():
+        ops, lens = rec.get_cigar_ops()
+        lens = np.asarray(lens, np.int64)
+        emit = (ops == C.OP_M) | (ops == C.OP_EQ) | (ops == C.OP_X)
+        ins = ops == C.OP_I
+        dele = ops == C.OP_D
+        bad = ~(emit | ins | dele)
+        if bad.any():
+            raise CigarOpInvalid(chr(int(ops[bad.argmax()])))
+        q_end = np.cumsum(np.where(emit | ins, lens, 0)) + rec.query_start
+        t_end = np.cumsum(np.where(emit | dele, lens, 0)) + rec.target_start
+        strand = rec.query_strand
+        qn, tn = rec.query_name, rec.target_name
+        rows = []
+        for i in np.flatnonzero(emit).tolist():
+            rows.append(
+                f"{qn}\t{q_end[i] - lens[i]}\t{q_end[i]}"
+                f"\t{tn}\t{t_end[i] - lens[i]}\t{t_end[i]}\t{strand}\n"
+            )
+        writer.write("".join(rows).encode("ascii"))
+    writer.flush()
