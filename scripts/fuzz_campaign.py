@@ -424,6 +424,67 @@ def prop_parser_robustness(rng):
         # silent acceptance of a mutated-but-well-formed file is fine
 
 
+def prop_extras(rng):
+    """Differential: vectorized paf2blocks vs the naive per-unit fold
+    oracle (blocks_rows); trimovp invariants: output is a subset of the
+    input rows, per-(target, query) group sorted by target_start and
+    pairwise non-overlapping, and the sweep is idempotent."""
+    from wgatools_tpu.io.paf import PafReader
+    from wgatools_tpu.tools.convert import paf2blocks
+    from wgatools_tpu.tools.trimovp import trim_ovp
+
+    lines = []
+    per_rec_oracle = []
+    for _ in range(int(rng.integers(1, 8))):
+        t, q = rand_alignment(rng, max_runs=12)
+        cg = oracle.cigar_string(t, q)
+        runs = oracle.tokenize(cg)
+        qadv = sum(n for op, n in runs if op in "M=XI")
+        tadv = sum(n for op, n in runs if op in "M=XD")
+        qs = int(rng.integers(0, 1000))
+        ts = int(rng.integers(0, 1000))
+        qn = f"q{int(rng.integers(1, 4))}"
+        tn = f"t{int(rng.integers(1, 3))}"
+        strand = str(rng.choice(["+", "-"]))
+        lines.append(
+            f"{qn}\t{qs + qadv + 10}\t{qs}\t{qs + qadv}\t{strand}\t"
+            f"{tn}\t{ts + tadv + 10}\t{ts}\t{ts + tadv}\t"
+            f"{qadv}\t{max(qadv, tadv)}\t60\tcg:Z:{cg}\n"
+        )
+        per_rec_oracle.append(
+            (qn, tn, strand, oracle.blocks_rows(runs, qs, ts))
+        )
+
+    text = "".join(lines).encode()
+    out = io.BytesIO()
+    paf2blocks(PafReader(io.BytesIO(text)), out)
+    got = out.getvalue().decode().splitlines()[1:]  # drop header
+    want = []
+    for qn, tn, strand, rows in per_rec_oracle:
+        for qs_, qe_, ts_, te_ in rows:
+            want.append(f"{qn}\t{qs_}\t{qe_}\t{tn}\t{ts_}\t{te_}\t{strand}")
+    assert got == want, f"paf2blocks mismatch:\n{got}\nvs\n{want}"
+
+    out = io.BytesIO()
+    trim_ovp(PafReader(io.BytesIO(text)), out)
+    kept = out.getvalue().decode().splitlines()
+    inputs = [ln.rstrip("\n") for ln in lines]
+    assert all(k in inputs for k in kept), "trimovp minted a record"
+    groups = {}
+    for k in kept:
+        f = k.split("\t")
+        groups.setdefault((f[5], f[0]), []).append(
+            (int(f[7]), int(f[8]))
+        )
+    for spans in groups.values():
+        assert spans == sorted(spans), "group not sorted by target_start"
+        for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+            assert s1 >= e0, f"overlap survived: {(s0, e0)} {(s1, e1)}"
+    out2 = io.BytesIO()
+    trim_ovp(PafReader(io.BytesIO(out.getvalue())), out2)
+    assert out2.getvalue() == out.getvalue(), "trimovp not idempotent"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2000)
@@ -439,6 +500,7 @@ def main():
         "op_packings": prop_op_packings,
         "cat_plane": prop_cat_plane,
         "parser_robustness": prop_parser_robustness,
+        "extras": prop_extras,
     }
     failures = 0
     with tempfile.TemporaryDirectory() as td:

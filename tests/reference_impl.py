@@ -122,3 +122,29 @@ def tokenize(cigar: str):
             out.append((ch, int(num)))
             num = ""
     return out
+
+
+def blocks_rows(op_runs, q_start: int, t_start: int):
+    """Per-unit fold of cigar_unit_block (dead code, cigar.rs:83-114):
+    M-like ops extend both ends, emit one (qs, qe, ts, te) row, then
+    collapse the starts onto the ends; I advances query only, D target
+    only.  '='/'X' are treated as M (working-tool divergence, see
+    PARITY.md)."""
+    qs = qe = q_start
+    ts = te = t_start
+    rows = []
+    for op, n in op_runs:
+        if op in "M=X":
+            qe += n
+            te += n
+            rows.append((qs, qe, ts, te))
+            qs, ts = qe, te
+        elif op == "I":
+            qs += n
+            qe += n
+        elif op == "D":
+            ts += n
+            te += n
+        else:
+            raise ValueError(op)
+    return rows
