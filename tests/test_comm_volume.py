@@ -281,6 +281,13 @@ def test_sequence_parallel_scan_guards():
     )
     assert np.array_equal(np.asarray(t), np.asarray(w_t))
     assert np.array_equal(np.asarray(q), np.asarray(w_q))
+    # DEVICE-RESIDENT inputs take the f32-estimate guard branch (no
+    # int64 on device, no bulk host copy) -- the 2.56G single-direction
+    # case must still be rejected through it
+    with pytest.raises(ValueError, match="int32 offsets"):
+        sharded_liftover_sp(
+            mesh, jnp.asarray(ops), jnp.asarray(lens), wide=True
+        )
 
 
 def test_coverage_scatter_variant_parity_and_bytes():

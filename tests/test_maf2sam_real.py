@@ -100,3 +100,23 @@ def test_maf2sam_real_gapgap_columns_dropped():
         if op in ("M", "I")
     )
     assert consumed == len(f[9])
+
+
+def test_maf2sam_real_all_gap_query_seq_star():
+    """A query row with no aligned bases must render SEQ as '*' -- an
+    empty mandatory column is malformed SAM (round-5 review finding)."""
+    maf = (
+        "##maf version=1.6\n"
+        "a score=0\n"
+        "s\tref\t10\t4\t+\t100\tACGT\n"
+        "s\tqry\t0\t0\t+\t200\t----\n\n"
+    )
+    out = io.BytesIO()
+    maf2sam(_reader(maf), out, real=True)
+    body = [
+        l for l in out.getvalue().decode().splitlines()
+        if not l.startswith("@")
+    ]
+    f = body[0].split("\t")
+    assert f[9] == "*"
+    assert len(f) >= 11  # no empty-column collapse

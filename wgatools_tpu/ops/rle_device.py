@@ -128,6 +128,9 @@ def start_runs(t, q, lengths, caller=False):
     ):
         cw = pack_cat_nibbles(t, q)
         if cw is not None:
+            from ..core.metrics import METRICS
+
+            METRICS.add_bytes("device_rle", cw.nbytes)
             cw = jnp.asarray(cw)
             lengths = jnp.asarray(lengths, dtype=jnp.int32)
             stats = classify_stat_pallas_cat(
@@ -138,6 +141,10 @@ def start_runs(t, q, lengths, caller=False):
     # anyway, so stats reuse THOSE buffers (the word-packed kernel would
     # need a second host->device copy of the same bytes, which costs more
     # than it saves on the remote-tunnel data path)
+    if isinstance(t, np.ndarray):
+        from ..core.metrics import METRICS
+
+        METRICS.add_bytes("device_rle", t.nbytes + q.nbytes)
     t = jnp.asarray(t, dtype=jnp.uint8)
     q = jnp.asarray(q, dtype=jnp.uint8)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
@@ -171,6 +178,9 @@ def finish_runs(state):
         step = max(size // 8, 1 << 13)
         fetch_n = min(size, ((total + step - 1) // step) * step)
         packed = np.asarray(packed[:fetch_n])[:total]
+        from ..core.metrics import METRICS
+
+        METRICS.add_bytes("device_rle", fetch_n * 4)
         rows = np.repeat(
             np.arange(per_row.shape[0], dtype=np.int32), per_row
         )
@@ -182,6 +192,9 @@ def finish_runs(state):
     t, q = data
     row, cat, ln, valid = _extract_runs(t, q, lengths, size, caller)
     valid = np.asarray(valid)
+    from ..core.metrics import METRICS
+
+    METRICS.add_bytes("device_rle", 13 * valid.shape[0])
     return (
         np.asarray(row)[valid],
         np.asarray(cat)[valid],
@@ -196,3 +209,16 @@ def batch_runs(t, q, lengths, caller=False):
     device scan for the variant caller.  Returns numpy
     (row_ids int32, cats int32, lens int32)."""
     return finish_runs(start_runs(t, q, lengths, caller=caller))
+
+
+def split_run_tables(n_rows, row_ids, cats, lens):
+    """Partition a batch_runs/finish_runs result into per-record run
+    tables: a list of n_rows (cats uint8, lens int64) pairs in row
+    order (row_ids is sorted -- runs come back in (row, column) order).
+    Shared by every consumer that fans a batched extraction back out to
+    records (convert drain, caller emit_group)."""
+    splits = np.searchsorted(row_ids, np.arange(1, n_rows))
+    return [
+        (v.astype(np.uint8), l.astype(np.int64))
+        for v, l in zip(np.split(cats, splits), np.split(lens, splits))
+    ]

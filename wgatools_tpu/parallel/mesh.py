@@ -395,18 +395,42 @@ def sharded_liftover_sp(mesh: Mesh, ops, lens, wide=False):
         # combined length sum would over-reject it
         from ..ops.liftover import OP_D as _D, OP_I as _I, OP_S as _S
 
-        o = np.asarray(ops)
-        l64 = np.asarray(lens, dtype=np.int64)
-        pad = o == 0
-        adv_t = np.where(pad | (o == _I) | (o == _S), 0, l64)
-        adv_q = np.where(pad | (o == _D), 0, l64)
-        total = max(
-            int(adv_t.sum(axis=1).max(initial=0)),
-            int(adv_q.sum(axis=1).max(initial=0)),
-        )
-        if total >= (1 << 31):
+        if isinstance(ops, np.ndarray) and isinstance(lens, np.ndarray):
+            # host inputs (the usual case: op tables pack on host):
+            # exact int64 check
+            o = ops
+            l64 = np.asarray(lens, dtype=np.int64)
+            pad = o == 0
+            adv_t = np.where(pad | (o == _I) | (o == _S), 0, l64)
+            adv_q = np.where(pad | (o == _D), 0, l64)
+            total = max(
+                int(adv_t.sum(axis=1).max(initial=0)),
+                int(adv_q.sum(axis=1).max(initial=0)),
+            )
+            ceiling = 1 << 31
+        else:
+            # device-resident inputs: no int64 on device (x64 off) and
+            # a host round-trip of the whole op table would cost more
+            # than the scan -- estimate the per-direction totals in f32
+            # (tree-reduction relative error ~1e-6 for 2^27 ops) and
+            # reject CONSERVATIVELY at 0.01% under 2^31: no overflow
+            # can slip through; records within 0.01% of the ceiling
+            # (>= ~2147.2M advanced bases) are over-rejected with this
+            # clear error -- pass host numpy arrays for the exact bound
+            pad = ops == 0
+            lf = lens.astype(jnp.float32)
+            adv_t = jnp.where(pad | (ops == _I) | (ops == _S), 0.0, lf)
+            adv_q = jnp.where(pad | (ops == _D), 0.0, lf)
+            total = int(
+                max(
+                    float(jnp.max(jnp.sum(adv_t, axis=1), initial=0.0)),
+                    float(jnp.max(jnp.sum(adv_q, axis=1), initial=0.0)),
+                )
+            )
+            ceiling = int((1 << 31) * (1 - 1e-4))
+        if total >= ceiling:
             raise ValueError(
-                f"sharded_liftover_sp: record advances up to {total} bases "
+                f"sharded_liftover_sp: record advances up to ~{total} bases "
                 "in one direction -- int32 offsets would wrap (route "
                 "records past ~2.1 Gbp per direction through the int64 "
                 "host engine)"

@@ -645,7 +645,7 @@ def call_record_part(
             total_cols = sum(e - s for s, e, _ in group)
             if total_cols >= DEVICE_MIN_COLUMNS:
                 from ..ops.classify import pack_pairs
-                from ..ops.rle_device import batch_runs
+                from ..ops.rle_device import batch_runs, split_run_tables
 
                 t, q, lens_arr = pack_pairs(
                     [(r.target_seq, r.query_seq) for _, _, r in group]
@@ -653,15 +653,9 @@ def call_record_part(
                 row_ids, cats, rlens = batch_runs(
                     t, q, lens_arr, caller=True
                 )
-                splits = np.searchsorted(
-                    row_ids, np.arange(1, len(group))
+                runs_list = split_run_tables(
+                    len(group), row_ids, cats, rlens
                 )
-                runs_list = [
-                    (v.astype(np.uint8), l.astype(np.int64))
-                    for v, l in zip(
-                        np.split(cats, splits), np.split(rlens, splits)
-                    )
-                ]
         for (chunk_start, safe_end, chunk_rec), runs in zip(
             group, runs_list
         ):

@@ -140,7 +140,7 @@ def _batched_ext_runs(mafreader, query_name, emit, batch_columns=64 << 20):
     from ..core.device import DEVICE_MIN_COLUMNS
     from ..core.metrics import METRICS
     from ..ops.classify import pack_pairs
-    from ..ops.rle_device import finish_runs, start_runs
+    from ..ops.rle_device import finish_runs, split_run_tables, start_runs
 
     pending = []
     max_len = 0
@@ -173,14 +173,12 @@ def _batched_ext_runs(mafreader, query_name, emit, batch_columns=64 << 20):
                 next_index += 1
             return
         recs, state = batch
-        with METRICS.stage("device_rle", 0):
+        # transfer volume is recorded by start_runs/finish_runs
+        # (METRICS.add_bytes on the same stage); this context adds time
+        with METRICS.stage("device_rle"):
             row_ids, cats, run_lens = finish_runs(state)
-        splits = np.searchsorted(row_ids, np.arange(1, len(recs)))
-        for rec, vals, lens_k in zip(
-            recs,
-            np.split(cats.astype(np.uint8), splits),
-            np.split(run_lens.astype(np.int64), splits),
-        ):
+        tables = split_run_tables(len(recs), row_ids, cats, run_lens)
+        for rec, (vals, lens_k) in zip(recs, tables):
             emit(rec, next_index, vals, lens_k)
             next_index += 1
 
@@ -674,7 +672,9 @@ def maf2sam(mafreader: MafReader, writer, real: bool = False):
             cigar = f"{cigar}{h_trail}H"
         # NM = mismatches + indel bases, as convert2paf's tag
         nm = int(cat_lens[cat_vals != EQ].sum())
-        seq = q_arr[q_arr != C.GAP].tobytes()
+        # an all-gap query row has no aligned bases: SEQ must be '*'
+        # (an empty mandatory column is malformed SAM)
+        seq = q_arr[q_arr != C.GAP].tobytes() or b"*"
         flag = 16 if rec.is_negative else 0
         tname = rec.target_name
         if tname not in sq:

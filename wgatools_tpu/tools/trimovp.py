@@ -54,3 +54,4 @@ def trim_ovp(pafreader, writer):
                 ):
                     last = rec
             writer.write(last.to_row())
+    writer.flush()
