@@ -92,7 +92,8 @@ def test_pack_ops_words_roundtrip():
     w = pack_ops_words(ops, lens)
     assert np.array_equal((w >> 24) & 0xFF, ops)
     assert np.array_equal(w & 0xFFFF, lens)
-    with pytest.raises(AssertionError):
+    # explicit ValueError (assert would be stripped under python -O)
+    with pytest.raises(ValueError):
         pack_ops_words(ops, lens + 0x10000)
 
 

@@ -347,3 +347,52 @@ def test_corrupt_cg_tag_raises_wgaerror_not_unicode():
     for attr in ("get_stat", "get_cigar_ops"):
         with pytest.raises(WGAError):
             getattr(recs[0], attr)()
+
+
+def test_chain_data_line_overflow_raises():
+    """A 20-digit chain data-line token must raise a clean WGAError in
+    BOTH engines (round-5 review finding: the native digit loops lacked
+    the overflow guard their sibling tokenizers carry, silently
+    wrapping; the numpy fallback overflowed np.int64 with a raw
+    OverflowError)."""
+    data = (
+        b"chain\t255\tt\t100\t+\t0\t50\tq\t100\t+\t0\t50\t1\n"
+        b"99999999999999999999\t1\t1\n"
+        b"10\n\n"
+    )
+    with pytest.raises(WGAError):
+        list(ChainReader(io.BytesIO(data)).records())
+    # native path directly (parse_chain_lines returns an error position)
+    from wgatools_tpu import native
+
+    if native.available():
+        with pytest.raises(ValueError):
+            native.parse_chain_lines(b"99999999999999999999\t1\t1\n10\n")
+        with pytest.raises(ValueError):
+            native.chain_text_to_cg(b"99999999999999999999\t1\t1\n10\n")
+
+
+def test_device_stat_rejects_foreign_ops():
+    """Ops outside {M,=,X,I,D} must error on the device stat/validate
+    path exactly as the host fold does (reference cigar.rs:685; round-5
+    review finding: the segment sums silently dropped them)."""
+    import numpy as np
+
+    from wgatools_tpu.errors import CigarOpInvalid
+    from wgatools_tpu.io.paf import parse_paf_line
+    from wgatools_tpu.tools.validate import stream_batch_stats
+
+    line = "q\t20\t0\t10\t+\tt\t20\t0\t10\t10\t10\t60\tcg:Z:5=5S"
+    rec = parse_paf_line(line)
+    with pytest.raises(CigarOpInvalid):
+        rec.get_stat()  # host engine errors...
+    with pytest.raises(CigarOpInvalid):
+        list(stream_batch_stats([rec]))  # ...and the device batch path
+    # pack_ops_words: explicit raise (not a stripped-under--O assert)
+    from wgatools_tpu.ops.liftover import pack_ops_words
+
+    with pytest.raises(ValueError):
+        pack_ops_words(
+            np.full((1, 1), ord("M"), np.uint8),
+            np.full((1, 1), 1 << 16, np.int32),
+        )

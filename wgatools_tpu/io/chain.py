@@ -40,9 +40,17 @@ def fmt_f64(v: float) -> str:
 
 def _parse_u64(s: str, what: str) -> int:
     try:
-        return int(s)
+        v = int(s)
     except ValueError:
         raise ParseIntError(s) from None
+    # bound like the native parser (int64 arrays downstream): a 19+
+    # digit coordinate errors instead of overflowing np.int64.  (The
+    # reference's u64 parse allows up to 2^64-1; values in
+    # (2^63, 2^64) are physically absurd coordinates and would not fit
+    # the int64 columnar arrays either way.)
+    if v > 0x7FFFFFFFFFFFFFFF:
+        raise ParseIntError(s)
+    return v
 
 
 @dataclass

@@ -13,56 +13,6 @@
 
 extern "C" {
 
-// ext-mode column classification (cigar_cat_ext, reference cigar.rs:298-308)
-// cat codes: 0 '=', 1 'X', 2 'I', 3 'D'
-void classify_ext(const uint8_t* t, const uint8_t* q, int64_t n,
-                  uint8_t* cat) {
-    for (int64_t i = 0; i < n; ++i) {
-        uint8_t a = t[i], b = q[i];
-        uint8_t c = (a == b) ? 0 : ((a == '-') ? 2 : ((b == '-') ? 3 : 1));
-        cat[i] = c;
-    }
-}
-
-// caller-mode classification (gap/gap -> 4 'W'; reference cigar.rs:314-328)
-void classify_caller(const uint8_t* t, const uint8_t* q, int64_t n,
-                     uint8_t* cat) {
-    for (int64_t i = 0; i < n; ++i) {
-        uint8_t a = t[i], b = q[i];
-        uint8_t c;
-        if (a == '-')
-            c = (b == '-') ? 4 : 2;
-        else if (b == '-')
-            c = 3;
-        else
-            c = (a == b) ? 0 : 1;
-        cat[i] = c;
-    }
-}
-
-// run-length encode; returns run count.  vals/lens must hold n entries.
-int64_t rle_encode(const uint8_t* cat, int64_t n, uint8_t* vals,
-                   int64_t* lens) {
-    if (n == 0) return 0;
-    int64_t runs = 0;
-    uint8_t cur = cat[0];
-    int64_t len = 1;
-    for (int64_t i = 1; i < n; ++i) {
-        if (cat[i] == cur) {
-            ++len;
-        } else {
-            vals[runs] = cur;
-            lens[runs] = len;
-            ++runs;
-            cur = cat[i];
-            len = 1;
-        }
-    }
-    vals[runs] = cur;
-    lens[runs] = len;
-    return runs + 1;
-}
-
 // fused classify + RLE in one pass over the raw byte pair (no cat array:
 // saves 2n bytes of memory traffic vs classify-then-rle).  '=' runs --
 // ~97% of real alignment columns -- gallop 8 bytes at a time with word
@@ -324,27 +274,6 @@ int64_t reverse_complement(const uint8_t* in, int64_t n, uint8_t* out) {
     return 0;
 }
 
-int64_t count_non_gap(const uint8_t* s, int64_t n) {
-    int64_t c = 0;
-    for (int64_t i = 0; i < n; ++i) c += (s[i] != '-');
-    return c;
-}
-
-// per-base coverage increments over M/'=' spans into an int64 difference
-// array (reference pafcov update_cov_vec, cigar.rs:710-741)
-void coverage_diff(const int64_t* starts, const int64_t* ends,
-                   int64_t n_spans, int64_t* diff, int64_t genome_len) {
-    for (int64_t k = 0; k < n_spans; ++k) {
-        int64_t s = starts[k], e = ends[k];
-        if (s < 0) s = 0;
-        if (s > genome_len) s = genome_len;
-        if (e < 0) e = 0;
-        if (e > genome_len) e = genome_len;
-        if (s < genome_len) diff[s] += 1;
-        if (e < genome_len) diff[e] -= 1;
-    }
-}
-
 // bulk-format per-base BED lines: "<prefix>\t<pos>\t<pos+1>\t<count>\n"
 // for pos in [start, start+n).  Returns bytes written, or -1 if cap is too
 // small (caller sizes cap generously).
@@ -405,9 +334,16 @@ int64_t parse_chain_lines(const char* s, int64_t n, int64_t* sizes,
                 ++i;
             if (i >= n || s[i] == '\n') break;
             if (s[i] < '0' || s[i] > '9') return -(i + 1);
+            int64_t start = i;
             int64_t v = 0;
             while (i < n && s[i] >= '0' && s[i] <= '9') {
-                v = v * 10 + (s[i] - '0');
+                int64_t d = s[i] - '0';
+                // overflow guard: match the reference's u64 parse error
+                // on 20+ digit tokens instead of silently wrapping
+                // (round-5 review finding; same pattern as
+                // tokenize_cigar above)
+                if (v > (INT64_MAX - d) / 10) return -(start + 1);
+                v = v * 10 + d;
                 ++i;
             }
             if (field < 3) vals[field] = v;
@@ -488,7 +424,15 @@ int64_t validate_chain_lines(const char* s, int64_t n) {
                 ++i;
             if (i >= n || s[i] == '\n') break;
             if (s[i] < '0' || s[i] > '9') return -(i + 1);
-            while (i < n && s[i] >= '0' && s[i] <= '9') ++i;
+            int64_t start = i;
+            int64_t v = 0;
+            while (i < n && s[i] >= '0' && s[i] <= '9') {
+                int64_t d = s[i] - '0';
+                // reject what parse_chain_lines would reject (overflow)
+                if (v > (INT64_MAX - d) / 10) return -(start + 1);
+                v = v * 10 + d;
+                ++i;
+            }
         }
         ++count;
         if (i < n) ++i;  // consume newline
@@ -517,9 +461,15 @@ int64_t chain_text_to_cg(const char* s, int64_t n, int64_t* stats, char* out,
                 ++i;
             if (i >= n || s[i] == '\n') break;
             if (s[i] < '0' || s[i] > '9') return -(i + 1);
+            int64_t start = i;
             int64_t v = 0;
             while (i < n && s[i] >= '0' && s[i] <= '9') {
-                v = v * 10 + (s[i] - '0');
+                int64_t d = s[i] - '0';
+                // overflow guard (round-5 review finding): error like
+                // the reference's u64 parse, never wrap into a bogus
+                // negative cg token
+                if (v > (INT64_MAX - d) / 10) return -(start + 1);
+                v = v * 10 + d;
                 ++i;
             }
             if (field < 3) vals[field] = v;

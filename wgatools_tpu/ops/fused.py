@@ -40,7 +40,13 @@ from .classify import (
     _kernel_nibbles,
     _kernel_words,
 )
-from .liftover import OP_D, OP_I, OP_S, _hillis_scan_pair
+from .liftover import (
+    OP_D,
+    OP_I,
+    OP_S,
+    _hillis_scan_pair,
+    _pair_prefix_mm,
+)
 
 
 def _advances_from_refs(ops, lens):
@@ -102,43 +108,7 @@ def _liftover_block(
         )
         return
 
-    c = chunk or TLO
-    ns = TLO // c
-    at = adv_t.reshape(TB * ns, c)
-    aq = adv_q.reshape(TB * ns, c)
-    stacked = jnp.concatenate(
-        [
-            (at & 0xFF).astype(jnp.bfloat16),
-            (at >> 8).astype(jnp.bfloat16),
-            (aq & 0xFF).astype(jnp.bfloat16),
-            (aq >> 8).astype(jnp.bfloat16),
-        ],
-        axis=0,
-    )
-    s = jax.lax.dot_general(
-        stacked,
-        tri_x,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(i32)
-    R = TB * ns
-    ex_t = s[:R] + (s[R : 2 * R] << 8)
-    ex_q = s[2 * R : 3 * R] + (s[3 * R :] << 8)
-    if ns > 1:
-        tot_t = (ex_t[:, c - 1 : c] + at[:, c - 1 : c]).reshape(TB, ns)
-        tot_q = (ex_q[:, c - 1 : c] + aq[:, c - 1 : c]).reshape(TB, ns)
-        offs_t = [jnp.zeros((TB, 1), i32)]
-        offs_q = [jnp.zeros((TB, 1), i32)]
-        for k in range(1, ns):
-            offs_t.append(offs_t[-1] + tot_t[:, k - 1 : k])
-            offs_q.append(offs_q[-1] + tot_q[:, k - 1 : k])
-        off_t = jnp.concatenate(offs_t, axis=1)
-        off_q = jnp.concatenate(offs_q, axis=1)
-        ex_t = (ex_t.reshape(TB, ns, c) + off_t[:, :, None]).reshape(TB, TLO)
-        ex_q = (ex_q.reshape(TB, ns, c) + off_q[:, :, None]).reshape(TB, TLO)
-    else:
-        ex_t = ex_t.reshape(TB, TLO)
-        ex_q = ex_q.reshape(TB, TLO)
+    ex_t, ex_q = _pair_prefix_mm(adv_t, adv_q, tri_x, chunk=chunk)
 
     @pl.when(j == 0)
     def _():
@@ -259,26 +229,12 @@ def _fused_kernel_packed16(
 
     carry = carry_ref[:]
     if scan_mode == "mm":
-        # exclusive pair-sum prefixes via ONE stacked (4*TB, TLOH) x
-        # (TLOH, TLOH) bf16 limb matmul (both streams x both limbs,
-        # full MXU rows -- the round-2 stacking trick, ab_liftover.py)
-        stacked = jnp.concatenate(
-            [
-                (ct & 0xFF).astype(jnp.bfloat16),
-                lsr(ct, 8).astype(jnp.bfloat16),
-                (cq & 0xFF).astype(jnp.bfloat16),
-                lsr(cq, 8).astype(jnp.bfloat16),
-            ],
-            axis=0,
-        )
-        s = jax.lax.dot_general(
-            stacked,
-            tri_ref[:],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(i32)
-        p_t = s[:TB] + (s[TB : 2 * TB] << 8) + carry[:, 0:1]
-        p_q = s[2 * TB : 3 * TB] + (s[3 * TB :] << 8) + carry[:, 1:2]
+        # exclusive pair-sum prefixes via ONE stacked bf16 limb matmul
+        # (both streams x both limbs, full MXU rows -- the round-2
+        # stacking trick, ab_liftover.py)
+        p_t, p_q = _pair_prefix_mm(ct, cq, tri_ref[:])
+        p_t = p_t + carry[:, 0:1]
+        p_q = p_q + carry[:, 1:2]
     else:
         p_t, p_q = _hillis_scan_pair(ct, cq, carry)
     te_ref[:] = p_t
@@ -409,47 +365,7 @@ def _fused_kernel_adv16(
 
     carry = carry_ref[:]
     if scan_mode == "mm":
-        c = chunk or TLOH
-        ns2 = TLOH // c
-        at = ct.reshape(TB * ns2, c)
-        aq = cq.reshape(TB * ns2, c)
-        stacked = jnp.concatenate(
-            [
-                (at & 0xFF).astype(jnp.bfloat16),
-                lsr(at, 8).astype(jnp.bfloat16),
-                (aq & 0xFF).astype(jnp.bfloat16),
-                lsr(aq, 8).astype(jnp.bfloat16),
-            ],
-            axis=0,
-        )
-        s = jax.lax.dot_general(
-            stacked,
-            tri_ref[:],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(i32)
-        R = TB * ns2
-        p_t = s[:R] + (s[R : 2 * R] << 8)
-        p_q = s[2 * R : 3 * R] + (s[3 * R :] << 8)
-        if ns2 > 1:
-            tot_t = (p_t[:, c - 1 : c] + at[:, c - 1 : c]).reshape(TB, ns2)
-            tot_q = (p_q[:, c - 1 : c] + aq[:, c - 1 : c]).reshape(TB, ns2)
-            offs_t = [jnp.zeros((TB, 1), i32)]
-            offs_q = [jnp.zeros((TB, 1), i32)]
-            for k in range(1, ns2):
-                offs_t.append(offs_t[-1] + tot_t[:, k - 1 : k])
-                offs_q.append(offs_q[-1] + tot_q[:, k - 1 : k])
-            off_t = jnp.concatenate(offs_t, axis=1)
-            off_q = jnp.concatenate(offs_q, axis=1)
-            p_t = (
-                p_t.reshape(TB, ns2, c) + off_t[:, :, None]
-            ).reshape(TB, TLOH)
-            p_q = (
-                p_q.reshape(TB, ns2, c) + off_q[:, :, None]
-            ).reshape(TB, TLOH)
-        else:
-            p_t = p_t.reshape(TB, TLOH)
-            p_q = p_q.reshape(TB, TLOH)
+        p_t, p_q = _pair_prefix_mm(ct, cq, tri_ref[:], chunk=chunk)
         p_t = p_t + carry[:, 0:1]
         p_q = p_q + carry[:, 1:2]
     else:

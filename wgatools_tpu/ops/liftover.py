@@ -6,7 +6,16 @@ plotdata walks cigar.rs:807-985, validate end-derivation validate.rs:71-120)
 are all prefix sums of per-op advances:
 
     target position advances on everything except I/S (cigar.rs:718-726),
-    query  position advances on M/=/X/I/S (not on D/N/H).
+    query  position advances on everything except D.
+
+(The scans implement exactly these complements.  The reference never
+feeds N/H/P into a query-side scan -- its folds error on them
+(cigar.rs:685) -- and neither do ours: the 16-bit packers reject ops
+outside M/=/X/I/D/S, and the raw-op consumers (pafcov span tables,
+chain emission) either use only the target side, whose
+everything-but-I/S advance matches update_cov_vec for ANY op byte, or
+validate the op domain first.  A caller that scanned raw N/H ops would
+advance the query side; reject them first.)
 
 A padded [B, N] op/len batch turns both into one `cumsum` along the op
 axis -- the `liftover_scan` kernel of SURVEY.md §7.  Offsets accumulate in
@@ -122,6 +131,64 @@ def _hillis_scan_pair(adv_t, adv_q, carry):
     return ex_t, ex_q
 
 
+def _pair_prefix_mm(a_t, a_q, tri, chunk=None):
+    """EXCLUSIVE prefix sums of two int32 advance streams as ONE stacked
+    bf16 2-limb triangle matmul (both streams x both limbs stacked along
+    the row axis for full MXU row utilization -- the 1.5x trick of
+    scripts/ab_liftover.py), with an optional two-level chunk recombine.
+
+    a_t/a_q: int32 [TB, L], per-element advances, each < 2^16 (the
+    2-limb bound: per-limb partial sums stay < 2^24, exact in f32).
+    tri: strictly-lower-triangular ones as bf16, [L, L] (or [c, c] when
+    chunk=c divides L: chunks scan independently, then an unrolled
+    prefix over per-chunk totals recombines).  Returns (p_t, p_q) int32
+    [TB, L] exclusive prefixes -- NO carry applied; callers add their
+    running carry and refresh it from the last column.  Single home of
+    the formulation shared by the four scan kernels (round-5 review:
+    it had drifted into four hand-maintained copies)."""
+    i32 = jnp.int32
+    TB, L = a_t.shape
+    c = chunk or L
+    ns = L // c
+    at = a_t.reshape(TB * ns, c)
+    aq = a_q.reshape(TB * ns, c)
+    # values are < 2^16 and non-negative, so >> 8 == logical shift
+    stacked = jnp.concatenate(
+        [
+            (at & 0xFF).astype(jnp.bfloat16),
+            (at >> 8).astype(jnp.bfloat16),
+            (aq & 0xFF).astype(jnp.bfloat16),
+            (aq >> 8).astype(jnp.bfloat16),
+        ],
+        axis=0,
+    )
+    s = jax.lax.dot_general(
+        stacked,
+        tri,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(i32)
+    R = TB * ns
+    p_t = s[:R] + (s[R : 2 * R] << 8)
+    p_q = s[2 * R : 3 * R] + (s[3 * R :] << 8)
+    if ns > 1:
+        tot_t = (p_t[:, c - 1 : c] + at[:, c - 1 : c]).reshape(TB, ns)
+        tot_q = (p_q[:, c - 1 : c] + aq[:, c - 1 : c]).reshape(TB, ns)
+        offs_t = [jnp.zeros((TB, 1), i32)]
+        offs_q = [jnp.zeros((TB, 1), i32)]
+        for k in range(1, ns):
+            offs_t.append(offs_t[-1] + tot_t[:, k - 1 : k])
+            offs_q.append(offs_q[-1] + tot_q[:, k - 1 : k])
+        off_t = jnp.concatenate(offs_t, axis=1)
+        off_q = jnp.concatenate(offs_q, axis=1)
+        p_t = (p_t.reshape(TB, ns, c) + off_t[:, :, None]).reshape(TB, L)
+        p_q = (p_q.reshape(TB, ns, c) + off_q[:, :, None]).reshape(TB, L)
+    else:
+        p_t = p_t.reshape(TB, L)
+        p_q = p_q.reshape(TB, L)
+    return p_t, p_q
+
+
 def _liftover_kernel(
     ops_ref, lens_ref, tri_ref, t_ref, q_ref, carry_ref, *, mode="liftover",
     scan_mode="mm",
@@ -166,39 +233,21 @@ def _liftover_kernel(
     # strictly-lower-triangular ones, passed in with a constant block
     # index: it stays VMEM-resident across grid steps instead of being
     # rebuilt per tile (rebuilding TLxTL iotas per tile dominated the
-    # tiny matmuls in the first formulation; same-process A/B)
-    tri_x = tri_ref[:]
-
+    # tiny matmuls in the first formulation; same-process A/B).
+    # _pair_prefix_mm stacks both scans x both limbs into ONE matmul
+    # (1.5x, scripts/ab_liftover.py 2026-08-17; an in-kernel reshape
+    # two-level scan measured the same, so the simpler form wins)
     TL = lens.shape[1]
     TB = lens.shape[0]
-
-    # ONE stacked (4*TB, TL) x (TL, TL) matmul for both scans x both
-    # limbs: at TB=32 each separate matmul fed only 32 rows to the
-    # 128-row MXU; stacking four of them reaches full row utilization
-    # (1.5x in same-process A/B, scripts/ab_liftover.py 2026-08-17; an
-    # in-kernel reshape two-level scan measured the same, so the simpler
-    # formulation wins)
-    stacked = jnp.concatenate(
-        [
-            (adv_t & 0xFF).astype(jnp.bfloat16),
-            (adv_t >> 8).astype(jnp.bfloat16),
-            (adv_q & 0xFF).astype(jnp.bfloat16),
-            (adv_q >> 8).astype(jnp.bfloat16),
-        ],
-        axis=0,
-    )
-    s = jax.lax.dot_general(
-        stacked, tri_x, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(i32)
+    p_t, p_q = _pair_prefix_mm(adv_t, adv_q, tri_ref[:])
 
     @pl.when(j == 0)
     def _():
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
     carry = carry_ref[:]
-    ex_t = s[:TB] + (s[TB : 2 * TB] << 8) + carry[:, 0:1]
-    ex_q = s[2 * TB : 3 * TB] + (s[3 * TB :] << 8) + carry[:, 1:2]
+    ex_t = p_t + carry[:, 0:1]
+    ex_q = p_q + carry[:, 1:2]
     t_ref[:] = ex_t
     q_ref[:] = ex_q
     carry_ref[:] = jnp.concatenate(
@@ -434,7 +483,11 @@ def pack_ops_words(ops, lens):
     packs to 0."""
     ops = np.asarray(ops, dtype=np.uint8)
     lens = np.asarray(lens)
-    assert lens.max(initial=0) < (1 << 16), "packed op words need len < 2^16"
+    # explicit raise, not assert: under `python -O` an assert is
+    # stripped and an oversized length would silently corrupt the
+    # packed word (same hazard _validate_pack16 guards below)
+    if lens.max(initial=0) >= (1 << 16):
+        raise ValueError("packed op words need len < 2^16")
     return (ops.astype(np.int32) << 24) | lens.astype(np.int32)
 
 

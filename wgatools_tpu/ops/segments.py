@@ -66,7 +66,13 @@ def cigar_batch_stats(ops, lens, row_ids, num_records):
 
 
 def pack_cigar_batch(op_arrays, len_arrays):
-    """Concatenate per-record (ops, lens) into flat arrays with row ids."""
+    """Concatenate per-record (ops, lens) into flat arrays with row ids.
+
+    Rejects ops outside {M,=,X,I,D} with CigarOpInvalid, matching the
+    reference's parse_paf_to_cigar fold (cigar.rs:685: any other op --
+    S, H, N, P -- is an error on the stat/validate path).  The device
+    segment sums would otherwise silently drop the op from every
+    counter, diverging from the host engine (round-5 review finding)."""
     if not op_arrays:
         return (
             np.zeros(0, np.uint8),
@@ -75,6 +81,17 @@ def pack_cigar_batch(op_arrays, len_arrays):
         )
     ops = np.concatenate(op_arrays)
     lens = np.concatenate(len_arrays)
+    known = (
+        (ops == OP_M)
+        | (ops == OP_EQ)
+        | (ops == OP_X)
+        | (ops == OP_I)
+        | (ops == OP_D)
+    )
+    if not known.all():
+        from ..errors import CigarOpInvalid
+
+        raise CigarOpInvalid(chr(int(ops[~known][0])))
     row_ids = np.repeat(
         np.arange(len(op_arrays), dtype=np.int32),
         [len(a) for a in op_arrays],
