@@ -338,13 +338,22 @@ def test_chain_insert_gaps_native_vs_ops(seed):
     t_need = int(sizes.sum() + dqs.sum())
     q_need = int(sizes.sum() + dts.sum())
     bases = "ACGT"
-    for cut in (0, 5):
-        t_raw = "".join(
-            rng.choice(bases) for _ in range(max(t_need - cut, 0))
-        ).encode()
-        q_raw = "".join(
-            rng.choice(bases) for _ in range(max(q_need - cut, 0))
-        ).encode()
-        want = C.insert_gaps_by_ops(ops, lens, t_raw, q_raw)
-        got = native.chain_insert_gaps(sizes, dqs, dts, t_raw, q_raw)
-        assert got == want, (seed, cut)
+    t_raw = "".join(rng.choice(bases) for _ in range(t_need)).encode()
+    q_raw = "".join(rng.choice(bases) for _ in range(q_need)).encode()
+    want = C.insert_gaps_by_ops(ops, lens, t_raw, q_raw)
+    got = native.chain_insert_gaps(sizes, dqs, dts, t_raw, q_raw)
+    assert got == want, seed
+    # truncated sources take the insert-into-copy edge semantics
+    # (round-5 review): either a WGAError (an I/D insert would land
+    # past the current end, where the reference panics) or a row that
+    # simply ends early -- never fabricated bytes
+    from wgatools_tpu.errors import WGAError
+
+    if t_need >= 5:
+        try:
+            tg, qg = C.insert_gaps_by_ops(ops, lens, t_raw[:-5], q_raw)
+        except WGAError:
+            pass
+        else:
+            assert len(tg) == len(t_raw) - 5 + int(dts.sum())
+            assert qg == want[1]

@@ -9,6 +9,7 @@ import pytest
 from conftest import fixture_path
 from synth import make_paf_case
 
+from wgatools_tpu.errors import WGAError
 from wgatools_tpu.io.chain import ChainReader
 from wgatools_tpu.io.maf import MafReader
 from wgatools_tpu.io.paf import PafReader
@@ -352,9 +353,15 @@ def test_maf_ext_bed_file(tmp_path):
 @pytest.mark.parametrize("seed", range(4))
 def test_negative_strand_chain_pipe_fixed_point(tmp_path, seed):
     """For negative strands the reference's chain header remap is not an
-    involution (chain.rs:136-137 sequential mutation), so the 4-step pipe
-    paf2chain|chain2maf|maf2chain|chain2paf is checked for *stability
-    after one pass* rather than equality with the input."""
+    involution (chain.rs:136-137 sequential mutation): the header span
+    disagrees with the data-line volume, chain2maf emits rows of unequal
+    gapped length, and each further pass through the pipe truncates (the
+    per-column folds zip to the shorter row, cigar.rs:344-432) or errors
+    where insert_str would panic.  With those reference semantics
+    reproduced faithfully (round 5; the clamp-fabrication they replaced
+    made one pass look spuriously stable), the property that holds is
+    SELF-CONSISTENCY of every surviving pass's PAF row, not a fixed
+    point."""
     from wgatools_tpu.tools import convert as cv
 
     paf_line, t_fa, q_fa = make_paf_case(300 + seed, negative=True)
@@ -372,9 +379,19 @@ def test_negative_strand_chain_pipe_fixed_point(tmp_path, seed):
         chain2 = run_tool(cv.maf2chain, MafReader(io.BytesIO(maf)))
         return run_tool(cv.chain2paf, ChainReader(io.BytesIO(chain2)))
 
+    def check_row(paf_bytes):
+        # the quirk makes even the reference's output span-INconsistent
+        # (header-remap coordinates vs data-line cigar), so the durable
+        # properties are identity fields and a parseable record
+        rec = next(PafReader(io.BytesIO(paf_bytes)).records())
+        assert rec.query_name == "q1" and rec.target_name == "t1"
+        assert rec.strand == "-"
+        assert rec.get_cigar_ops()[1].sum() > 0
+
     once = pipe(paf_line.encode() + b"\n")
-    twice = pipe(once)
-    assert once == twice
-    # the PAF row must still point at the same sequences and strand
-    f = once.decode().split("\t")
-    assert f[0] == "q1" and f[4] == "-" and f[5] == "t1"
+    check_row(once)
+    try:
+        twice = pipe(once)
+    except WGAError:
+        return  # the reference's insert_str would panic at this pass
+    check_row(twice)

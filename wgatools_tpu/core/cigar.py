@@ -21,7 +21,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..errors import CigarOpInvalid, ParseIntError
+from ..errors import CigarOpInvalid, ParseIntError, WGAError
 
 GAP = np.uint8(ord("-"))
 
@@ -212,10 +212,21 @@ def cigar_from_runs(
     return c
 
 
+def _zip_trunc(t_seq, q_seq):
+    """Reference zip semantics for malformed records whose rows differ
+    in length: every per-column fold iterates seq1.zip(seq2)
+    (e.g. cigar.rs:344-432), which stops at the SHORTER row.  Mirror it
+    (the native wrappers truncate identically; round-5 review finding --
+    the numpy fallback previously raised a raw broadcast ValueError)."""
+    n = min(t_seq.shape[0], q_seq.shape[0])
+    return t_seq[:n], q_seq[:n]
+
+
 def ext_runs(t_seq: np.ndarray, q_seq: np.ndarray):
     """Classify + RLE in ext mode; native C++ path when available."""
     from .. import native
 
+    t_seq, q_seq = _zip_trunc(t_seq, q_seq)
     res = native.classify_and_rle(t_seq, q_seq, caller=False)
     if res is not None:
         return res
@@ -226,6 +237,7 @@ def caller_runs(t_seq: np.ndarray, q_seq: np.ndarray):
     """Classify + RLE in caller mode (gap/gap -> W)."""
     from .. import native
 
+    t_seq, q_seq = _zip_trunc(t_seq, q_seq)
     res = native.classify_and_rle(t_seq, q_seq, caller=True)
     if res is not None:
         return res
@@ -243,6 +255,7 @@ def cigar_from_seqs(
     """parse_maf_seq_to_cigar over byte arrays (reference: cigar.rs:344-432)."""
     from .. import native
 
+    t_seq, q_seq = _zip_trunc(t_seq, q_seq)
     res = native.classify_rle_format(t_seq, q_seq, caller=False)
     if res is None:
         vals, lens = ext_runs(t_seq, q_seq)
@@ -447,6 +460,13 @@ def chain_line_arrays_from_ops(ops: np.ndarray, lens: np.ndarray):
     m_idx = np.flatnonzero(is_m)
     if m_idx.size == 0:
         return empty, empty, empty, 0
+    if np.any(lens[m_idx] == 0):
+        # a zero-length M op is a flush-or-DROP barrier in the
+        # reference's fold (size==0 blocks the flush, the M arm then
+        # discards the pending diffs, cigar.rs:467-477) -- data-dependent
+        # sequencing the merge formulation below cannot express; take
+        # the reference-faithful scalar walk (pathological input, cold)
+        return _chain_lines_scalar(ops, lens)
     m_sizes = lens[m_idx]
     # diffs accumulated between consecutive M runs
     ins_lens = np.where(ops == OP_I, lens, 0)
@@ -462,6 +482,34 @@ def chain_line_arrays_from_ops(ops: np.ndarray, lens: np.ndarray):
     merged = np.add.reduceat(m_sizes, seg_starts)
     gap_sel = np.flatnonzero(nonzero_gap)
     return merged[:-1], qd[gap_sel], td[gap_sel], int(merged[-1])
+
+
+def _chain_lines_scalar(ops, lens):
+    """cigar_unit_chain's exact fold (cigar.rs:460-490), scalar: flush a
+    line only when BOTH the accumulated size and the pending diffs are
+    nonzero; every M-like op resets the diffs (dropping them when the
+    flush was blocked)."""
+    size = qd = td = 0
+    sizes, qds, tds = [], [], []
+    for op, n in zip(ops.tolist(), np.asarray(lens).tolist()):
+        if op in (OP_M, OP_EQ, OP_X):
+            if size != 0 and (td + qd) != 0:
+                sizes.append(size)
+                qds.append(qd)
+                tds.append(td)
+                size = 0
+            size += n
+            td = qd = 0
+        elif op == OP_I:
+            td += n
+        elif op == OP_D:
+            qd += n
+    return (
+        np.asarray(sizes, np.int64),
+        np.asarray(qds, np.int64),
+        np.asarray(tds, np.int64),
+        int(size),
+    )
 
 
 def chain_lines_from_ops(ops: np.ndarray, lens: np.ndarray):
@@ -503,18 +551,26 @@ def insert_gaps_by_ops(ops, lens, t_raw: bytes, q_raw: bytes):
     target while consuming query, D puts gaps in query while consuming
     target.  Returns (t_gapped bytes, q_gapped bytes).
 
-    Hot path: single C++ memcpy/memset pass per run (differential-tested
-    against the numpy formulation below).
+    Faithful to parse_cigar_to_insert's insert-into-copy formulation
+    (cigar.rs:492-551), including its edge semantics on sources whose
+    length disagrees with the CIGAR (round-5 review finding -- both
+    engines previously fabricated bytes by repeating the last base):
+
+    - a LONGER source keeps its unconsumed tail in place (the reference
+      inserts gaps into the full string);
+    - a SHORTER source is fine as long as no later I/D insert offset
+      exceeds the current string length -- the output row simply ends
+      early (possibly shorter than its partner, as the reference
+      emits);
+    - an I/D insert past the current end raises WGAError (the
+      reference's String::insert_str panics there).
+
+    Hot path (lengths exactly matching the CIGAR): single C++
+    memcpy/memset pass per run (differential-tested against the numpy
+    formulation below).
     """
     from .. import native
 
-    if native.available():
-        try:
-            res = native.insert_gaps(ops, lens, t_raw, q_raw)
-        except ValueError as e:
-            raise CigarOpInvalid(e.args[0]) from None
-        if res is not None:
-            return res
     ops = np.asarray(ops)
     lens = np.asarray(lens, dtype=np.int64)
     is_m = (ops == OP_M) | (ops == OP_EQ) | (ops == OP_X)
@@ -523,21 +579,60 @@ def insert_gaps_by_ops(ops, lens, t_raw: bytes, q_raw: bytes):
     if not np.all(is_m | is_i | is_d):
         bad = ops[~(is_m | is_i | is_d)][0]
         raise CigarOpInvalid(chr(bad))
-    t_gap = np.repeat(is_i, lens)  # I columns are gaps in target
-    q_gap = np.repeat(is_d, lens)  # D columns are gaps in query
+    # reference panic condition: the shared offset minus gaps already
+    # inserted into THIS string = the non-gap columns before the run;
+    # insert_str panics when that exceeds the string's current length
+    non_i_before = np.cumsum(np.where(is_i, 0, lens)) - np.where(
+        is_i, 0, lens
+    )
+    non_d_before = np.cumsum(np.where(is_d, 0, lens)) - np.where(
+        is_d, 0, lens
+    )
+    if np.any(non_i_before[is_i] > len(t_raw)) or np.any(
+        non_d_before[is_d] > len(q_raw)
+    ):
+        raise WGAError(
+            "CIGAR gap insert past the end of a source sequence "
+            "(reference panics here, cigar.rs:492-551): sources have "
+            f"{len(t_raw)}/{len(q_raw)} target/query bytes"
+        )
+    need_t = int(lens[is_m | is_d].sum())
+    need_q = int(lens[is_m | is_i].sum())
+    if (
+        need_t == len(t_raw)
+        and need_q == len(q_raw)
+        and native.available()
+    ):
+        try:
+            res = native.insert_gaps(ops, lens, t_raw, q_raw)
+        except ValueError as e:
+            raise CigarOpInvalid(e.args[0]) from None
+        if res is not None:
+            return res
     t_arr = seq_bytes(t_raw)
     q_arr = seq_bytes(q_raw)
-    if t_gap.size == 0:
-        return b"", b""
-    if len(t_arr) == 0 or len(q_arr) == 0:
-        # degenerate sources: emit gaps only where defined
-        t_arr = np.array([GAP], dtype=np.uint8)
-        q_arr = np.array([GAP], dtype=np.uint8)
-    t_src = np.cumsum(~t_gap) - 1
-    q_src = np.cumsum(~q_gap) - 1
-    t_out = np.where(t_gap, GAP, t_arr[np.minimum(t_src, len(t_arr) - 1)])
-    q_out = np.where(q_gap, GAP, q_arr[np.minimum(q_src, len(q_arr) - 1)])
-    return t_out.astype(np.uint8).tobytes(), q_out.astype(np.uint8).tobytes()
+
+    def build(gap_runs, src):
+        # final row = src with every gap run inserted at its op-frame
+        # offset: length len(src) + total_gaps, the op-frame gap mask
+        # truncated (short src) or zero-extended (long src) to it
+        mask = np.repeat(gap_runs, lens)
+        out_len = len(src) + int(lens[gap_runs].sum())
+        if out_len <= mask.size:
+            mask = mask[:out_len]
+        else:
+            mask = np.concatenate(
+                [mask, np.zeros(out_len - mask.size, dtype=bool)]
+            )
+        if out_len == 0:
+            return b""
+        base = src if len(src) else np.array([GAP], dtype=np.uint8)
+        idx = np.minimum(np.cumsum(~mask) - 1, len(base) - 1)
+        return (
+            np.where(mask, GAP, base[idx]).astype(np.uint8).tobytes()
+        )
+
+    return build(is_i, t_arr), build(is_d, q_arr)
 
 
 def insert_gaps_by_chain(lines, final_size, t_raw: bytes, q_raw: bytes):

@@ -39,10 +39,13 @@ def fmt_f64(v: float) -> str:
 
 
 def _parse_u64(s: str, what: str) -> int:
-    try:
-        v = int(s)
-    except ValueError:
-        raise ParseIntError(s) from None
+    # Rust u64::from_str grammar: optional leading '+', ASCII digits
+    # only -- rejects negatives and Python int() leniency like its
+    # maf/paf siblings (round-5 review finding)
+    d = s[1:] if s[:1] == "+" else s
+    if not d.isascii() or not d.isdigit():
+        raise ParseIntError(s)
+    v = int(d)
     # bound like the native parser (int64 arrays downstream): a 19+
     # digit coordinate errors instead of overflowing np.int64.  (The
     # reference's u64 parse allows up to 2^64-1; values in
@@ -435,6 +438,14 @@ class ChainReader:
             )
             nxt = data.find(b"chain", eol)
             block = data[eol + 1 : nxt if nxt >= 0 else n]
+            if nxt < 0 and block and not block.endswith(b"\n"):
+                # reference quirk reproduced (round-5 review finding):
+                # data lines must be newline-TERMINATED
+                # (line_not_chain, chain.rs:325-326); a final line with
+                # no trailing newline fails the fold and is silently
+                # discarded by the take_while sweep (chain.rs:381)
+                cut = block.rfind(b"\n")
+                block = block[: cut + 1] if cut >= 0 else b""
             try:
                 ok = native.validate_chain_lines(bytes(block))
             except ValueError as e:

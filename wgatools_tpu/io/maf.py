@@ -34,13 +34,14 @@ from ..errors import (
 
 
 def _parse_u64(s: str) -> int:
-    try:
-        v = int(s)
-    except ValueError:
-        raise ParseIntError(s) from None
-    if v < 0:
+    # Rust u64::from_str grammar (the reference's serde path): optional
+    # leading '+', then ASCII digits only -- Python int() leniency
+    # ('1_000', unicode digits, surrounding signs) must not widen the
+    # accepted-input set (round-5 review finding)
+    d = s[1:] if s[:1] == "+" else s
+    if not d.isascii() or not d.isdigit():
         raise ParseIntError(s)
-    return v
+    return int(d)
 
 
 @dataclass
@@ -312,7 +313,6 @@ class MafReader:
         self._offset = 0
         header = self._readline()
         self.header = header.decode("ascii", "replace").rstrip("\r\n")
-        self._pending = None  # pushed-back line after record scan
 
     @classmethod
     def from_path(cls, path):
@@ -332,7 +332,6 @@ class MafReader:
     def seek(self, offset: int):
         self.inner.seek(offset)
         self._offset = offset
-        self._pending = None
 
     def records(self):
         """Iterate MafRecords (reference: maf.rs:371-421)."""
@@ -345,11 +344,7 @@ class MafReader:
     def next_record(self):
         # skip lines until an 's' line
         while True:
-            if self._pending is not None:
-                line = self._pending
-                self._pending = None
-            else:
-                line = self._readline()
+            line = self._readline()
             if not line:
                 return None
             if line.startswith(b"s"):

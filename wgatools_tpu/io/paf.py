@@ -26,13 +26,14 @@ from ..errors import (
 
 
 def _parse_u64(s: str, what: str) -> int:
-    try:
-        v = int(s)
-    except ValueError:
-        raise ParsePafError(f"field `{what}`: `{s}` not an integer") from None
-    if v < 0:
-        raise ParsePafError(f"field `{what}`: `{s}` negative")
-    return v
+    # Rust u64::from_str grammar: optional leading '+', ASCII digits
+    # only (no '1_000'/unicode-digit leniency -- round-5 review finding)
+    d = s[1:] if s[:1] == "+" else s
+    if not d.isascii() or not d.isdigit():
+        if s[:1] == "-":
+            raise ParsePafError(f"field `{what}`: `{s}` negative")
+        raise ParsePafError(f"field `{what}`: `{s}` not an integer")
+    return int(d)
 
 
 @dataclass

@@ -42,6 +42,13 @@ def read_region_file(stream) -> list:
         fields = line.split("\t")
         if len(fields) < 3:
             raise ParseGenomeRegionError(f"bad region line `{line}`")
+        # clean WGAError on non-numeric/negative coordinates (the
+        # reference's csv/u64 deserialize wraps the parse error too;
+        # round-5 review finding: int() raised a raw ValueError)
+        if not (fields[1].isascii() and fields[1].isdigit()) or not (
+            fields[2].isascii() and fields[2].isdigit()
+        ):
+            raise ParseGenomeRegionError(f"bad region line `{line}`")
         start, end = int(fields[1]), int(fields[2])
         if start > end:
             raise ParseGenomeRegionError(

@@ -198,9 +198,12 @@ def classify_and_rle(t: np.ndarray, q: np.ndarray, caller: bool = False):
     lib = load()
     if lib is None:
         return None
-    n = t.shape[0]
-    t = np.ascontiguousarray(t)
-    q = np.ascontiguousarray(q)
+    # reference zip semantics: per-column folds stop at the SHORTER row
+    # of a malformed record (cigar.rs:344-432); also keeps the C kernel
+    # from reading past the shorter buffer (round-5 review finding)
+    n = min(t.shape[0], q.shape[0])
+    t = np.ascontiguousarray(t[:n])
+    q = np.ascontiguousarray(q[:n])
     vals = _scratch("vals", n, np.uint8)
     lens = _scratch("lens", n, np.int64)
     # fused single pass (no intermediate cat array)
@@ -224,9 +227,10 @@ def classify_rle_format(t: np.ndarray, q: np.ndarray, caller: bool = False,
     lib = load()
     if lib is None:
         return None
-    n = t.shape[0]
-    t = np.ascontiguousarray(t)
-    q = np.ascontiguousarray(q)
+    # zip-to-min like the reference fold (see classify_and_rle above)
+    n = min(t.shape[0], q.shape[0])
+    t = np.ascontiguousarray(t[:n])
+    q = np.ascontiguousarray(q[:n])
     # each run of length L formats to digits(L)+1 <= 2L bytes (L>=1), so
     # 2n+24 bounds the whole string without over-allocating on Mbp records
     cap = 2 * max(n, 1) + 24

@@ -521,7 +521,12 @@ int64_t ops_to_chain_block(const uint8_t* ops, const int64_t* lens,
             if (!seen_m) {
                 seen_m = true;
                 cur = L;
-            } else if (dq != 0 || dt != 0) {
+            } else if (cur != 0 && (dq != 0 || dt != 0)) {
+                // flush gated on BOTH a nonzero size and nonzero diffs
+                // (cigar_unit_chain, cigar.rs:467-470); when cur == 0
+                // the pending diffs are DROPPED below, exactly like the
+                // reference's unconditional diff reset in the M arm
+                // (round-5 review finding: a '0M' between diffs)
                 if (w + 66 > cap) return -1;
                 out[w++] = '\n';
                 w += write_i64(out + w, cur);
@@ -530,10 +535,10 @@ int64_t ops_to_chain_block(const uint8_t* ops, const int64_t* lens,
                 out[w++] = '\t';
                 w += write_i64(out + w, dt);
                 cur = L;
-                dq = dt = 0;
             } else {
                 cur += L;
             }
+            dq = dt = 0;
             tail_ins = tail_del = 0;
         } else if (op == 'I') {
             if (!seen_m) head_ins += L; else dt += L;
@@ -576,7 +581,12 @@ int64_t cigar_text_to_chain_block(const char* s, int64_t n, int64_t* meta,
             if (!seen_m) {
                 seen_m = true;
                 cur = L;
-            } else if (dq != 0 || dt != 0) {
+            } else if (cur != 0 && (dq != 0 || dt != 0)) {
+                // flush gated on BOTH a nonzero size and nonzero diffs
+                // (cigar_unit_chain, cigar.rs:467-470); when cur == 0
+                // the pending diffs are DROPPED below, exactly like the
+                // reference's unconditional diff reset in the M arm
+                // (round-5 review finding: a '0M' between diffs)
                 if (w + 66 > cap) return -1;
                 out[w++] = '\n';
                 w += write_i64(out + w, cur);
@@ -585,10 +595,10 @@ int64_t cigar_text_to_chain_block(const char* s, int64_t n, int64_t* meta,
                 out[w++] = '\t';
                 w += write_i64(out + w, dt);
                 cur = L;
-                dq = dt = 0;
             } else {
                 cur += L;
             }
+            dq = dt = 0;
             tail_ins = tail_del = 0;
         } else if (op == 'I') {
             if (!seen_m) head_ins += L; else dt += L;

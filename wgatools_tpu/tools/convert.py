@@ -246,6 +246,11 @@ def _chain_block_from_scan(record, ops, lens, excl_ins, excl_del):
             raise C.CigarOpInvalid(chr(op))
     is_m = (ops == C.OP_M) | (ops == C.OP_EQ) | (ops == C.OP_X)
     m_idx = np.flatnonzero(is_m)
+    if m_idx.size and np.any(np.asarray(lens)[m_idx] == 0):
+        # zero-length M: flush-or-drop barrier the gather form cannot
+        # express -- reference-faithful scalar walk (see
+        # core.cigar.chain_line_arrays_from_ops, round-5 review finding)
+        return C.chain_line_arrays_from_ops(ops, lens)
     empty = np.zeros(0, dtype=np.int64)
     if m_idx.size == 0:
         return empty, empty, empty, 0
@@ -577,7 +582,18 @@ def chain2maf(chainreader: ChainReader, writer, t_fa_path: str, q_fa_path: str):
         # path feeds the data-line arrays straight to C++ (no op array
         # materialization); differential-tested vs the ops formulation.
         def gap_insert(t_raw, q_raw, _rec=rec):
-            if use_native:
+            # the C++ fused pass assumes sources exactly matching the
+            # data lines (the common case); length disagreements take
+            # insert_gaps_by_ops, which reproduces the reference's
+            # insert-into-copy edge semantics (tails kept, short rows,
+            # WGAError where insert_str would panic -- round-5 review)
+            need_t = int(_rec.sizes.sum() + _rec.dqs.sum())
+            need_q = int(_rec.sizes.sum() + _rec.dts.sum())
+            if (
+                use_native
+                and need_t == len(t_raw)
+                and need_q == len(q_raw)
+            ):
                 res = native.chain_insert_gaps(
                     _rec.sizes, _rec.dqs, _rec.dts, t_raw, q_raw
                 )
