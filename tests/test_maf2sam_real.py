@@ -49,7 +49,10 @@ def test_maf2sam_real_fields():
     f2 = body[1].split("\t")
     assert f2[1] == "16"  # negative strand
     assert f2[3] == "51"
-    assert f2[5] == "7H4M389H"
+    # clips are in SEQ (target-forward) orientation: the strand-frame
+    # head clip (7) is the read's target-forward TAIL for FLAG 16
+    # (round-5 review fix)
+    assert f2[5] == "389H4M7H"
 
 
 def test_maf2sam_stub_unchanged_by_default():

@@ -156,3 +156,85 @@ def test_region_file_clean_errors():
         read_region_file(io.BytesIO(b"chr1\t-5\t100\n"))
     regs = read_region_file(io.BytesIO(b"chr1\t5\t100\n"))
     assert regs[0].start == 5 and regs[0].end == 100
+
+
+def test_split_call_plans_from_selected_query():
+    """_call_split_record must select the query row BEFORE computing the
+    SV-safe chunk plan (round-5 review finding): planning from the
+    default slines[1] could split a cutoff-size gap run of the selected
+    query mid-run, changing emitted SVs vs the serial tool."""
+    from wgatools_tpu.io.maf import MafReader
+    from wgatools_tpu.parallel.host_pool import _call_split_record
+    from wgatools_tpu.tools.caller import call_record_part
+
+    # q1: no gaps at all; q2: one 6-gap deletion run mid-record
+    t = "ACGTACGTACGTACGTACGTACGTACGT"
+    q1 = "ACGTACGTACGTACGTACGTACGTACGT"
+    q2 = "ACGTACGTAC------GTACGTACGTAC"
+    maf = (
+        "##maf version=1.6\n"
+        "a score=0\n"
+        f"s\tref\t0\t28\t+\t100\t{t}\n"
+        f"s\tqA\t0\t28\t+\t100\t{q1}\n"
+        f"s\tqB\t0\t22\t+\t100\t{q2}\n\n"
+    )
+    params = (True, True, 0, 8, "qB", None)  # chunk_size 8 < run span
+    rec = MafReader(io.BytesIO(maf.encode())).next_record()
+    parts = _call_split_record(rec, 3, params)
+    rec2 = MafReader(io.BytesIO(maf.encode())).next_record()
+    serial = io.BytesIO()
+    call_record_part(rec2, serial, True, True, 0, 8, "qB", None)
+    assert b"".join(parts) == serial.getvalue()
+
+
+def test_dotplot_zero_span_identity_is_nan():
+    """Rust f64 division never raises (dotplot.rs:416-423): a zero-span
+    record gets identity NaN, not a ZeroDivisionError abort."""
+    import math
+
+    from wgatools_tpu.io.paf import parse_paf_line
+    from wgatools_tpu.tools.dotplot import _overview_row
+
+    rec = parse_paf_line(
+        "q\t10\t0\t0\t+\tt\t10\t5\t5\t0\t0\t255\tcg:Z:"
+    )
+    row = _overview_row(rec, no_identity=False)
+    assert math.isnan(row["identity"])
+
+
+def test_maf2sam_real_negative_strand_clips_swap():
+    """SAM stores SEQ target-forward (FLAG 16), so the MAF query row's
+    strand-frame head clip is the read's target-forward TAIL clip
+    (round-5 review finding)."""
+    from wgatools_tpu.io.maf import MafReader
+    from wgatools_tpu.tools.convert import maf2sam
+
+    maf = (
+        "##maf version=1.6\n"
+        "a score=0\n"
+        "s\tref\t10\t4\t+\t100\tACGT\n"
+        "s\tqry\t7\t4\t-\t50\tACGT\n\n"
+    )
+    out = io.BytesIO()
+    maf2sam(MafReader(io.BytesIO(maf.encode())), out, real=True)
+    body = [
+        l for l in out.getvalue().decode().splitlines()
+        if not l.startswith("@")
+    ]
+    f = body[0].split("\t")
+    assert f[1] == "16"
+    # strand-frame: lead 7, trail 50-7-4=39 -> target-forward: 39H...7H
+    assert f[5] == "39H4M7H"
+
+
+def test_forked_map_surfaces_worker_traceback(capfd):
+    from wgatools_tpu.parallel.host_pool import forked_map
+
+    def boom(x):
+        if x == 1:
+            raise ValueError("worker exploded")
+        return x
+
+    with pytest.raises(RuntimeError, match="traceback is on stderr"):
+        forked_map(boom, [0, 1])
+    assert "worker exploded" in capfd.readouterr().err

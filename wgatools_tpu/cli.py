@@ -704,7 +704,12 @@ def _dispatch_call(args, out, rw):
         from .parallel.dist_tools import dist_requested
         from .parallel.host_pool import is_plain_seekable, parallel_call_maf
 
-        if dist_requested() and args.input not in (None, "-") and mafindex:
+        # NOTE: no `and mafindex` here -- distributed_call_maf loads its
+        # own index and falls back to a raw offset scan when it is
+        # missing; gating on the parent's index would silently drop
+        # every rank into the serial branch, racing the output file
+        # (round-5 review finding)
+        if dist_requested() and args.input not in (None, "-"):
             from .parallel.dist_tools import dist_output, distributed_call_maf
             from .parallel.distributed import maybe_initialize_distributed
 

@@ -249,12 +249,28 @@ def distributed_pafcov(path, writer):
                 if t not in sizes:
                     order.append(t)
                     sizes[t] = n
+                elif n > sizes[t]:
+                    # inconsistent target_length fields across records:
+                    # every rank must psum the SAME global shape, so
+                    # agree on the maximum (the pooled merge's rule,
+                    # host_pool.parallel_pafcov) -- a rank-local length
+                    # would hang the collective (round-5 review finding)
+                    sizes[t] = n
         merged = {}
         for t in order:
             local = diff_map.get(t)
             contribute = local is not None
             if local is None:
                 local = np.zeros(sizes[t], dtype=np.int32)
+            elif local.shape[0] < sizes[t]:
+                local = np.concatenate(
+                    [
+                        local,
+                        np.zeros(
+                            sizes[t] - local.shape[0], dtype=np.int32
+                        ),
+                    ]
+                )
             merged[t] = _psum_row(local, contribute)
 
     if pid != 0:

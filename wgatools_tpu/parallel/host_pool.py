@@ -117,6 +117,14 @@ def forked_map(fn, args_list):
                     with open(os.path.join(tmpdir, f"{k}.pkl"), "wb") as fp:
                         pickle.dump(result, fp, protocol=4)
                     status = 0
+                except BaseException:
+                    # surface the worker's traceback on stderr before
+                    # _exit(1) -- a bare exit made every parallel-path
+                    # failure undiagnosable vs the precise -t1 error
+                    # (round-5 review finding)
+                    import traceback
+
+                    traceback.print_exc()
                 finally:
                     os._exit(status)
             pids.append(pid)
@@ -125,7 +133,10 @@ def forked_map(fn, args_list):
             _, status = os.waitpid(pid, 0)
             failed |= os.waitstatus_to_exitcode(status) != 0
         if failed:
-            raise RuntimeError("parallel worker failed")
+            raise RuntimeError(
+                "parallel worker failed (its traceback is on stderr; "
+                "re-run with -t 1 for the serial error)"
+            )
         out = []
         for k in range(len(args_list)):
             with open(os.path.join(tmpdir, f"{k}.pkl"), "rb") as fp:
@@ -326,6 +337,24 @@ def _call_split_record(record, n_parts, params):
     from ..tools.caller import DEFAULT_CHUNK_SIZE, call_record_part, plan_chunks
 
     if_snp, if_inv, svlen, chunk_size, query_name, query_regex = params
+    # select the query row FIRST, mirroring call_record_part's own
+    # selection: the plan's SV-safe boundaries depend on the selected
+    # pair's gap runs, and planning from the default slines[1] row
+    # would split a cutoff-size gap run of the actually-selected query
+    # mid-run (round-5 review finding; -tN must stay byte-equal to -t1)
+    if len(record.slines) == 1:
+        return [b""] * n_parts
+    if query_name is not None:
+        if record.get_query_idx_byname(query_name) is None:
+            return [b""] * n_parts
+        record.set_query_idx_byname(query_name)
+    elif query_regex is not None:
+        try:
+            record.set_query_idx_by_regex(query_regex)
+        except Exception:
+            return [b""] * n_parts
+    else:
+        record.query_idx = 1
     # the plan is deterministic; compute it once in the parent so the
     # children (which inherit it copy-on-write) skip the full-record scan
     plan = plan_chunks(

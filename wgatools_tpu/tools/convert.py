@@ -618,7 +618,7 @@ def maf2sam(mafreader: MafReader, writer, real: bool = False):
     row becomes one alignment line against the target -- FLAG 16 for
     negative strand (the MAF query seq is already in target-forward
     orientation), 1-based POS, M/I/D CIGAR ('='/'X' runs M-merged) with
-    hard clips from the query s-line's own coordinate frame, SEQ =
+    hard clips in SEQ (target-forward) orientation, SEQ =
     gap-stripped query row, MAPQ 255 and NM:i as in convert2paf
     (maf.rs:484-520).  @SQ lines collect target names/sizes in first
     appearance order (header precedes body, so the body spools)."""
@@ -677,11 +677,15 @@ def maf2sam(mafreader: MafReader, writer, real: bool = False):
             f"{ln}{chr(v)}" for v, ln in zip(vals.tolist(), mlens.tolist())
         )
         qs = rec.slines[rec.query_idx]
-        # hard clips in the query row's OWN strand frame (the MAF start
-        # is strand-relative, maf.rs:433-450) -- SEQ carries only the
-        # aligned bases, so the clipped remainder is H on both sides
+        # hard clips: the MAF start is strand-relative (maf.rs:433-450),
+        # but SEQ is written TARGET-FORWARD (FLAG 16 carries the
+        # orientation), so for negative strands the strand-frame head
+        # clip is the read's target-forward TAIL -- swap the two
+        # (round-5 review finding; SAM clips are in SEQ orientation)
         h_lead = qs.start
         h_trail = qs.size - qs.start - qs.align_size
+        if rec.is_negative:
+            h_lead, h_trail = h_trail, h_lead
         if h_lead:
             cigar = f"{h_lead}H{cigar}"
         if h_trail:

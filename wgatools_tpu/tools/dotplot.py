@@ -290,7 +290,15 @@ def _overview_row(rec, no_identity: bool):
     if no_identity:
         identity = 1.0
     else:
-        identity = float(rec.get_stat().matched) / float(rec.target_align_size)
+        # Rust f64 division never raises: 0/0 -> NaN, n/0 -> inf
+        # (calculate_identity, dotplot.rs:416-423); mirror instead of
+        # ZeroDivisionError on a degenerate zero-span record
+        matched = float(rec.get_stat().matched)
+        span = float(rec.target_align_size)
+        if span == 0.0:
+            identity = float("nan") if matched == 0.0 else float("inf")
+        else:
+            identity = matched / span
     return {
         "ref_start": rec.target_start,
         "ref_end": rec.target_end,

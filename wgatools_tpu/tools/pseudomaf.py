@@ -62,8 +62,12 @@ def generate_pseudo_maf(reader, out_dir, fa_path, target, rewrite=False,
         from ..parallel.host_pool import forked_map
 
         # file-level parallelism: children only return None; each output
-        # file is written exclusively by one child
-        forked_map(write_one, names)
+        # file is written exclusively by one child.  Batches of
+        # `threads` bound the live fork count (the reference's rayon
+        # pool bounds concurrency the same way; an unbatched fan-out
+        # forked one child PER TARGET -- round-5 review finding)
+        for lo in range(0, len(names), threads):
+            forked_map(write_one, names[lo : lo + threads])
     else:
         for name in names:
             write_one(name)
