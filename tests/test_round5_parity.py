@@ -238,3 +238,42 @@ def test_forked_map_surfaces_worker_traceback(capfd):
     with pytest.raises(RuntimeError, match="traceback is on stderr"):
         forked_map(boom, [0, 1])
     assert "worker exploded" in capfd.readouterr().err
+
+
+def test_followup_review_regressions():
+    """Round-5 follow-up review: device-path zip parity, mid-file
+    unterminated chain lines, windowed fork pool, u64 grammar edges."""
+    # pack_pairs truncates mismatched rows like the host zip (no crash)
+    from wgatools_tpu.ops.classify import pack_pairs
+
+    t_arr, q_arr, lengths = pack_pairs([(b"ACGTAC", b"ACG")])
+    assert lengths.tolist() == [3]
+    assert t_arr[0, :3].tobytes() == b"ACG"
+    # mid-file unterminated data line abutting the next header drops
+    data = (
+        b"chain\t255\tt\t100\t+\t0\t50\tq\t100\t+\t0\t50\t1\n"
+        b"10\t0\t0\n"
+        b"60chain\t255\tt\t100\t+\t0\t50\tq\t100\t+\t0\t50\t2\n"
+        b"10\n\n"
+    )
+    recs = list(ChainReader(io.BytesIO(data)).records())
+    assert [r.sizes.tolist() for r in recs] == [[10], [10]]
+    # windowed fork pool keeps order and bounds concurrency
+    from wgatools_tpu.parallel.host_pool import forked_map
+
+    assert forked_map(lambda x: x * x, list(range(7)), limit=2) == [
+        x * x for x in range(7)
+    ]
+    # '+5' region coordinates parse (Rust u64 grammar)
+    from wgatools_tpu.io.regions import read_region_file
+
+    regs = read_region_file(io.BytesIO(b"chr1\t+5\t10\n"))
+    assert regs[0].start == 5
+    # >= 2^64 coordinates error in maf/paf like the chain parser
+    with pytest.raises(ParseIntError):
+        parse_sline(b"s\tref\t18446744073709551616\t4\t+\t100\tACGT")
+    with pytest.raises(ParsePafError):
+        parse_paf_line(
+            "q\t18446744073709551616\t0\t5\t+\tt\t10\t0\t5\t5\t5\t255"
+            "\tcg:Z:5M"
+        )

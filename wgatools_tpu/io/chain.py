@@ -438,12 +438,13 @@ class ChainReader:
             )
             nxt = data.find(b"chain", eol)
             block = data[eol + 1 : nxt if nxt >= 0 else n]
-            if nxt < 0 and block and not block.endswith(b"\n"):
+            if block and not block.endswith(b"\n"):
                 # reference quirk reproduced (round-5 review finding):
                 # data lines must be newline-TERMINATED
-                # (line_not_chain, chain.rs:325-326); a final line with
-                # no trailing newline fails the fold and is silently
-                # discarded by the take_while sweep (chain.rs:381)
+                # (line_not_chain, chain.rs:325-326); an unterminated
+                # trailing line -- at EOF or abutting the next "chain"
+                # header -- fails the fold and is silently discarded by
+                # the take_while sweep (chain.rs:381)
                 cut = block.rfind(b"\n")
                 block = block[: cut + 1] if cut >= 0 else b""
             try:

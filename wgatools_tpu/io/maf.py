@@ -41,7 +41,10 @@ def _parse_u64(s: str) -> int:
     d = s[1:] if s[:1] == "+" else s
     if not d.isascii() or not d.isdigit():
         raise ParseIntError(s)
-    return int(d)
+    v = int(d)
+    if v > 0x7FFFFFFFFFFFFFFF:  # int64 arrays downstream (see PARITY.md)
+        raise ParseIntError(s)
+    return v
 
 
 @dataclass

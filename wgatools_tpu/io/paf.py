@@ -33,7 +33,10 @@ def _parse_u64(s: str, what: str) -> int:
         if s[:1] == "-":
             raise ParsePafError(f"field `{what}`: `{s}` negative")
         raise ParsePafError(f"field `{what}`: `{s}` not an integer")
-    return int(d)
+    v = int(d)
+    if v > 0x7FFFFFFFFFFFFFFF:  # int64 arrays downstream (see PARITY.md)
+        raise ParsePafError(f"field `{what}`: `{s}` not an integer")
+    return v
 
 
 @dataclass

@@ -44,12 +44,15 @@ def read_region_file(stream) -> list:
             raise ParseGenomeRegionError(f"bad region line `{line}`")
         # clean WGAError on non-numeric/negative coordinates (the
         # reference's csv/u64 deserialize wraps the parse error too;
-        # round-5 review finding: int() raised a raw ValueError)
-        if not (fields[1].isascii() and fields[1].isdigit()) or not (
-            fields[2].isascii() and fields[2].isdigit()
-        ):
-            raise ParseGenomeRegionError(f"bad region line `{line}`")
-        start, end = int(fields[1]), int(fields[2])
+        # round-5 review finding: int() raised a raw ValueError).
+        # Rust u64 grammar: one optional leading '+', ASCII digits
+        def _u64(s):
+            d = s[1:] if s[:1] == "+" else s
+            if not d.isascii() or not d.isdigit():
+                raise ParseGenomeRegionError(f"bad region line `{line}`")
+            return int(d)
+
+        start, end = _u64(fields[1]), _u64(fields[2])
         if start > end:
             raise ParseGenomeRegionError(
                 f"Start `{start}` is larger than end `{end}`"

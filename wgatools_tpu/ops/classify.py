@@ -1232,17 +1232,20 @@ def pack_pairs(pairs, align=128):
 
     Padding bytes are '-' in BOTH rows so padded columns classify as '='
     and gap/gap -- the contract classify_stat_pallas's padding corrections
-    rely on.  Returns (t, q, lengths) numpy arrays.
+    rely on.  Mismatched pair lengths (malformed records) truncate to the
+    SHORTER row, matching the host engines' reference zip semantics
+    (core.cigar._zip_trunc; host/device byte parity).  Returns
+    (t, q, lengths) numpy arrays.
     """
     B = len(pairs)
-    L = max((len(t) for t, _ in pairs), default=0)
+    L = max((min(len(t), len(q)) for t, q in pairs), default=0)
     L = max(((L + align - 1) // align) * align, align)
     t_arr = np.full((B, L), GAP, dtype=np.uint8)
     q_arr = np.full((B, L), GAP, dtype=np.uint8)
     lengths = np.zeros(B, dtype=np.int32)
     for k, (t, q) in enumerate(pairs):
-        n = len(t)
+        n = min(len(t), len(q))
         lengths[k] = n
-        t_arr[k, :n] = np.frombuffer(t, dtype=np.uint8)
-        q_arr[k, :n] = np.frombuffer(q, dtype=np.uint8)
+        t_arr[k, :n] = np.frombuffer(t, dtype=np.uint8)[:n]
+        q_arr[k, :n] = np.frombuffer(q, dtype=np.uint8)[:n]
     return t_arr, q_arr, lengths

@@ -65,22 +65,14 @@ def cigar_batch_stats(ops, lens, row_ids, num_records):
     )
 
 
-def pack_cigar_batch(op_arrays, len_arrays):
-    """Concatenate per-record (ops, lens) into flat arrays with row ids.
-
-    Rejects ops outside {M,=,X,I,D} with CigarOpInvalid, matching the
+def assert_stat_ops(ops):
+    """Reject ops outside {M,=,X,I,D} with CigarOpInvalid, matching the
     reference's parse_paf_to_cigar fold (cigar.rs:685: any other op --
     S, H, N, P -- is an error on the stat/validate path).  The device
     segment sums would otherwise silently drop the op from every
-    counter, diverging from the host engine (round-5 review finding)."""
-    if not op_arrays:
-        return (
-            np.zeros(0, np.uint8),
-            np.zeros(0, np.int32),
-            np.zeros(0, np.int32),
-        )
-    ops = np.concatenate(op_arrays)
-    lens = np.concatenate(len_arrays)
+    counter, diverging from the host engine (round-5 review finding).
+    Called per record by streaming consumers so partial output before
+    the offending record matches the host engine's."""
     known = (
         (ops == OP_M)
         | (ops == OP_EQ)
@@ -92,6 +84,22 @@ def pack_cigar_batch(op_arrays, len_arrays):
         from ..errors import CigarOpInvalid
 
         raise CigarOpInvalid(chr(int(ops[~known][0])))
+
+
+def pack_cigar_batch(op_arrays, len_arrays):
+    """Concatenate per-record (ops, lens) into flat arrays with row ids.
+
+    Op domain enforced via assert_stat_ops (backstop; streaming callers
+    check per record first)."""
+    if not op_arrays:
+        return (
+            np.zeros(0, np.uint8),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+        )
+    ops = np.concatenate(op_arrays)
+    lens = np.concatenate(len_arrays)
+    assert_stat_ops(ops)
     row_ids = np.repeat(
         np.arange(len(op_arrays), dtype=np.int32),
         [len(a) for a in op_arrays],

@@ -82,7 +82,7 @@ def _worker(args):
     return out.getvalue(), results
 
 
-def forked_map(fn, args_list):
+def forked_map(fn, args_list, limit=None):
     """Run fn over args_list in forked children, one per item.
 
     Children exit via os._exit: the axon PJRT client registered at
@@ -90,6 +90,11 @@ def forked_map(fn, args_list):
     multiprocessing.Pool pays N x on shutdown; _exit skips atexit entirely.
     Results travel via per-item temp files (no pipe size limits).
     Returns results in args_list order.
+
+    limit=N keeps at most N children alive as a SLIDING window (a new
+    child forks as soon as any exits -- no inter-batch barrier, the
+    rayon-pool behavior): fan-outs proportional to data (one child per
+    target sequence) must not fork unboundedly (round-5 review finding).
     """
     import pickle
     import tempfile
@@ -99,39 +104,53 @@ def forked_map(fn, args_list):
         return [fn(args_list[0])]
 
     tmpdir = tempfile.mkdtemp(prefix="wgatpu-pool-")
-    pids = []
-    try:
-        for k, a in enumerate(args_list):
-            with warnings.catch_warnings():
-                # JAX (RuntimeWarning) and CPython 3.12 (DeprecationWarning)
-                # warn about fork in a threaded process; safe here: the
-                # parent's threads are idle JAX/runtime housekeeping and
-                # children never touch JAX
-                warnings.simplefilter("ignore", RuntimeWarning)
-                warnings.simplefilter("ignore", DeprecationWarning)
-                pid = os.fork()
-            if pid == 0:
-                status = 1
-                try:
-                    result = fn(a)
-                    with open(os.path.join(tmpdir, f"{k}.pkl"), "wb") as fp:
-                        pickle.dump(result, fp, protocol=4)
-                    status = 0
-                except BaseException:
-                    # surface the worker's traceback on stderr before
-                    # _exit(1) -- a bare exit made every parallel-path
-                    # failure undiagnosable vs the precise -t1 error
-                    # (round-5 review finding)
-                    import traceback
 
-                    traceback.print_exc()
-                finally:
-                    os._exit(status)
-            pids.append(pid)
+    def spawn(k, a):
+        with warnings.catch_warnings():
+            # JAX (RuntimeWarning) and CPython 3.12 (DeprecationWarning)
+            # warn about fork in a threaded process; safe here: the
+            # parent's threads are idle JAX/runtime housekeeping and
+            # children never touch JAX
+            warnings.simplefilter("ignore", RuntimeWarning)
+            warnings.simplefilter("ignore", DeprecationWarning)
+            pid = os.fork()
+        if pid == 0:
+            status = 1
+            try:
+                result = fn(a)
+                with open(os.path.join(tmpdir, f"{k}.pkl"), "wb") as fp:
+                    pickle.dump(result, fp, protocol=4)
+                status = 0
+            except BaseException:
+                # surface the worker's traceback on stderr before
+                # _exit(1) -- a bare exit made every parallel-path
+                # failure undiagnosable vs the precise -t1 error
+                # (round-5 review finding)
+                import traceback
+
+                traceback.print_exc()
+            finally:
+                os._exit(status)
+        return pid
+
+    try:
         failed = False
-        for pid in pids:
-            _, status = os.waitpid(pid, 0)
-            failed |= os.waitstatus_to_exitcode(status) != 0
+        if limit is None or limit >= len(args_list):
+            pids = [spawn(k, a) for k, a in enumerate(args_list)]
+            for pid in pids:
+                _, status = os.waitpid(pid, 0)
+                failed |= os.waitstatus_to_exitcode(status) != 0
+        else:
+            active = set()
+            k_next = 0
+            while active or k_next < len(args_list):
+                while k_next < len(args_list) and len(active) < limit:
+                    active.add(spawn(k_next, args_list[k_next]))
+                    k_next += 1
+                pid, status = os.wait()
+                if pid in active:
+                    active.discard(pid)
+                    failed |= os.waitstatus_to_exitcode(status) != 0
         if failed:
             raise RuntimeError(
                 "parallel worker failed (its traceback is on stderr; "

@@ -411,23 +411,62 @@ def sharded_liftover_sp(mesh: Mesh, ops, lens, wide=False):
         else:
             # device-resident inputs: no int64 on device (x64 off) and
             # a host round-trip of the whole op table would cost more
-            # than the scan -- estimate the per-direction totals in f32
-            # (tree-reduction relative error ~1e-6 for 2^27 ops) and
-            # reject CONSERVATIVELY at 0.01% under 2^31: no overflow
-            # can slip through; records within 0.01% of the ceiling
-            # (>= ~2147.2M advanced bases) are over-rejected with this
-            # clear error -- pass host numpy arrays for the exact bound
+            # than the scan.  EXACT check via nested int32 limb sums
+            # (an f32 estimate is unsound: blocked accumulation can
+            # round away millions of small ops once a partial sum
+            # passes 2^24 -- round-5 review finding): split each
+            # advance into 15-bit limbs, chunk-reduce so no partial
+            # exceeds 2^30, split the chunk sums again, and recombine
+            # the four per-row int32 scalars exactly in host int64.
             pad = ops == 0
-            lf = lens.astype(jnp.float32)
-            adv_t = jnp.where(pad | (ops == _I) | (ops == _S), 0.0, lf)
-            adv_q = jnp.where(pad | (ops == _D), 0.0, lf)
+            li = lens.astype(jnp.int32)
+            adv_t = jnp.where(pad | (ops == _I) | (ops == _S), 0, li)
+            adv_q = jnp.where(pad | (ops == _D), 0, li)
+            C = 1 << 14
+            n_pad = (-n_ops) % C
+            if n_ops + n_pad >= (1 << 30):  # K*2^15 must stay in int32
+                raise ValueError(
+                    "sharded_liftover_sp: op axis too long for the "
+                    "device-resident overflow check (>= 2^30 ops); "
+                    "pass host numpy arrays"
+                )
+
+            def row_totals(adv):
+                a = adv
+                if n_pad:
+                    a = jnp.pad(a, ((0, 0), (0, n_pad)))
+                B2 = a.shape[0]
+                a = a.reshape(B2, -1, C)
+                # per-chunk limb sums: <= 2^14 * 2^16 = 2^30 (hi),
+                # 2^14 * 2^15 = 2^29 (lo)
+                hi_c = jnp.sum(a >> 15, axis=2)
+                lo_c = jnp.sum(a & 0x7FFF, axis=2)
+
+                def lvl2(cs):
+                    # chunk sums < 2^30 split again; K < 2^16 keeps
+                    # each K*2^15 partial in int32
+                    return (
+                        jnp.sum(cs >> 15, axis=1),
+                        jnp.sum(cs & 0x7FFF, axis=1),
+                    )
+
+                hh, hl = lvl2(hi_c)
+                lh, ll = lvl2(lo_c)
+                sum_hi = (np.asarray(hh).astype(np.int64) << 15) + (
+                    np.asarray(hl).astype(np.int64)
+                )
+                sum_lo = (np.asarray(lh).astype(np.int64) << 15) + (
+                    np.asarray(ll).astype(np.int64)
+                )
+                return (sum_hi << 15) + sum_lo
+
             total = int(
                 max(
-                    float(jnp.max(jnp.sum(adv_t, axis=1), initial=0.0)),
-                    float(jnp.max(jnp.sum(adv_q, axis=1), initial=0.0)),
+                    row_totals(adv_t).max(initial=0),
+                    row_totals(adv_q).max(initial=0),
                 )
             )
-            ceiling = int((1 << 31) * (1 - 1e-4))
+            ceiling = 1 << 31
         if total >= ceiling:
             raise ValueError(
                 f"sharded_liftover_sp: record advances up to ~{total} bases "

@@ -62,12 +62,11 @@ def generate_pseudo_maf(reader, out_dir, fa_path, target, rewrite=False,
         from ..parallel.host_pool import forked_map
 
         # file-level parallelism: children only return None; each output
-        # file is written exclusively by one child.  Batches of
-        # `threads` bound the live fork count (the reference's rayon
-        # pool bounds concurrency the same way; an unbatched fan-out
-        # forked one child PER TARGET -- round-5 review finding)
-        for lo in range(0, len(names), threads):
-            forked_map(write_one, names[lo : lo + threads])
+        # file is written exclusively by one child.  The sliding window
+        # bounds live forks at `threads` like the reference's rayon
+        # pool (an unbounded fan-out forked one child PER TARGET --
+        # round-5 review finding)
+        forked_map(write_one, names, limit=threads)
     else:
         for name in names:
             write_one(name)

@@ -83,8 +83,19 @@ def stream_batch_stats(records, batch_ops=1 << 20):
         pending.clear()
         total = 0
 
+    from ..ops.segments import assert_stat_ops
+
     for rec in records:
         ops, lens = rec.get_cigar_ops()
+        # per-record op-domain check BEFORE batching: the host engine
+        # errors at the offending record having already emitted every
+        # earlier one -- flush the good records first so partial output
+        # matches (round-5 review finding)
+        try:
+            assert_stat_ops(ops)
+        except Exception:
+            yield from flush()
+            raise
         if lens.sum(dtype=np.int64) >= 2**31:
             yield from flush()
             yield rec, rec.get_stat()
