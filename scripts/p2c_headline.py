@@ -10,6 +10,8 @@ and times `wgatools-tpu paf2chain` end-to-end.
 Measured 2026-08-20 (this box, single thread, subprocess wall time
 including interpreter startup, best of 3):
   wall 0.42 s  (vs reference 3.69 s -> 8.8x)
+  re-measured after the round-5 parity hardening (strict u64 field
+  grammar + chain-machine gates): 0.49-0.52 s -> 7.1-7.6x
   ~= 5+ Gbp of aligned columns/s end-to-end through the C++ CIGAR
   tokenizer + chain-line formatter (JAX_PLATFORMS=cpu keeps the axon
   sitecustomize from paying its ~1.9 s remote-TPU registration, which a
