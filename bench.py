@@ -54,7 +54,6 @@ def main():
         classify_stat_pallas,
         classify_stat_pallas_words,
     )
-    from wgatools_tpu.ops.fused import classify_liftover_fused
     from wgatools_tpu.ops.liftover import liftover_scan
 
     backend = jax.default_backend()
@@ -110,7 +109,14 @@ def main():
     # past that bound)
     from wgatools_tpu.ops.liftover import pack_ops_adv16, pack_ops_words16
 
-    opw_d = jax.device_put(jnp.asarray(pack_ops_words16(ops_np, lens_np)))
+    # opw16 feeds only the CPU-fallback path; on TPU the production
+    # path rides the cat plane + group sums, so skip the ~8 MB
+    # remote-tunnel transfer there (round-5 review finding)
+    opw_d = (
+        None
+        if jax.default_backend() == "tpu"
+        else jax.device_put(jnp.asarray(pack_ops_words16(ops_np, lens_np)))
+    )
     # advance-packed op-pair words for the round-4 production path: the
     # class decode + advance selects move into the host packer, leaving
     # the kernel two shift/mask ops per direction (scripts/ab_scan_mm.py:

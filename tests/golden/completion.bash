@@ -24,7 +24,7 @@ _wgatools_tpu() {
             COMPREPLY=( $(compgen -W "maf paf" -- "$cur") )
             return 0
             ;;
-        --out_format)
+        --out-format|--out_format)
             COMPREPLY=( $(compgen -W "html json csv" -- "$cur") )
             return 0
             ;;
@@ -44,10 +44,10 @@ _wgatools_tpu() {
     opts=""
     case "$cmd" in
         maf2paf|m2p)
-            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -q --query_name"
+            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -q --query-name --query_name"
             ;;
         maf2chain|m2c)
-            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -q --query_name"
+            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -q --query-name --query_name"
             ;;
         paf2maf|p2m)
             opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -g --target -q --query"
@@ -71,19 +71,19 @@ _wgatools_tpu() {
             opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -l --length"
             ;;
         call|c)
-            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -n --sample -s --snp -i --inv -l --svlen -f --format --target -q --query --query_name --query-regex -c --chunk_size"
+            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -n --sample -s --snp -i --inv -l --svlen -f --format --target -q --query --query-name --query_name --query-regex -c --chunk-size --chunk_size"
             ;;
         tview|tv)
             opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -s --step"
             ;;
         stat|st)
-            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -f --format -e --each -q --query_name"
+            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -f --format -e --each -q --query-name --query_name"
             ;;
         dotplot|dp)
-            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -f --format --out_format -m --mode -d --no_identity -l --length -q --query_name --color"
+            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -f --format --out-format --out_format -m --mode -d --no-identity --no_identity -l --length -q --query-name --query_name --color"
             ;;
         filter|fl)
-            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -f --format -b --min_block_size -q --min_query_size -a --min_align_size"
+            opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -f --format -b --min-block-size --min_block_size -q --min-query-size --min_query_size -a --min-align-size --min_align_size"
             ;;
         rename|rn)
             opts="-h --help -o --outfile -r --rewrite -t --threads -v --verbose -p --prefixs"

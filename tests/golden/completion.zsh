@@ -43,8 +43,9 @@ _wgatools_tpu() {
                 '(-t --threads)--threads[Threads, default 1]:arg:_files' \
                 '(-v --verbose)-v[Logging level [-v: Info, -vv: Debug, -vvv: Trace, default: Warn]]' \
                 '(-v --verbose)--verbose[Logging level [-v: Info, -vv: Debug, -vvv: Trace, default: Warn]]' \
-                '(-q --query_name)-q[]:arg:_files' \
-                '(-q --query_name)--query_name[]:arg:_files' \
+                '(-q --query-name --query_name)-q[]:arg:_files' \
+                '(-q --query-name --query_name)--query-name[]:arg:_files' \
+                '(-q --query-name --query_name)--query_name[]:arg:_files' \
                 '*:file:_files'
             ;;
         maf2chain|m2c)
@@ -58,8 +59,9 @@ _wgatools_tpu() {
                 '(-t --threads)--threads[Threads, default 1]:arg:_files' \
                 '(-v --verbose)-v[Logging level [-v: Info, -vv: Debug, -vvv: Trace, default: Warn]]' \
                 '(-v --verbose)--verbose[Logging level [-v: Info, -vv: Debug, -vvv: Trace, default: Warn]]' \
-                '(-q --query_name)-q[]:arg:_files' \
-                '(-q --query_name)--query_name[]:arg:_files' \
+                '(-q --query-name --query_name)-q[]:arg:_files' \
+                '(-q --query-name --query_name)--query-name[]:arg:_files' \
+                '(-q --query-name --query_name)--query_name[]:arg:_files' \
                 '*:file:_files'
             ;;
         paf2maf|p2m)
@@ -191,10 +193,12 @@ _wgatools_tpu() {
                 '(--target)--target[]:arg:_files' \
                 '(-q --query)-q[]:arg:_files' \
                 '(-q --query)--query[]:arg:_files' \
-                '(--query_name)--query_name[]:arg:_files' \
+                '(--query-name --query_name)--query-name[]:arg:_files' \
+                '(--query-name --query_name)--query_name[]:arg:_files' \
                 '(--query-regex)--query-regex[]:arg:_files' \
-                '(-c --chunk_size)-c[]:arg:_files' \
-                '(-c --chunk_size)--chunk_size[]:arg:_files' \
+                '(-c --chunk-size --chunk_size)-c[]:arg:_files' \
+                '(-c --chunk-size --chunk_size)--chunk-size[]:arg:_files' \
+                '(-c --chunk-size --chunk_size)--chunk_size[]:arg:_files' \
                 '*:file:_files'
             ;;
         tview|tv)
@@ -227,8 +231,9 @@ _wgatools_tpu() {
                 '(-f --format)--format[]:arg:(maf paf)' \
                 '(-e --each)-e[]' \
                 '(-e --each)--each[]' \
-                '(-q --query_name)-q[]:arg:_files' \
-                '(-q --query_name)--query_name[]:arg:_files' \
+                '(-q --query-name --query_name)-q[]:arg:_files' \
+                '(-q --query-name --query_name)--query-name[]:arg:_files' \
+                '(-q --query-name --query_name)--query_name[]:arg:_files' \
                 '*:file:_files'
             ;;
         dotplot|dp)
@@ -244,15 +249,18 @@ _wgatools_tpu() {
                 '(-v --verbose)--verbose[Logging level [-v: Info, -vv: Debug, -vvv: Trace, default: Warn]]' \
                 '(-f --format)-f[]:arg:(maf paf)' \
                 '(-f --format)--format[]:arg:(maf paf)' \
-                '(--out_format)--out_format[]:arg:(html json csv)' \
+                '(--out-format --out_format)--out-format[]:arg:(html json csv)' \
+                '(--out-format --out_format)--out_format[]:arg:(html json csv)' \
                 '(-m --mode)-m[]:arg:(base-level overview)' \
                 '(-m --mode)--mode[]:arg:(base-level overview)' \
-                '(-d --no_identity)-d[]' \
-                '(-d --no_identity)--no_identity[]' \
+                '(-d --no-identity --no_identity)-d[]' \
+                '(-d --no-identity --no_identity)--no-identity[]' \
+                '(-d --no-identity --no_identity)--no_identity[]' \
                 '(-l --length)-l[]:arg:_files' \
                 '(-l --length)--length[]:arg:_files' \
-                '(-q --query_name)-q[]:arg:_files' \
-                '(-q --query_name)--query_name[]:arg:_files' \
+                '(-q --query-name --query_name)-q[]:arg:_files' \
+                '(-q --query-name --query_name)--query-name[]:arg:_files' \
+                '(-q --query-name --query_name)--query_name[]:arg:_files' \
                 '(--color)--color[]:arg:_files' \
                 '*:file:_files'
             ;;
@@ -269,12 +277,15 @@ _wgatools_tpu() {
                 '(-v --verbose)--verbose[Logging level [-v: Info, -vv: Debug, -vvv: Trace, default: Warn]]' \
                 '(-f --format)-f[]:arg:(maf paf chain)' \
                 '(-f --format)--format[]:arg:(maf paf chain)' \
-                '(-b --min_block_size)-b[]:arg:_files' \
-                '(-b --min_block_size)--min_block_size[]:arg:_files' \
-                '(-q --min_query_size)-q[]:arg:_files' \
-                '(-q --min_query_size)--min_query_size[]:arg:_files' \
-                '(-a --min_align_size)-a[]:arg:_files' \
-                '(-a --min_align_size)--min_align_size[]:arg:_files' \
+                '(-b --min-block-size --min_block_size)-b[]:arg:_files' \
+                '(-b --min-block-size --min_block_size)--min-block-size[]:arg:_files' \
+                '(-b --min-block-size --min_block_size)--min_block_size[]:arg:_files' \
+                '(-q --min-query-size --min_query_size)-q[]:arg:_files' \
+                '(-q --min-query-size --min_query_size)--min-query-size[]:arg:_files' \
+                '(-q --min-query-size --min_query_size)--min_query_size[]:arg:_files' \
+                '(-a --min-align-size --min_align_size)-a[]:arg:_files' \
+                '(-a --min-align-size --min_align_size)--min-align-size[]:arg:_files' \
+                '(-a --min-align-size --min_align_size)--min_align_size[]:arg:_files' \
                 '*:file:_files'
             ;;
         rename|rn)

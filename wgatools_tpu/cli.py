@@ -18,6 +18,23 @@ from .log import init_logger
 log = logging.getLogger("wgatools_tpu")
 
 
+def _u64(s):
+    """u64-typed flag values (clap rejects negatives for u64/usize
+    fields; a negative chunk length would loop forever -- round-5
+    review finding)."""
+    import argparse
+
+    try:
+        v = int(s)
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"`{s}` is not an integer")
+    if v < 0:
+        raise argparse.ArgumentTypeError(
+            f"`{s}` is negative (u64 in wgatools)"
+        )
+    return v
+
+
 def _add_global_flags(p, skip_shorts=()):
     """Global flags on one subparser (clap `global = true`, cli.rs:20-36).
 
@@ -45,7 +62,7 @@ def _add_global_flags(p, skip_shorts=()):
         action="store_true",
         help="Bool, if rewrite output file [default: false]",
     )
-    flag("-t", "--threads", type=int, default=1, help="Threads, default 1")
+    flag("-t", "--threads", type=_u64, default=1, help="Threads, default 1")
     flag(
         "-v",
         "--verbose",
@@ -81,11 +98,13 @@ def build_parser():
 
     p = cmd("maf2paf", ["m2p"], "Convert MAF format to PAF format")
     p.add_argument("input", nargs="?", default=None)
-    p.add_argument("-q", "--query_name", default=None)
+    p.add_argument("-q", "--query-name", "--query_name",
+                   dest="query_name", default=None)
 
     p = cmd("maf2chain", ["m2c"], "Convert MAF format to Chain format")
     p.add_argument("input", nargs="?", default=None)
-    p.add_argument("-q", "--query_name", default=None)
+    p.add_argument("-q", "--query-name", "--query_name",
+                   dest="query_name", default=None)
 
     p = cmd("paf2maf", ["p2m"], "Convert PAF format to MAF format")
     p.add_argument("input", nargs="?", default=None)
@@ -127,30 +146,33 @@ def build_parser():
 
     p = cmd("chunk", ["ch"], "Chunk MAF file by length")
     p.add_argument("input", nargs="?", default=None)
-    p.add_argument("-l", "--length", type=int, required=True)
+    p.add_argument("-l", "--length", type=_u64, required=True)
 
     p = cmd("call", ["c"], "Call Variants from MAF/PAF file")
     p.add_argument("input", nargs="?", default=None)
     p.add_argument("-n", "--sample", default="sample")
     p.add_argument("-s", "--snp", action="store_true")
     p.add_argument("-i", "--inv", action="store_true")
-    p.add_argument("-l", "--svlen", type=int, default=50)
+    p.add_argument("-l", "--svlen", type=_u64, default=50)
     p.add_argument("-f", "--format", choices=["maf", "paf"], default="maf")
     p.add_argument("--target", default=None)
     p.add_argument("-q", "--query", default=None)
-    p.add_argument("--query_name", default=None)
+    p.add_argument("--query-name", "--query_name", dest="query_name",
+                   default=None)
     p.add_argument("--query-regex", dest="query_regex", default=None)
-    p.add_argument("-c", "--chunk_size", type=int, default=1000000)
+    p.add_argument("-c", "--chunk-size", "--chunk_size",
+                   dest="chunk_size", type=_u64, default=1000000)
 
     p = cmd("tview", ["tv"], "View MAF file in terminal")
     p.add_argument("input")
-    p.add_argument("-s", "--step", type=int, default=10)
+    p.add_argument("-s", "--step", type=_u64, default=10)
 
     p = cmd("stat", ["st"], "Statistics for Alignment file")
     p.add_argument("input", nargs="?", default=None)
     p.add_argument("-f", "--format", choices=["maf", "paf"], default="maf")
     p.add_argument("-e", "--each", action="store_true")
-    p.add_argument("-q", "--query_name", default=None)
+    p.add_argument("-q", "--query-name", "--query_name",
+                   dest="query_name", default=None)
 
     p = cmd("dotplot", ["dp"], "Plot dotplot for Alignment file")
     p.add_argument("input", nargs="?", default=None)
@@ -158,7 +180,8 @@ def build_parser():
         "-f", "--format", choices=["maf", "paf"], default="maf"
     )
     p.add_argument(
-        "--out_format", choices=["html", "json", "csv"], default="html"
+        "--out-format", "--out_format", dest="out_format",
+        choices=["html", "json", "csv"], default="html"
     )
     p.add_argument(
         "-m",
@@ -166,9 +189,11 @@ def build_parser():
         choices=["base-level", "overview"],
         default="base-level",
     )
-    p.add_argument("-d", "--no_identity", action="store_true")
-    p.add_argument("-l", "--length", type=int, default=None)
-    p.add_argument("-q", "--query_name", default=None)
+    p.add_argument("-d", "--no-identity", "--no_identity",
+                   dest="no_identity", action="store_true")
+    p.add_argument("-l", "--length", type=_u64, default=None)
+    p.add_argument("-q", "--query-name", "--query_name",
+                   dest="query_name", default=None)
     p.add_argument("--color", default=None)
 
     p = cmd("filter", ["fl"], "Filter records for Alignment file")
@@ -176,9 +201,12 @@ def build_parser():
     p.add_argument(
         "-f", "--format", choices=["maf", "paf", "chain"], default="maf"
     )
-    p.add_argument("-b", "--min_block_size", type=int, default=0)
-    p.add_argument("-q", "--min_query_size", type=int, default=0)
-    p.add_argument("-a", "--min_align_size", type=int, default=None)
+    p.add_argument("-b", "--min-block-size", "--min_block_size",
+                   dest="min_block_size", type=_u64, default=0)
+    p.add_argument("-q", "--min-query-size", "--min_query_size",
+                   dest="min_query_size", type=_u64, default=0)
+    p.add_argument("-a", "--min-align-size", "--min_align_size",
+                   dest="min_align_size", type=_u64, default=None)
 
     p = cmd("rename", ["rn"], "Rename MAF records with prefix")
     p.add_argument("input", nargs="?", default=None)
@@ -411,7 +439,7 @@ def dispatch(args):
         if (
             dist_requested()
             and args.format == "paf"
-            and args.input not in (None, "-")
+            and is_plain_seekable(args.input)
         ):
             from .parallel.dist_tools import dist_output, distributed_stat_paf
             from .parallel.distributed import maybe_initialize_distributed
@@ -421,7 +449,7 @@ def dispatch(args):
         elif (
             dist_requested()
             and args.format == "maf"
-            and args.input not in (None, "-")
+            and is_plain_seekable(args.input)
         ):
             # multi-process mode: WGA_TPU_DIST=1 + coordinator env vars;
             # uses <input>.index as the shard manifest when present
@@ -578,7 +606,7 @@ def dispatch(args):
         from .parallel.host_pool import is_plain_seekable, parallel_pafcov
         from .tools.pafcov import pafcov
 
-        if dist_requested() and args.input not in (None, "-"):
+        if dist_requested() and is_plain_seekable(args.input):
             from .parallel.dist_tools import dist_output, distributed_pafcov
             from .parallel.distributed import maybe_initialize_distributed
 
@@ -616,43 +644,50 @@ def dispatch(args):
     elif cmd in ("validate", "vf"):
         from .tools.validate import validate_paf
 
-        fix_writer = None
-        if args.fix is not None:
+        fix_requested = args.fix is not None
+        if fix_requested:
             # fixed output must not clobber the input (utils.rs:750-758)
             input_path = args.input if args.input else "stdin"
             if args.fix == input_path:
                 raise WGAError(
                     "fixed file should not be the same as output file"
                 )
-            fix_writer = open_output(args.fix, True)
         from .parallel.dist_tools import dist_requested
         from .parallel.host_pool import is_plain_seekable, parallel_validate_paf
 
-        if dist_requested() and args.input not in (None, "-"):
+        if dist_requested() and is_plain_seekable(args.input):
             from .parallel.dist_tools import dist_output, distributed_validate_paf
             from .parallel.distributed import maybe_initialize_distributed
 
             maybe_initialize_distributed()
+            # fix output through dist_output too: only rank 0 may open
+            # the real file (other ranks would race the overwrite guard
+            # and corrupt the merged write -- round-5 review finding)
+            fix_writer = (
+                dist_output(args.fix, True) if fix_requested else None
+            )
             distributed_validate_paf(
                 args.input,
                 dist_output(out, rw),
                 fix_writer,
-                args.fix is not None,
+                fix_requested,
             )
         elif args.threads > 1 and is_plain_seekable(args.input):
+            fix_writer = open_output(args.fix, True) if fix_requested else None
             parallel_validate_paf(
                 args.input,
                 open_output(out, rw),
                 args.threads,
                 fix_writer,
-                args.fix is not None,
+                fix_requested,
             )
         else:
+            fix_writer = open_output(args.fix, True) if fix_requested else None
             validate_paf(
                 PafReader(open_input(args.input)),
                 open_output(out, rw),
                 fix_writer,
-                args.fix is not None,
+                fix_requested,
             )
     elif cmd in ("tview", "tv"):
         from .tools.tview import tview
@@ -707,9 +742,11 @@ def _dispatch_call(args, out, rw):
         # NOTE: no `and mafindex` here -- distributed_call_maf loads its
         # own index and falls back to a raw offset scan when it is
         # missing; gating on the parent's index would silently drop
-        # every rank into the serial branch, racing the output file
-        # (round-5 review finding)
-        if dist_requested() and args.input not in (None, "-"):
+        # every rank into the serial branch, racing the output file.
+        # is_plain_seekable: the offset manifest needs a plain file
+        # (compressed inputs would seek bogus raw-byte offsets)
+        # (round-5 review findings)
+        if dist_requested() and is_plain_seekable(args.input):
             from .parallel.dist_tools import dist_output, distributed_call_maf
             from .parallel.distributed import maybe_initialize_distributed
 

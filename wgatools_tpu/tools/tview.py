@@ -180,7 +180,9 @@ class MafViewApp:
         self.step = step
         self.scroll = 0
         self.record = None
-        self.names = sorted(self.index.keys())
+        # (no app-level name list: navigation owns the popup's name
+        # order, deliberately UNSORTED index order -- a sorted shadow
+        # copy here invited wiring the popup to the wrong order)
         self.navigation = Navigation(self.index)
         # start at the first record (smallest offset in the index)
         first = min(
@@ -300,7 +302,12 @@ def tview(input_path: str, step: int = 10):
     def loop(stdscr):
         curses.curs_set(0)
         stdscr.timeout(250)  # the 250 ms tick (tview.rs:361 tick_rate)
-        curses.use_default_colors()
+        try:
+            # terminals without default-color support raise here; fall
+            # back to monochrome instead of dying (round-5 review)
+            curses.use_default_colors()
+        except curses.error:
+            pass
         if curses.has_colors():
             curses.start_color()
             for i, color in enumerate(
